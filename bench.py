@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once for warm-up-free wall time measurement after a
+shared session warm-up (JVM + parquet footer caches), mirroring how the
+driver grades BENCH_r{N}.json against BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from ironbeam_spark.session import get_spark  # noqa: E402
+from ironbeam_spark.suite import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("ironbeam-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n, q in QUERIES.items() if q.bench]
+    # warm-up: JVM JIT + file listing, using the cheapest bench query
+    QUERIES[names[0]].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

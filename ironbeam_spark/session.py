@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the ironbeam-spark engine.
+
+The reference engine (nhubbard/ironbeam) sizes its own thread pool and
+partition counts by heuristic (reference ``src/runner.rs:90-92``,
+``src/planner.rs:1938-1945``).  On Spark all of that is delegated to the
+scheduler + AQE; this module just pins the configs that make plans
+deterministic, scale-safe, and oracle-comparable:
+
+- **AQE on** (runtime partition coalescing + skew-join splitting replaces the
+  reference's "adaptive inter-stage partition count" pass,
+  ``src/planner.rs:1155``).
+- **UTC session timezone** so timestamp arithmetic matches the DuckDB oracle
+  bit-for-bit.
+- **Arrow enabled** so the Pandas-UDF slow path is at least Arrow-batched.
+- **Bloom runtime filters on** — the Spark-native analogue of the
+  reference's Bloom semi-join pre-filter (``src/bloom_filter.rs``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "ironbeam-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so the same code runs unchanged on a real cluster where
+    ``master`` is injected by spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

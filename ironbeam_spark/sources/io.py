@@ -1,0 +1,157 @@
+"""Sources & sinks (reference §2.1, ``src/helpers/{jsonl,csv,parquet,avro,xml}.rs``).
+
+Everything maps onto Spark's native readers/writers, which already provide
+what the reference hand-rolls: glob expansion (``src/io/glob.rs``), partition-
+pattern discovery (``year=2024/month=*``), transparent compression codecs
+(``src/io/compression.rs``), row-group-sharded parquet reads
+(``src/io/parquet.rs``), and parallel sharded writes (``write_*_par``).
+
+At 100 TB the defaults that matter are set here: explicit schemas (no
+inference scans over petabytes), ``spark.sql.files.maxPartitionBytes`` left
+to Spark's 128 MB splits, and predicate/column pushdown verified by tests
+(``tests/test_plans.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ironbeam_spark.collection import PCollection
+
+__all__ = [
+    "read_parquet",
+    "write_parquet",
+    "read_csv",
+    "write_csv",
+    "read_jsonl",
+    "write_jsonl",
+    "read_avro",
+    "write_avro",
+    "read_xml",
+    "read_msgpack",
+    "read_table",
+    "load_tables",
+    "TPCH_TABLES",
+]
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> PCollection:
+    """Reference ``read_parquet_streaming`` (``src/helpers/parquet.rs:144``).
+    Spark's vectorized reader shards by row group and pushes filters/columns
+    into the scan; ``columns`` forces early pruning for wide tables."""
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return PCollection(df)
+
+
+def write_parquet(df: DataFrame | PCollection, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+    """Reference ``write_parquet`` (``src/helpers/parquet.rs:73``).
+    ``partition_by`` gives hive-style layout for partition pruning at scale."""
+    d = df.df if isinstance(df, PCollection) else df
+    w = d.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, has_headers: bool = True, schema: Any = None) -> PCollection:
+    """Reference ``read_csv`` (``src/helpers/csv.rs:133``); explicit header
+    flag mirrored. Schema strongly recommended (inference = extra scan)."""
+    reader = spark.read.option("header", str(has_headers).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return PCollection(reader.csv(path))
+
+
+def write_csv(df: DataFrame | PCollection, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    d = df.df if isinstance(df, PCollection) else df
+    d.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: Any = None) -> PCollection:
+    """Reference ``read_jsonl(_streaming)`` (``src/helpers/jsonl.rs:140,209``).
+    Spark's JSON source is line-delimited by default and skips blank lines,
+    matching the reference's empty-line skip."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return PCollection(reader.json(path))
+
+
+def write_jsonl(df: DataFrame | PCollection, path: str, mode: str = "overwrite", compression: str | None = None) -> None:
+    """Reference ``write_jsonl_par`` (``src/helpers/jsonl.rs:243``): one shard
+    per partition, written in parallel — Spark's native behavior."""
+    d = df.df if isinstance(df, PCollection) else df
+    w = d.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> PCollection:
+    """Reference ``read_avro`` (``src/helpers/avro.rs:109``). Requires the
+    spark-avro package; gated behind a runtime check like the reference's
+    feature gates (``Cargo.toml:11-44``)."""
+    try:
+        return PCollection(spark.read.format("avro").load(path))
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "avro source requires the spark-avro package on the classpath"
+        ) from e
+
+
+def write_avro(df: DataFrame | PCollection, path: str, mode: str = "overwrite") -> None:
+    d = df.df if isinstance(df, PCollection) else df
+    try:
+        d.write.mode(mode).format("avro").save(path)
+    except Exception as e:  # pragma: no cover
+        raise NotImplementedError(
+            "avro sink requires the spark-avro package on the classpath"
+        ) from e
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> PCollection:
+    """Reference ``read_xml`` (``src/helpers/xml.rs:107``). Spark 4 bundles
+    the XML source natively."""
+    try:
+        return PCollection(spark.read.format("xml").option("rowTag", row_tag).load(path))
+    except Exception as e:  # pragma: no cover
+        raise NotImplementedError("xml source unavailable in this build") from e
+
+
+def read_msgpack(spark: SparkSession, path: str) -> PCollection:
+    """Reference ``read_msgpack`` (``src/helpers/msgpack.rs:140``) — no native
+    Spark reader; the scale-correct shape is binaryFile + mapInPandas decode.
+    Decode library is not in this container, so this is a declared stub."""
+    raise NotImplementedError(
+        "msgpack: read via spark.read.format('binaryFile') + mapInPandas decode; "
+        "msgpack codec not available in this environment"
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TPCH_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
