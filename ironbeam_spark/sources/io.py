@@ -149,7 +149,21 @@ def read_msgpack(spark: SparkSession, path: str) -> PCollection:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver test table (TESTDATA.md layout)."""
+    """Load one driver test table (TESTDATA.md layout).
+
+    Two runtime confs make timestamp handling robust and oracle-comparable
+    regardless of the caller's session timezone:
+
+    - ``nanosAsLong``: the ``events`` table stores TIMESTAMP(NANOS), which
+      Spark's vectorized reader rejects; as int64 nanos it stays exact (and
+      windowing arithmetic is pure int64 anyway).
+    - ``inferTimestampNTZ=false``: ms-precision columns (``l_shipdate``,
+      ``o_orderdate``) read as TIMESTAMP whose instant equals the stored
+      naive value as-UTC — so ``unix_millis`` matches DuckDB ``epoch_ms``
+      bit-for-bit independent of ``spark.sql.session.timeZone``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,7 @@
+"""Query suite package: importing it registers every query into QUERIES."""
+
+from ironbeam_spark.suite.registry import QUERIES, Query, query
+
+from ironbeam_spark.suite import core, relational, windowed  # noqa: E402,F401
+
+__all__ = ["QUERIES", "Query", "query"]

@@ -1,57 +1,15 @@
-"""Query suite: the engine's operator inventory exercised end-to-end.
-
-Single source of truth consumed by ``__spark_entry__.py`` (driver contract:
-``queries()`` + ``oracle_sql()``) and ``bench.py``.  Each entry is one
-operator (or operator composition) from SURVEY §2, expressed through the
-engine's API, paired with an ANSI-SQL oracle that DuckDB runs over the same
-parquet tables.
-
-Determinism rules (so Spark and DuckDB hash-match):
-- Money/e xact-decimal aggregates use scaled-int64 arithmetic
-  (:mod:`ironbeam_spark.functions.exact`) — FP sum order never matters.
-- Any emitted array is sorted (``sort_array`` / ``list_sort``).
-- Timestamps/dates in output are cast to ISO strings or epoch millis.
-- Every computed column is aliased identically on both sides.
-"""
+"""Core queries: aggregation, element-wise, joins, top-k, distinct (SURVEY §2.2-2.8)."""
 
 from __future__ import annotations
-
-from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironbeam_spark.collection import PCollection
 from ironbeam_spark.functions.exact import avg_exact, avg_money, cents, sum_long, sum_money
+from ironbeam_spark.functions.time import ts_lit
 from ironbeam_spark.sources.io import read_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass
-class Query:
-    name: str
-    fn: QueryFn
-    oracle: str | None  # None => non-SQL-expressible (driver does rows-only check)
-    bench: bool = False  # include in bench.py headline set
-    doc: str = ""
-
-
-QUERIES: dict[str, Query] = {}
-
-
-def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = Query(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> PCollection:
-    return PCollection(read_table(spark, sf_dir, name))
-
+from ironbeam_spark.suite.registry import _t, query
 
 # =========================================================================
 # Aggregation core (SURVEY §2.6) — flagship: TPC-H Q1 pricing summary
@@ -87,7 +45,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = cents("l_discount")
     tax_c = cents("l_tax")
     out = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= ts_lit("1998-09-02"))
         .key_by("l_returnflag", "l_linestatus")
         .agg_per_key(
             sum_long("l_quantity", "sum_qty"),
