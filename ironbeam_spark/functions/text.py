@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star
+extension — BASELINE.json: beyond the reference surface).
+
+All operators are pure Catalyst expressions (no Python UDFs): tokenization,
+token counting, language ID, quality scoring, and fingerprinting run inside
+whole-stage codegen and scale linearly with no shuffle.  Determinism rules:
+counts are ints, every ratio is a single int/int division, and hashes are
+md5-based (identical in any engine), so a SQL oracle can mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "md5_fingerprint",
+    "rolling_fingerprint",
+    "token_int",
+    "STOPWORDS",
+]
+
+# Deterministic per-language stopword lists (tiny on purpose: the heuristic
+# must be expressible identically in the SQL oracle).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de": ("der", "die", "das", "und", "in", "von", "zu", "mit", "den", "auf"),
+    "zh": ("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"),
+}
+
+# BPE-ish pre-tokenizer: words / numbers / single non-space symbols.  Kept to
+# constructs with identical semantics in Java regex and RE2 so the oracle can
+# reuse the pattern verbatim.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via regex pre-tokenization (cheap proxy for a
+    BPE tokenizer's sequence length)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """punctuation chars / total chars — single int/int division."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    return n_punct.cast("double") / F.length(c).cast("double")
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t))).cast("long")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return stopword_count(col, lang).cast("double") / token_count(col).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic [0,1] quality score: mean word length band + punctuation band
+    + non-empty band.  Deterministic: integer comparisons, fixed weights."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    mean_wlen = (F.length(c) - n_tok + 1).cast("double") / n_tok.cast("double")
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(c) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    return {lang: stopword_count(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language = argmax stopword score, ties broken by fixed
+    priority order (en, es, fr, de, zh) — a CASE chain, so the oracle can
+    mirror it verbatim.  'und' (undetermined) when every score is 0."""
+    scores = lang_scores(col)
+    langs = list(STOPWORDS)
+    # first-match-wins CASE in priority order: lang i wins if its score is > 0
+    # and >= every lower-priority score (earlier langs already failed their WHEN)
+    case = None
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        case = F.when(cond, F.lit(lang)) if case is None else case.when(cond, F.lit(lang))
+    return case.otherwise(F.lit("und"))
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of lowercased trimmed text (exact-dup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(c)))
+
+
+def token_int(tok: Column, bits_hex: int = 12) -> Column:
+    """Deterministic 48-bit integer hash of a token: first 12 hex chars of
+    md5, parsed base-16.  Identical in DuckDB: ('0x'||substr(md5(t),1,12))::BIGINT."""
+    return F.conv(F.substring(F.md5(tok), 1, bits_hex), 16, 10).cast("long")
+
+
+def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over tokens: fold acc = (acc*31 + h(tok)) % mod.
+    Sequential left-fold — same order in any engine, overflow-free in int64."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + token_int(t)) % F.lit(mod),
+    )

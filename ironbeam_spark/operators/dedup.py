@@ -1,0 +1,234 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+extension — BASELINE.json; not in the reference, whose only dedupe is exact
+``distinct``, ``src/helpers/distinct.rs``).
+
+Scale design: every variant is shuffle-bounded and driver-free.
+
+- **exact**: hash groupBy on a content key, deterministic winner (min by a
+  tiebreaker) — one shuffle.
+- **MinHash + LSH**: shingle → K minhashes → band buckets → self-join per
+  bucket → verify Jaccard.  The candidate join is on band signatures, so the
+  cross product only happens inside a bucket (the LSH guarantee); at 100 TB
+  the band-bucket join is an equi-join Spark shuffles or broadcasts like any
+  other.
+- **SimHash**: 48-bit fingerprint via per-token bit votes; near-dup = Hamming
+  distance ≤ k, candidate-bounded by band equality on fingerprint chunks.
+- **n-gram Jaccard**: exact verification primitive (also used standalone
+  within explicit blocking buckets).
+
+Hashes are md5-based so results are engine-independent and every pipeline
+stage has an exact SQL oracle (DuckDB mirrors each expression verbatim).
+All set intersections use sorted distinct arrays — no FP, no order
+sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ironbeam_spark.functions.text import token_int, tokens
+
+__all__ = [
+    "dedup_exact",
+    "simhash_of_ints",
+    "word_shingles",
+    "char_ngrams",
+    "minhash_signature",
+    "minhash_candidates",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_pairs",
+    "jaccard",
+]
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Exact dedup: one row per key, deterministic winner = min ``order_col``.
+    (``dropDuplicates`` keeps an arbitrary row; a pipeline that must be
+    reproducible needs the min-by contract.)  Single hash shuffle."""
+    others = [c for c in df.columns if c not in keys]
+    aggs = [F.min_by(c, F.col(order_col)).alias(c) for c in others if c != order_col]
+    return df.groupBy(*keys).agg(F.min(order_col).alias(order_col), *aggs)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct sorted n-word shingles of a text column."""
+    toks = tokens(col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_sort(F.array_distinct(sh))
+
+
+def char_ngrams(col: Column | str, n: int = 4) -> Column:
+    """Distinct sorted character n-grams."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.substring(c, i, n),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """K minhash values as an array of md5-hex strings.
+
+    h_i(s) = md5(i || '|' || s); the signature element is the lexicographic
+    min — equivalent to numeric min since md5 hex is fixed-width lowercase,
+    and directly portable to SQL (`min(md5(...))`)."""
+    def sig_i(i: int) -> Column:
+        prefix = F.lit(f"{i}|")
+        # single-arg lambda only: PySpark binds 2-arg lambdas as (elem, index)
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[sig_i(i) for i in range(k)])
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding: two docs are candidates iff they agree on ALL minhashes of
+    at least one band.  Emits distinct candidate pairs (id_a < id_b).
+
+    Plan shape: explode to (band_key, id) — band_key is the concatenated band
+    slice — then an equi self-join on band_key.  At scale the join is
+    hash-partitioned on band_key; hot buckets are bounded by band width."""
+    band_key = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws(
+                "#",
+                b.cast("string"),
+                F.concat_ws("", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)),
+            ),
+        )
+    ).alias("band_key")
+    keyed = df.select(F.col(id_col), band_key)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, on="band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays — single int/int division."""
+    inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
+    union = F.size(F.array_union(set_a, set_b)).cast("double")
+    return inter / union
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    pairs → exact-Jaccard verification ≥ threshold."""
+    rows_per_band = k // bands
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(text_col, shingle_words).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    signed = base.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    cands = minhash_candidates(signed, id_col, "sig", bands, rows_per_band)
+    sh = base.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), on="id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def simhash(col: Column | str, bits: int = 48) -> Column:
+    """SimHash fingerprint: per-token 48-bit md5 hash, per-bit ±1 votes over
+    all tokens (with multiplicity), fingerprint bit j set iff vote > 0.
+
+    vote_j = (+1 per set bit, -1 per clear bit) = 2·count_set_j − n, so bit j
+    of the fingerprint is set iff ``2·count_set_j > n`` — pure counting, no
+    fold state, mirrored verbatim in the SQL oracle."""
+    toks = tokens(col)
+    return simhash_of_ints(F.transform(toks, lambda t: token_int(t)), F.size(toks), bits)
+
+
+def simhash_of_ints(ints: Column, n: Column, bits: int = 48) -> Column:
+    """SimHash from precomputed token hashes — materialize the hash array in
+    its own projection first so the md5 pass runs once per row, not once per
+    bit (Catalyst does not CSE across the 48 bit terms)."""
+
+    def bit_term(j: int) -> Column:
+        # single-arg lambda only: PySpark binds 2-arg lambdas as (elem, index)
+        mask = F.lit(1 << j)
+        set_count = F.size(F.filter(ints, lambda h: h.bitwiseAND(mask) != 0))
+        return F.when(F.lit(2) * set_count > n, mask.cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return F.aggregate(
+        F.array(*[bit_term(j) for j in range(bits)]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    chunks: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation uses the pigeonhole band trick: split the
+    fingerprint into ``chunks`` equal bit-chunks; any pair within distance
+    ``max_hamming < chunks * (max_hamming // chunks + 1)`` shares at least
+    one exact chunk — so candidates come from equi-joins on (chunk_idx,
+    chunk_value), never a cross join."""
+    chunk_bits = bits // chunks
+    fp = docs.select(F.col(id_col), simhash(text_col, bits).alias("fp"))
+    mask = (1 << chunk_bits) - 1
+    chunk_keys = [
+        F.concat_ws(
+            "#",
+            F.lit(str(c)),
+            F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"),
+        )
+        for c in range(chunks)
+    ]
+    chunked = fp.select(id_col, "fp", F.explode(F.array(*chunk_keys)).alias("chunk_key"))
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cands = (
+        a.join(b, on="chunk_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers, as a production ANN stack on Spark would do it:
+
+- **Brute-force cosine top-k** — the exactness baseline.  Cross join of
+  queries × corpus with the (small) query side broadcast, ``row_number ≤ k``
+  per query.  Cost is |Q|·|C|; fine when |Q| is small, and the per-pair dot
+  product stays inside codegen.
+- **LSH-bucketed ANN** — the scale path.  Random-hyperplane signatures
+  bucket the corpus; candidates = bucket collisions (equi-join, shuffle-
+  partitioned on bucket key), then exact cosine re-rank.  Hyperplanes are
+  *data vectors* chosen by id (deterministic, no RNG), which keeps the whole
+  pipeline expressible as exact SQL for the oracle.
+
+No FP aggregation across rows anywhere — only per-pair fold-order-fixed dot
+products — so results are engine-exact (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ironbeam_spark.functions.vectors import cosine, dot
+
+__all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_ann_topk"]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self-match excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-dot-product LSH bucket id: bit i = 1 iff dot(v, plane_i) > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(
+            dot(F.col(vec_col), plane) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored.  Recall loss is the LSH trade-off; at scale this turns |Q|·|C|
+    into a bucket-partitioned equi-join."""
+    qb = hyperplane_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        planes,
+        "q_vec",
+    )
+    cb = hyperplane_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        planes,
+        "c_vec",
+    )
+    scored = (
+        qb.join(cb, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,417 @@
+"""LLM training-data pipeline queries: text analysis, dedup (exact / MinHash-
+LSH / SimHash / n-gram Jaccard / embedding cosine), similarity search
+(brute-force + LSH ANN).  North-star extensions beyond the reference surface
+(BASELINE.json).
+
+Every query has an exact DuckDB oracle: all hashes are md5-based, all set ops
+use sorted distinct arrays, all FP values are single-division / fixed-fold
+expressions (see the parity notes in operators/dedup.py, functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    STOPWORDS,
+    bpe_ish_token_count,
+    lang_id,
+    md5_fingerprint,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+    token_int,
+    tokens,
+)
+from ironbeam_spark.operators.dedup import (
+    char_ngrams,
+    dedup_exact,
+    jaccard,
+    minhash_dedup_pairs,
+    simhash_of_ints,
+)
+from ironbeam_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from ironbeam_spark.suite.registry import _t, query
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_TI_SQL = "('0x'||substr(md5({0}),1,12))::BIGINT"
+
+
+# ---------------------------------------------------------------- text stats
+
+
+@query(
+    "q_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           (length(text) - len({_TOKS_SQL}) + 1)::DOUBLE / len({_TOKS_SQL})::DOUBLE AS mean_word_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    bench=True,
+    doc="token counting: whitespace + BPE-ish regex pre-tokenizer (north-star text analysis)",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").df
+    n_tok = token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        ((F.length("text") - n_tok + 1).cast("double") / n_tok.cast("double")).alias(
+            "mean_word_len"
+        ),
+    ).orderBy("doc_id")
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    return {
+        lang: f"len(list_filter({_TOKS_SQL}, t -> list_contains({list(words)}, t)))"
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def _lang_case_sql() -> str:
+    s = _lang_scores_sql()
+    langs = list(STOPWORDS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{s[lang]} > 0"] + [
+            f"{s[lang]} >= {s[other]}" for other in langs[i + 1 :]
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+@query(
+    "q_lang_id",
+    f"""
+    SELECT {_lang_case_sql()} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang_pred
+    ORDER BY lang_pred
+    """,
+    doc="language-ID heuristic: per-language stopword argmax with fixed priority (north-star text analysis)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").df
+    return (
+        docs.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+@query(
+    "q_quality_score",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 10 AND 100000
+                  THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - len(list_filter(string_split(text, ' '), x -> x <> '')) + 1)::DOUBLE
+                         / len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE BETWEEN 2.0 AND 12.0
+                    THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                         / length(text)::DOUBLE <= 0.2
+                    THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS quality
+      FROM documents
+    )
+    SELECT quality, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY quality ORDER BY quality
+    """,
+    doc="quality scoring: banded length/word-shape/punctuation heuristic (north-star text analysis)",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").df
+    return (
+        docs.select(quality_score("text").alias("quality"))
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("quality")
+    )
+
+
+@query(
+    "q_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform({_TOKS_SQL}, x -> {_TI_SQL.format('x')})),
+               (acc, x) -> (acc*31 + x) % 1000000007) AS rolling_fp
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="document fingerprinting: content md5 + polynomial rolling hash over tokens (north-star text analysis)",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        md5_fingerprint("text").alias("content_md5"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------- dedup
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT user_id, event_type,
+           min(event_id) AS first_event_id,
+           arg_min(value, event_id) AS first_value,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    doc="exact dedup with deterministic min-winner (north-star dedup; ref has only distinct, src/helpers/distinct.rs:69)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").df
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_dups"))
+    deduped = dedup_exact(
+        ev.select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"],
+        "event_id",
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.col("value").alias("first_value"),
+    )
+    return deduped.join(counts, on=["user_id", "event_type"]).orderBy(
+        "user_id", "event_type"
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH toksrc AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks)-2, 0)),
+                 i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))) AS shingles
+              FROM toksrc),
+    base AS (SELECT * FROM base0 WHERE len(shingles) > 0),
+    sigs AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS sig
+             FROM base, unnest(base.shingles) AS u(s),
+                  unnest([0,1,2,3,4,5,6,7]) AS hi(i)
+             GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, (i//2) AS band, string_agg(sig, '' ORDER BY i) AS band_sig
+              FROM sigs GROUP BY doc_id, (i//2)),
+    cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jaccard_sim
+    FROM cands JOIN base sa ON sa.doc_id = id_a JOIN base sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "q_dedup_minhash",
+    _MINHASH_ORACLE,
+    bench=True,
+    doc="MinHash-LSH near-dup: 3-word shingles, 8 hashes, 4 bands, Jaccard>=0.5 verify (north-star dedup)",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").df
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_ngram",
+    """
+    WITH g AS (SELECT doc_id, lang, source,
+                 list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(length(text)-3, 0)),
+                   i -> substr(text, i, 4)))) AS grams
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard_sim
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+            / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    doc="char-4-gram Jaccard near-dup within (lang, source) blocking buckets (north-star dedup)",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").df
+    g = docs.select(
+        "doc_id", "lang", "source", char_ngrams("text", 4).alias("grams")
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    return (
+        a.join(b, on=["lang", "source"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_simhash_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 200),
+    ints AS (SELECT doc_id, list_transform(toks, x -> {_TI_SQL.format('x')}) AS hs,
+                    len(toks) AS n FROM t)
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(0, 47), j ->
+              CASE WHEN 2*len(list_filter(hs, h -> (h >> j) & 1 = 1)) > n
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS simhash_fp
+    FROM ints
+    ORDER BY doc_id
+    """,
+    doc="SimHash 48-bit fingerprints via per-bit token votes (north-star dedup)",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 200)
+    toks = tokens(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.transform(toks, lambda t: token_int(t)).alias("_ints"),
+        F.size(toks).alias("_n"),
+    )
+    return staged.select(
+        "doc_id",
+        simhash_of_ints(F.col("_ints"), F.col("_n"), 48).alias("simhash_fp"),
+    ).orderBy("doc_id")
+
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1,64), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(generate_series(1,64), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(generate_series(1,64), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+)
+
+
+@query(
+    "q_dedup_embedding",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="embedding-cosine near-dup within label blocks (north-star dedup)",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, on="label")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------- similarity search
+
+
+@query(
+    "q_ann_bruteforce",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_sim
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    bench=True,
+    doc="brute-force cosine top-k ANN baseline: broadcast queries × corpus, row_number<=k (north-star similarity)",
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "q_ann_lsh",
+    f"""
+    WITH p AS (SELECT vec_id AS plane_id, embedding AS plane
+               FROM embeddings WHERE vec_id < 4),
+    b AS (SELECT e.vec_id, e.embedding,
+            sum(CASE WHEN {_COS_SQL.format(a='e.embedding', b='p.plane')} > 0
+                     THEN (1::BIGINT << plane_id) ELSE 0::BIGINT END) AS bucket
+          FROM embeddings e CROSS JOIN p
+          GROUP BY e.vec_id, e.embedding),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="LSH-bucketed ANN: sign-of-dot hyperplane buckets (planes = data vectors 0..3), exact re-rank in bucket (north-star similarity)",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").df
+    planes = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = lsh_ann_topk(emb, queries, planes, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
