@@ -234,7 +234,9 @@ class PCollection:
             aggs.append(a.alias(f"{v}_list"))
         return self._with(self.df.groupBy(*self.key_cols).agg(*aggs), self.key_cols)
 
-    def group_into_batches(self, n: int, value_col: str, sort: bool = True) -> "PCollection":
+    def group_into_batches(
+        self, n: int, value_col: str, sort: bool = True, keep_batch_id: bool = False
+    ) -> "PCollection":
         """``(K, V) → (K, list<V> of size ≤ n)`` (reference
         ``group_into_batches``, ``src/helpers/batches.rs:297``).
 
@@ -247,12 +249,16 @@ class PCollection:
         self._require_keys()
         order = F.col(value_col) if sort else F.monotonically_increasing_id()
         w = W.partitionBy(*self.key_cols).orderBy(order)
-        df = self.df.withColumn("_batch", ((F.row_number().over(w) - F.lit(1)) / F.lit(n)).cast("long"))
-        out = (
-            df.groupBy(*self.key_cols, "_batch")
-            .agg(F.sort_array(F.collect_list(value_col)).alias(f"{value_col}_batch"))
-            .drop("_batch")
+        df = self.df.withColumn(
+            "_batch", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(n))
         )
+        out = df.groupBy(*self.key_cols, "_batch").agg(
+            F.sort_array(F.collect_list(value_col)).alias(f"{value_col}_batch")
+        )
+        if keep_batch_id:
+            out = out.withColumnRenamed("_batch", "batch_id")
+        else:
+            out = out.drop("_batch")
         return self._with(out, self.key_cols)
 
     def _require_keys(self) -> None:

