@@ -26,15 +26,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ironbeam_spark.functions.text import token_int, tokens
+from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
     "dedup_exact",
+    "let_",
     "simhash_of_ints",
     "word_shingles",
+    "hashed_word_shingles",
     "char_ngrams",
     "minhash_signature",
+    "minhash_signature_from_ints",
     "minhash_candidates",
     "minhash_dedup_pairs",
     "simhash",
@@ -62,6 +67,58 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(sh))
 
 
+# Rolling-hash base for hashed shingles: acc = (acc*31 + token_hash) mod
+# SHINGLE_MOD.  SHINGLE_MOD·31 + 2^48 < 2^63, so the fold never overflows
+# int64 and DuckDB mirrors it bit-for-bit.
+SHINGLE_MOD = 10**17 + 3
+
+
+def let_(expr: Column, fn) -> Column:
+    """Let-binding for Spark expressions: evaluate ``expr`` ONCE and pass it to
+    ``fn`` as a lambda variable.
+
+    ``transform(array(expr), x -> fn(x))[0]`` — inside the higher-order
+    function the value is a variable read, however many times ``fn``
+    references it.  This is the only reliable way to share a subexpression
+    within one projection: Catalyst's CollapseProject inlines (not CSEs)
+    column references, so "stage it in a withColumn" silently re-evaluates
+    the expression at every use site downstream.
+    """
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
+def hashed_word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct sorted n-word shingle *hashes* (int64) of a text column.
+
+    The scale-path variant of :func:`word_shingles`: one md5 per token (not
+    per shingle), shingle identity = rolling hash of the n token hashes — no
+    shingle strings are ever materialized, and downstream set ops
+    (distinct/sort/intersect for Jaccard) run on int64 arrays, which also
+    shrinks the shuffle payload of the verification join.  Hash collisions
+    (~2^-48 per pair) are negligible for near-dup detection, and the SQL
+    oracle applies the identical arithmetic so differential tests stay exact.
+
+    The per-token hash array is let-bound (see :func:`let_`) so the md5 pass
+    runs exactly once per row even though each shingle reads n elements.
+    """
+    token_hashes = F.transform(tokens(col), lambda t: token_int(t))
+
+    def build(tis: Column) -> Column:
+        def shingle_at(i: Column) -> Column:
+            acc = F.get(tis, i - 1).cast("long")
+            for j in range(1, n):
+                acc = (acc * F.lit(31) + F.get(tis, i + F.lit(j) - 1)) % F.lit(SHINGLE_MOD)
+            return acc
+
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tis) - F.lit(n - 1), F.lit(0))),
+            shingle_at,
+        )
+        return F.array_sort(F.array_distinct(sh))
+
+    return let_(token_hashes, build)
+
+
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
     """Distinct sorted character n-grams."""
     c = F.col(col) if isinstance(col, str) else col
@@ -72,18 +129,40 @@ def char_ngrams(col: Column | str, n: int = 4) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
-def minhash_signature(shingles: Column, k: int = 8) -> Column:
-    """K minhash values as an array of md5-hex strings.
+# Affine-hash family for minhash: h_i(x) = (a_i·x + b_i) mod MINHASH_PRIME over
+# an int64 base hash x.  One md5 per token total (vs one per shingle per hash
+# function); a_i ≤ 33 and x < 2^57 keep a_i·x < 2^62 — no int64 overflow, so
+# DuckDB mirrors the arithmetic bit-for-bit.
+MINHASH_PRIME = (1 << 61) - 1
+MINHASH_COEFFS = [(2 * i + 3, 10_007 * (i + 1)) for i in range(16)]  # (a_i, b_i), a odd
 
-    h_i(s) = md5(i || '|' || s); the signature element is the lexicographic
-    min — equivalent to numeric min since md5 hex is fixed-width lowercase,
-    and directly portable to SQL (`min(md5(...))`)."""
+
+def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
+    """K minhash values (int64 array) from pre-materialized 48-bit shingle
+    hashes.  Materialize ``ints`` in its own projection before calling — the
+    md5 pass must run once per row, not once per hash function (Catalyst does
+    not CSE a subexpression across the k signature terms)."""
+
     def sig_i(i: int) -> Column:
-        prefix = F.lit(f"{i}|")
-        # single-arg lambda only: PySpark binds 2-arg lambdas as (elem, index)
-        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(prefix, s))))
+        a, b = MINHASH_COEFFS[i]
+        return F.array_min(
+            F.transform(ints, lambda x: (F.lit(a).cast("long") * x + F.lit(b)) % F.lit(MINHASH_PRIME))
+        )
 
     return F.array(*[sig_i(i) for i in range(k)])
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """K minhash values as an array of int64 from *string* shingles.
+
+    Base hash x(s) = first 48 bits of md5(s) (portable:
+    ``('0x'||substr(md5(s),1,12))::BIGINT`` in DuckDB); signature element i is
+    ``min over shingles of (a_i·x + b_i) mod (2^61−1)``.  The base-hash array
+    is let-bound so md5 runs once per shingle, not once per hash function."""
+    return let_(
+        F.transform(shingles, lambda s: token_int(s)),
+        lambda ints: minhash_signature_from_ints(ints, k),
+    )
 
 
 def minhash_candidates(
@@ -101,7 +180,10 @@ def minhash_candidates(
             lambda b: F.concat_ws(
                 "#",
                 b.cast("string"),
-                F.concat_ws("", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)),
+                # "_" separator: sig elements are int64 rendered as decimal
+                # strings (variable width), so an unseparated concat would be
+                # ambiguous ("12"+"345" == "123"+"45")
+                F.concat_ws("_", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)),
             ),
         )
     ).alias("band_key")
@@ -139,11 +221,22 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     pairs → exact-Jaccard verification ≥ threshold."""
     rows_per_band = k // bands
-    base = docs.select(
-        F.col(id_col),
-        word_shingles(text_col, shingle_words).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    signed = base.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    docs = ensure_min_parallelism(docs)
+    base = (
+        docs.select(
+            F.col(id_col),
+            hashed_word_shingles(text_col, shingle_words).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        # consumed 3× (signature pass + both sides of the verify join): persist
+        # once instead of re-shingling — the analog of the reference's
+        # dominator-CSE cache (src/runner.rs:257-337).  MEMORY_AND_DISK spills
+        # rather than OOMs when the shingle table outgrows executor memory.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    signed = base.select(
+        F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
+    )
     cands = minhash_candidates(signed, id_col, "sig", bands, rows_per_band)
     sh = base.select(F.col(id_col), F.col("shingles"))
     verified = (
@@ -162,9 +255,11 @@ def simhash(col: Column | str, bits: int = 48) -> Column:
 
     vote_j = (+1 per set bit, -1 per clear bit) = 2·count_set_j − n, so bit j
     of the fingerprint is set iff ``2·count_set_j > n`` — pure counting, no
-    fold state, mirrored verbatim in the SQL oracle."""
-    toks = tokens(col)
-    return simhash_of_ints(F.transform(toks, lambda t: token_int(t)), F.size(toks), bits)
+    fold state, mirrored verbatim in the SQL oracle.  The token-hash array is
+    let-bound (see :func:`let_`): the 48 bit terms each read it, and an
+    un-bound reference would re-run the md5 pass per bit."""
+    token_hashes = F.transform(tokens(col), lambda t: token_int(t))
+    return let_(token_hashes, lambda ints: simhash_of_ints(ints, F.size(ints), bits))
 
 
 def simhash_of_ints(ints: Column, n: Column, bits: int = 48) -> Column:
@@ -203,7 +298,7 @@ def simhash_pairs(
     one exact chunk — so candidates come from equi-joins on (chunk_idx,
     chunk_value), never a cross join."""
     chunk_bits = bits // chunks
-    fp = docs.select(F.col(id_col), simhash(text_col, bits).alias("fp"))
+    fp = ensure_min_parallelism(docs).select(F.col(id_col), simhash(text_col, bits).alias("fp"))
     mask = (1 << chunk_bits) - 1
     chunk_keys = [
         F.concat_ws(

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ironbeam_spark.functions.vectors import cosine, dot
+from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_ann_topk"]
 
@@ -38,7 +39,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -92,7 +93,7 @@ def lsh_ann_topk(
         "q_vec",
     )
     cb = hyperplane_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        ensure_min_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         planes,
         "c_vec",
     )

@@ -23,15 +23,12 @@ from ironbeam_spark.functions.text import (
     quality_score,
     rolling_fingerprint,
     token_count,
-    token_int,
-    tokens,
 )
 from ironbeam_spark.operators.dedup import (
     char_ngrams,
     dedup_exact,
     jaccard,
     minhash_dedup_pairs,
-    simhash_of_ints,
 )
 from ironbeam_spark.operators.similarity import brute_force_topk, lsh_ann_topk
 from ironbeam_spark.suite.registry import _t, query
@@ -197,18 +194,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_MOD = 10**17 + 3
+
 _MINHASH_ORACLE = f"""
-    WITH toksrc AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    WITH toksrc AS (SELECT doc_id,
+                      list_transform({_TOKS_SQL}, t -> {_TI_SQL.format('t')}) AS tis
+                    FROM documents),
     base0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(
-                 generate_series(1, greatest(len(toks)-2, 0)),
-                 i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))) AS shingles
+                 generate_series(1, greatest(len(tis)-2, 0)),
+                 i -> ((tis[i]*31 + tis[i+1]) % {_SHINGLE_MOD} * 31 + tis[i+2])
+                      % {_SHINGLE_MOD}))) AS shingles
               FROM toksrc),
     base AS (SELECT * FROM base0 WHERE len(shingles) > 0),
-    sigs AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS sig
+    sigs AS (SELECT doc_id, i,
+                    min(((2*i+3) * s + 10007*(i+1)) % ((1::BIGINT << 61) - 1)) AS sig
              FROM base, unnest(base.shingles) AS u(s),
                   unnest([0,1,2,3,4,5,6,7]) AS hi(i)
              GROUP BY doc_id, i),
-    bands AS (SELECT doc_id, (i//2) AS band, string_agg(sig, '' ORDER BY i) AS band_sig
+    bands AS (SELECT doc_id, (i//2) AS band, string_agg(sig::VARCHAR, '_' ORDER BY i) AS band_sig
               FROM sigs GROUP BY doc_id, (i//2)),
     cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b
@@ -256,7 +259,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="char-4-gram Jaccard near-dup within (lang, source) blocking buckets (north-star dedup)",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").df
+    from ironbeam_spark.scale import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents").df)
     g = docs.select(
         "doc_id", "lang", "source", char_ngrams("text", 4).alias("grams")
     )
@@ -291,16 +296,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash 48-bit fingerprints via per-bit token votes (north-star dedup)",
 )
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.dedup import simhash
+
     docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 200)
-    toks = tokens(F.col("text"))
-    staged = docs.select(
-        "doc_id",
-        F.transform(toks, lambda t: token_int(t)).alias("_ints"),
-        F.size(toks).alias("_n"),
-    )
-    return staged.select(
-        "doc_id",
-        simhash_of_ints(F.col("_ints"), F.col("_n"), 48).alias("simhash_fp"),
+    return docs.select(
+        "doc_id", simhash("text", 48).alias("simhash_fp")
     ).orderBy("doc_id")
 
 
