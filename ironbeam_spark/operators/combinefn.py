@@ -1,0 +1,94 @@
+"""User-defined combiner protocol (reference ``CombineFn<V, A, O>``,
+``src/collection.rs:333-360``: ``create_accumulator / add_input /
+merge_accumulators / extract_output`` + assoc-comm declaration).
+
+Spark mapping (SURVEY §2.12): every *shipped* reference combiner translates
+to a native aggregate expression (see the suite's q_* queries) — that is the
+100 TB path, with Tungsten partial/final aggregation and spilling.  This
+module is the **long-tail** path for genuinely custom user combiners:
+``applyInPandas`` over each key group, Arrow-batched.
+
+Scale notes:
+- ``applyInPandas`` materializes one full key group per call — fine for
+  bounded groups, wrong for power-law keys; known combiner shapes should be
+  rewritten to native expressions instead (SURVEY §7 hard-list item 5).
+- ``add_batch`` is the vectorized hook: override it with numpy/pandas column
+  ops; the default falls back to row-at-a-time ``add_input`` like the
+  reference's per-element fold (``src/helpers/combine.rs:66-154``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+__all__ = ["CombineFn", "combine_per_key", "combine_globally"]
+
+
+class CombineFn:
+    """Subclass and implement the four-phase contract.  ``accumulator`` may be
+    any picklable value.  ``extract_output`` returns a dict of output columns.
+    """
+
+    def create_accumulator(self) -> Any:
+        raise NotImplementedError
+
+    def add_input(self, acc: Any, row: dict) -> Any:
+        raise NotImplementedError
+
+    def add_batch(self, acc: Any, pdf) -> Any:
+        """Vectorized fold over a pandas batch; default = per-row loop."""
+        for row in pdf.to_dict("records"):
+            acc = self.add_input(acc, row)
+        return acc
+
+    def merge_accumulators(self, accs: Sequence[Any]) -> Any:
+        raise NotImplementedError
+
+    def extract_output(self, acc: Any) -> dict:
+        raise NotImplementedError
+
+
+def combine_per_key(
+    df: DataFrame, key_cols: Sequence[str], fn: CombineFn, out_schema: str
+) -> DataFrame:
+    """Per-key combine with a user CombineFn (reference ``combine_values``,
+    ``src/helpers/combine.rs:66``).  ``out_schema`` must list the key columns
+    first, then ``extract_output``'s columns."""
+    import pandas as pd  # local import: executors re-import per worker
+
+    keys = list(key_cols)
+
+    def apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        acc = fn.add_batch(fn.create_accumulator(), pdf)
+        out = fn.extract_output(acc)
+        head = {k: pdf[k].iloc[0] for k in keys}
+        return pd.DataFrame([{**head, **out}])
+
+    return df.groupBy(*keys).applyInPandas(apply, out_schema)
+
+
+def combine_globally(df: DataFrame, fn: CombineFn, out_schema: str) -> DataFrame:
+    """Global combine (reference ``combine_globally``,
+    ``src/helpers/combine_global.rs:50``).  Two-phase like the reference's
+    partial+final: per-partition partial accumulators via ``mapInPandas``
+    (parallel, no shuffle), then a single merge of the tiny accumulator set.
+    Emits the identity accumulator's output on empty input, matching the
+    reference."""
+    import pandas as pd
+
+    def partial(batches):
+        acc = fn.create_accumulator()
+        for pdf in batches:
+            acc = fn.add_batch(acc, pdf)
+        yield pd.DataFrame({"acc": [__import__("pickle").dumps(acc)]})
+
+    partials = df.mapInPandas(partial, "acc binary").collect()
+    import pickle
+
+    accs = [pickle.loads(r.acc) for r in partials] or [fn.create_accumulator()]
+    out = fn.extract_output(fn.merge_accumulators(accs))
+    spark = df.sparkSession
+    return spark.createDataFrame([tuple(out.values())], schema=out_schema)

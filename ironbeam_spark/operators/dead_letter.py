@@ -26,6 +26,9 @@ from pyspark.sql.observation import Observation
 
 __all__ = [
     "map_catching",
+    "partition_tags",
+    "try_map",
+    "collect_fail_fast",
     "Rule",
     "validate",
     "SKIP_INVALID",
@@ -62,6 +65,45 @@ def map_catching(
         good = good.withColumn(name, expr)
     dead = classified.where(F.col("_error").isNotNull()).withColumnRenamed("_error", "error")
     return good, dead
+
+
+def partition_tags(
+    df: DataFrame, tag: Column, tags: Sequence[str], cache: bool = True
+) -> dict[str, DataFrame]:
+    """Multi-way side outputs (reference ``partition!`` macro,
+    ``src/helpers/partition.rs:335-346``): classify each row into exactly one
+    tag, return one DataFrame per tag.
+
+    ``tag`` is the classification expression (the enum-returning closure of
+    the reference, as a CASE chain).  The tagged frame is evaluated once
+    (``cache``) and each output is a filter over it — the same one-pass-
+    classify / N-filter shape the reference builds via dominator CSE."""
+    tagged = df.withColumn("_tag", tag)
+    if cache:
+        tagged = tagged.cache()
+    return {t: tagged.where(F.col("_tag") == t).drop("_tag") for t in tags}
+
+
+def try_map(
+    df: DataFrame, out_cols: dict[str, Column], error: Column
+) -> DataFrame:
+    """Reference ``try_map`` (``src/helpers/try_process.rs:67``): one stream
+    of ``Result<O, E>`` rows — output columns are NULL on error rows, the
+    ``error`` column is NULL on ok rows.  Split it with ``map_catching`` or
+    assert emptiness with :func:`collect_fail_fast`."""
+    out = df.withColumn("error", error)
+    for name, expr in out_cols.items():
+        out = out.withColumn(name, F.when(F.col("error").isNull(), expr))
+    return out
+
+
+def collect_fail_fast(df: DataFrame, error_col: str = "error") -> list:
+    """Reference ``collect_fail_fast`` (``src/helpers/try_process.rs:139``):
+    abort on the first error row, else collect the ok rows."""
+    bad = df.where(F.col(error_col).isNotNull()).limit(1).collect()
+    if bad:
+        raise ValueError(f"try_map failed: {bad[0][error_col]} row={bad[0]}")
+    return df.drop(error_col).collect()
 
 
 @dataclass

@@ -69,4 +69,28 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``ironbeam_spark`` importable on executor Python workers.
+
+    Cloudpickled closures reference this package's classes by module path;
+    workers only resolve that if the package is on their PYTHONPATH.  That
+    holds by accident when the driver runs from the repo root — shipping a
+    zip via ``addPyFile`` makes it hold everywhere (local or cluster),
+    exactly how a real deployment distributes its job package.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    try:
+        repo = Path(__file__).resolve().parent.parent
+        stem = str(Path(tempfile.gettempdir()) / "ironbeam_spark_pkg")
+        zpath = shutil.make_archive(stem, "zip", root_dir=repo, base_dir="ironbeam_spark")
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # pragma: no cover - already-added / read-only tmp
+        pass

@@ -2,6 +2,15 @@
 
 from ironbeam_spark.suite.registry import QUERIES, Query, query
 
-from ironbeam_spark.suite import core, production, relational, text_ml, windowed  # noqa: E402,F401
+from ironbeam_spark.suite import (  # noqa: E402,F401
+    core,
+    extended,
+    mm_stream,
+    production,
+    relational,
+    text_ml,
+    udf_batch,
+    windowed,
+)
 
 __all__ = ["QUERIES", "Query", "query"]

@@ -1,0 +1,333 @@
+"""Extended coverage: TPC-H-style multi-join analytics (the scale showcase)
+plus the remaining SURVEY §2 operator surface — side-input multimap,
+partition!/side outputs, try_map, to_dict, bottom-k per key, latest global,
+offset tumbling windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.functions.exact import avg_money, cents, sum_money
+from ironbeam_spark.functions.time import ts_lit
+from ironbeam_spark.operators.dead_letter import partition_tags, try_map
+from ironbeam_spark.operators.side_inputs import with_side_multimap
+from ironbeam_spark.operators.windowing import combine_per_key_and_window
+from ironbeam_spark.sources.io import read_table
+from ironbeam_spark.suite.registry import _t, query
+
+_DISC_PRICE_SQL = (
+    "CAST(round(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount*100) AS BIGINT))"
+)
+
+
+# =========================================================================
+# TPC-H classics — multi-join plans where broadcast/AQE strategy matters
+# =========================================================================
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           sum({_DISC_PRICE_SQL})/10000.0 AS revenue,
+           epoch_ms(o_orderdate) AS orderdate_ms
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, orderdate_ms, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+    doc="TPC-H Q3 shipping priority: filtered 3-way join, topk by revenue; customer dim broadcasts, lineitem never moves twice",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < ts_lit("1997-01-01"))
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > ts_lit("1997-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", F.unix_millis("o_orderdate").alias("orderdate_ms"))
+        .orderBy(F.col("revenue").desc(), "orderdate_ms", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, sum({_DISC_PRICE_SQL})/10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    bench=True,
+    doc="TPC-H Q5 local supplier volume: 6-way star join, dims broadcast, one shuffle for the final group",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01")) & (F.col("o_orderdate") < ts_lit("1997-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+               * CAST(round(l_discount*100) AS BIGINT))/10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 3 AND 6
+      AND l_quantity < 24
+    """,
+    bench=True,
+    doc="TPC-H Q6 forecast revenue: pure scan+filter+global agg — the predicate-pushdown showcase (all filters reach the parquet scan)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+            & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+            & cents("l_discount").between(3, 6)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# =========================================================================
+# Side inputs (multimap), side outputs (partition!), try_map
+# =========================================================================
+
+
+@query(
+    "q_side_multimap",
+    """
+    WITH mm AS (
+      SELECT s_nationkey, list_sort(list(s_name)) AS nation_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT c.c_custkey,
+           CAST(coalesce(len(mm.nation_suppliers), 0) AS BIGINT) AS n_suppliers,
+           coalesce(mm.nation_suppliers[1], '') AS first_supplier
+    FROM customer c LEFT JOIN mm ON c.c_nationkey = mm.s_nationkey
+    WHERE c.c_custkey <= 300
+    ORDER BY c.c_custkey
+    """,
+    doc="broadcast multimap side input: key → sorted value list, pre-aggregated before broadcast (ref map_with_side_multimap, src/helpers/side_inputs.rs:355)",
+)
+def q_side_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    supp = read_table(spark, sf_dir, "supplier")
+    out = with_side_multimap(
+        cust, supp, on="c_nationkey", side_key="s_nationkey",
+        collect_col="s_name", out_col="nation_suppliers",
+    )
+    return out.select(
+        "c_custkey",
+        F.coalesce(F.size("nation_suppliers"), F.lit(0)).cast("long").alias("n_suppliers"),
+        F.coalesce(F.element_at("nation_suppliers", 1), F.lit("")).alias("first_supplier"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_partition_tags",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+                  WHEN l_linestatus = 'O' THEN 'open'
+                  ELSE 'closed' END AS tag, *
+      FROM lineitem
+    )
+    SELECT tag, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS volume
+    FROM tagged GROUP BY tag ORDER BY tag
+    """,
+    doc="partition!/side outputs: classify once (cached), one filtered output per tag (ref partition! macro, src/helpers/partition.rs:335)",
+)
+def q_partition_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    tag = (
+        F.when(F.col("l_returnflag") == "R", F.lit("returned"))
+        .when(F.col("l_linestatus") == "O", F.lit("open"))
+        .otherwise(F.lit("closed"))
+    )
+    parts = partition_tags(li, tag, ["closed", "open", "returned"])
+    outs = [
+        p.agg(F.count(F.lit(1)).alias("n"), sum_money("l_extendedprice", "volume"))
+        .select(F.lit(t).alias("tag"), "n", "volume")
+        for t, p in parts.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("tag")
+
+
+@query(
+    "q_try_map",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 50
+                THEN NULL
+                ELSE CAST(round(value*100) AS BIGINT)
+                     / (CAST(json_extract_string(props, '$.k') AS BIGINT) - 50) END AS scaled,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 50
+                THEN 'div_by_zero' ELSE NULL END AS error
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    doc="try_map: Result<O,E> stream — output NULL on error rows, error NULL on ok rows (ref try_map, src/helpers/try_process.rs:67)",
+)
+def q_try_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("long")
+    out = try_map(
+        ev,
+        {"scaled": cents("value") / (k - 50)},
+        F.when(k == 50, F.lit("div_by_zero")).otherwise(F.lit(None).cast("string")),
+    )
+    return out.select("event_id", "scaled", "error").orderBy("event_id")
+
+
+# =========================================================================
+# to_dict / bottom-k per key / latest global (SURVEY §2.4, §2.6)
+# =========================================================================
+
+
+@query(
+    "q_to_dict",
+    """
+    SELECT to_json(map_from_entries(list_sort(list({'key': event_type, 'value': n}))))
+             AS type_counts
+    FROM (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    """,
+    doc="to_dict terminal: keyed PC → map, entries key-sorted for determinism (ref ToDict combiner, src/combiners/collect.rs:207)",
+)
+def q_to_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.key_by("event_type").count_per_key(alias="n")
+    # serialize the map as JSON: both engines render sorted entries
+    # identically, giving the value-hash a stable scalar to compare
+    d = counts.to_dict("event_type", "n", alias="type_counts")
+    return d.map(F.to_json(F.col("type_counts")).alias("type_counts")).df
+
+
+@query(
+    "q_bottom_k_per_key",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_nationkey, c_acctbal, c_custkey
+    """,
+    doc="bottom_k_per_key via window row_number ≤ k (ref BottomK, src/combiners/topk.rs:23)",
+)
+def q_bottom_k_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").key_by("c_nationkey")
+    out = cust.top_k_per_key(3, F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return out.df.select("c_nationkey", "c_custkey", "c_acctbal").orderBy(
+        "c_nationkey", "c_acctbal", "c_custkey"
+    )
+
+
+@query(
+    "q_latest_global",
+    """
+    SELECT arg_max(event_id, ts) AS latest_event_id,
+           arg_max(event_type, ts) AS latest_event_type,
+           max(epoch_ms(ts)) AS latest_ms
+    FROM events
+    """,
+    doc="latest_globally = max_by(value, ts) (ref Latest combiner, src/combiners/latest.rs:61)",
+)
+def q_latest_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ts_ms = F.expr("ts div 1000000")  # int64 nanos → millis (nanosAsLong read)
+    return ev.agg(
+        F.max_by("event_id", ts_ms).alias("latest_event_id"),
+        F.max_by("event_type", ts_ms).alias("latest_event_type"),
+        F.max(ts_ms).alias("latest_ms"),
+    )
+
+
+# =========================================================================
+# Offset tumbling window (ref Window::tumble offset semantics)
+# =========================================================================
+
+
+@query(
+    "q_tumble_offset",
+    """
+    SELECT user_id,
+           90000 + (epoch_ms(ts) - 90000) // 600000 * 600000 AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id, (epoch_ms(ts) - 90000) // 600000
+    ORDER BY user_id, window_start
+    """,
+    doc="tumbling window with non-zero offset: start = offset + floor((ts-offset)/size)*size (ref Window::tumble, src/window.rs:85-96)",
+)
+def q_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    out = combine_per_key_and_window(
+        ev,
+        "ts",
+        600_000,
+        ["user_id"],
+        F.count(F.lit(1)).alias("n"),
+        sum_money("value", "sum_value"),
+        offset_ms=90_000,
+    )
+    return out.orderBy("user_id", "window_start")

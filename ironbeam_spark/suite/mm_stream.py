@@ -1,0 +1,101 @@
+"""Multimodal-column and Structured-Streaming queries (north-star extensions).
+
+Multimodal: the documents table's text bytes stand in for opaque media
+payloads — the schema/UDF/batching plumbing is identical for real blobs
+(operators/multimodal.py).  Streaming: the batch tumbling aggregation run
+through readStream/writeStream with a watermark, Trigger.AvailableNow —
+rows-only checked (no SQL oracle for a streaming sink), with the batch
+equivalence asserted in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.operators.multimodal import as_blob, blob_metadata, fake_decode_features
+from ironbeam_spark.sources.io import read_table
+from ironbeam_spark.suite.registry import query
+
+
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha256,
+           'text' AS modality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="multimodal metadata struct over opaque binary payloads — pure codegen length+sha2 (north-star multimodal)",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    blob = as_blob("text")
+    meta = blob_metadata(blob, "text", "text/plain")
+    return docs.select(
+        "doc_id",
+        meta["byte_len"].alias("byte_len"),
+        meta["sha256"].alias("payload_sha256"),
+        meta["modality"].alias("modality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_decode",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    doc="multimodal decode plumbing: binary payload → mapInPandas feature extraction (deterministic fake codec; real byte features unit-tested in tests/test_operators.py)",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    blobbed = docs.select("doc_id", as_blob("text").alias("payload"))
+    feats = fake_decode_features(blobbed, "doc_id", "payload")
+    return feats.select("doc_id", "byte_len").orderBy("doc_id")
+
+
+@query(
+    "q_stream_tumble",
+    None,  # streaming sink: rows-only check; batch-equivalence in pytest
+    doc="Structured Streaming tumbling agg: readStream parquet → watermark → window groupBy → memory sink, Trigger.AvailableNow (beyond reference scope, FEATURE_PARITY_PLAN.md:6-11)",
+)
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.windows import stream_tumbling_agg
+
+    static = read_table(spark, sf_dir, "events")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        # streaming source must be a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # int64-nanos event time → TIMESTAMP for watermarking
+        .withColumn("event_time", F.timestamp_millis(F.expr("ts div 1000000")))
+    )
+    agg = stream_tumbling_agg(
+        sdf,
+        "event_time",
+        3_600_000,
+        ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        watermark_ms=600_000,
+    )
+    name = "q_stream_tumble_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_type", "window_start")

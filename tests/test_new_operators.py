@@ -1,0 +1,140 @@
+"""Unit tests for the second-wave operators: CombineFn protocol, side inputs,
+partition!/try_map side outputs, multimodal fake decode (byte-exact), and
+streaming/batch tumbling equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ironbeam_spark.operators.combinefn import CombineFn, combine_globally, combine_per_key
+from ironbeam_spark.operators.dead_letter import collect_fail_fast, partition_tags, try_map
+from ironbeam_spark.operators.multimodal import as_blob, decode_image, fake_decode_features
+from ironbeam_spark.operators.side_inputs import filter_with_side, with_side_map, with_singleton
+from tests.conftest import SF_SMOKE
+
+
+def _sum_count() -> CombineFn:
+    # defined inside a function so cloudpickle serializes the class by value
+    # (executors cannot import the tests package)
+    class SumCount(CombineFn):
+        def create_accumulator(self):
+            return (0, 0)
+
+        def add_input(self, acc, row):
+            return (acc[0] + row["v"], acc[1] + 1)
+
+        def merge_accumulators(self, accs):
+            return (sum(a[0] for a in accs), sum(a[1] for a in accs))
+
+        def extract_output(self, acc):
+            return {"total": acc[0], "n": acc[1]}
+
+    return SumCount()
+
+
+def test_combinefn_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("b", 20), ("b", 30)], "k string, v long"
+    )
+    out = {
+        r.k: (r.total, r.n)
+        for r in combine_per_key(df, ["k"], _sum_count(), "k string, total long, n long").collect()
+    }
+    assert out == {"a": (3, 2), "b": (60, 3)}
+
+
+def test_combinefn_globally_and_empty(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    row = combine_globally(df, _sum_count(), "total long, n long").collect()[0]
+    assert (row.total, row.n) == (3, 2)
+    empty = df.where(F.lit(False))
+    row = combine_globally(empty, _sum_count(), "total long, n long").collect()[0]
+    assert (row.total, row.n) == (0, 0)  # identity on empty input, like the reference
+
+
+def test_side_inputs(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, v string")
+    mapped = with_side_map(df, {1: "one", 2: "two"}, "id", "name")
+    assert {r.id: r.name for r in mapped.collect()} == {1: "one", 2: "two", 3: None}
+    assert with_singleton(df, 42, "c").collect()[0].c == 42
+    kept = filter_with_side(df, [1, 3], "id")
+    assert sorted(r.id for r in kept.collect()) == [1, 3]
+    dropped = filter_with_side(df, [1, 3], "id", keep=False)
+    assert [r.id for r in dropped.collect()] == [2]
+
+
+def test_partition_tags_covers_all_rows(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "x long")
+    tag = F.when(F.col("x") % 3 == 0, "fizz").when(F.col("x") % 3 == 1, "one").otherwise("two")
+    parts = partition_tags(df, tag, ["fizz", "one", "two"])
+    counts = {t: p.count() for t, p in parts.items()}
+    assert counts == {"fizz": 7, "one": 7, "two": 6}
+
+
+def test_try_map_and_fail_fast(spark):
+    df = spark.createDataFrame([(1, 2), (2, 0), (3, 4)], "a long, b long")
+    out = try_map(
+        df,
+        {"q": F.col("a") / F.col("b")},
+        F.when(F.col("b") == 0, F.lit("div0")).otherwise(F.lit(None).cast("string")),
+    )
+    rows = {r.a: (r.q, r.error) for r in out.collect()}
+    assert rows[2] == (None, "div0") and rows[1] == (0.5, None)
+    with pytest.raises(ValueError, match="div0"):
+        collect_fail_fast(out)
+    ok = try_map(df.where("b != 0"), {"q": F.col("a") / F.col("b")}, F.lit(None).cast("string"))
+    assert len(collect_fail_fast(ok)) == 2
+
+
+def test_fake_decode_features_byte_exact(spark):
+    texts = ["hello", "héllo wörld", "北京欢迎你", ""]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    feats = fake_decode_features(
+        df.select("doc_id", as_blob("text").alias("payload")), "doc_id", "payload"
+    )
+    got = {r.doc_id: r for r in feats.collect()}
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        assert got[i].byte_len == len(b)
+        assert got[i].first_byte == (b[0] if b else -1)
+        assert got[i].last_byte == (b[-1] if b else -1)
+        assert got[i].head_u32 == (int.from_bytes(b[:4], "little") if len(b) >= 4 else -1)
+
+
+def test_decode_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        decode_image(df, "payload")
+
+
+def test_stream_tumble_matches_batch(spark):
+    """Streaming (AvailableNow) and batch tumbling aggs agree on the events
+    table — same DataFrame code, two execution modes."""
+    from ironbeam_spark.suite import QUERIES
+
+    stream_rows = {
+        (r.event_type, r.window_start): (r.n, r.sum_value_cents)
+        for r in QUERIES["q_stream_tumble"].fn(spark, SF_SMOKE).collect()
+    }
+    from ironbeam_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.withColumn("event_time", F.timestamp_millis(F.expr("ts div 1000000")))
+        .groupBy("event_type", F.window("event_time", "3600000 milliseconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            "event_type",
+            F.unix_millis("window.start").alias("window_start"),
+            "n",
+            "sum_value_cents",
+        )
+    )
+    batch_rows = {
+        (r.event_type, r.window_start): (r.n, r.sum_value_cents) for r in batch.collect()
+    }
+    assert stream_rows == batch_rows

@@ -1,0 +1,60 @@
+"""Plan-shape regression tests: the optimizations that make the 100 TB story
+work must be visible in the physical plan, not assumed.
+
+- filters & column pruning reach the parquet scan (PushedFilters/ReadSchema)
+- dimension joins broadcast (no shuffle of the fact table)
+- aggregates plan partial+final (map-side combine)
+- global top-k uses TakeOrderedAndProject (no full sort)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ironbeam_spark.plans.explain import plan_report
+from ironbeam_spark.suite import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_q6_filters_and_columns_pushed_to_scan(spark):
+    df = QUERIES["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    rep = plan_report(df)
+    pushed = " ".join(rep.pushed_filters)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, rep.narrative()
+    # column pruning: the scan must not read the whole 11-column lineitem
+    assert rep.read_schemas, "no ReadSchema found"
+    schema = rep.read_schemas[0]
+    assert "l_returnflag" not in schema and "l_orderkey" not in schema, schema
+
+
+def test_join_queries_broadcast_dimensions(spark):
+    for name in ("q_join_inner", "q3_shipping_priority", "q5_local_supplier_volume"):
+        rep = plan_report(QUERIES[name].fn(spark, SF_SMOKE))
+        assert rep.broadcast_joins >= 1, f"{name}: no broadcast join\n{rep.narrative()}"
+        assert rep.sortmerge_joins == 0, f"{name}: unexpected sort-merge join"
+
+
+def test_q1_partial_final_aggregation(spark):
+    rep = plan_report(QUERIES["q1_pricing_summary"].fn(spark, SF_SMOKE), execute=True)
+    # partial + final HashAggregate pair = map-side combine before the shuffle
+    assert rep.hash_aggregates >= 2, rep.narrative()
+    assert rep.codegen_stages >= 1, "aggregation fell out of codegen"
+
+
+def test_top_k_uses_take_ordered(spark):
+    rep = plan_report(QUERIES["q_top_k_global"].fn(spark, SF_SMOKE))
+    assert rep.take_ordered, rep.narrative()
+
+
+def test_scan_column_pruning_on_projection(spark):
+    from ironbeam_spark.sources.io import read_table
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    rep = plan_report(li)
+    assert rep.read_schemas and "l_extendedprice" not in rep.read_schemas[0]
+
+
+def test_narrative_renders(spark):
+    rep = plan_report(QUERIES["q5_local_supplier_volume"].fn(spark, SF_SMOKE))
+    text = rep.narrative()
+    assert "broadcast=" in text and "codegen" in text
