@@ -1,0 +1,83 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(north-star extension — the reference is batch-only and explicitly excludes
+stateful DoFn/timers, reference ``FEATURE_PARITY_PLAN.md:6-11``).
+
+Two canonical LLM-pipeline shapes:
+
+- **streaming first-seen dedup**: keep one bit of state per key; emit a key's
+  deterministic winner (min by ``order_col``) the first time the key appears,
+  drop every later occurrence — exact dedup over an unbounded stream.
+- **streaming running count**: per-key cumulative counts across micro-batches
+  (update-mode output).
+
+Scale notes: state lives in the state store (RocksDB-backed on a real
+cluster), partitioned by the grouping key — the same hash-partitioning story
+as a batch groupBy.  Arrow batches bound memory per call.  Both functions are
+top-level module functions so cloudpickle ships them by reference and the
+session factory's addPyFile zip resolves them on executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["stream_dedup_first", "stream_running_count"]
+
+
+def stream_dedup_first(
+    sdf: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Exact streaming dedup: first-seen key wins (deterministically: the
+    min-``order_col`` row within the key's first micro-batch), duplicates in
+    all later batches are dropped via one boolean of per-key state."""
+    out_schema = sdf.schema
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # consume; key already emitted
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col).head(1)
+            best = cand if best is None else pd.concat([best, cand]).sort_values(order_col).head(1)
+        if best is not None:
+            state.update((True,))
+            yield best
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_running_count(sdf: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key cumulative count across micro-batches (update mode): emits one
+    row per key per batch with the running total."""
+    key_ddl = ", ".join(f"{c} string" for c in key_cols)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        batch_n = sum(len(p) for p in pdfs)
+        if batch_n:
+            n += batch_n
+            state.update((n,))
+            yield pd.DataFrame([{**dict(zip([c for c in key_cols], key)), "running_n": n}])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_ddl}, running_n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

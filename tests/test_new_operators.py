@@ -138,3 +138,38 @@ def test_stream_tumble_matches_batch(spark):
         (r.event_type, r.window_start): (r.n, r.sum_value_cents) for r in batch.collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_wait_on_sequences_actions(spark, tmp_path):
+    from ironbeam_spark.operators.control import wait_on
+
+    out = str(tmp_path / "signal.parquet")
+    signal = spark.range(10).select(F.col("id").alias("x"))
+    effects = []
+    data = spark.range(3)
+    got = wait_on(
+        data,
+        signal,  # drained via noop sink
+        lambda: effects.append("side-effect"),
+        lambda: signal.write.mode("overwrite").parquet(out),
+    )
+    assert effects == ["side-effect"]
+    assert spark.read.parquet(out).count() == 10  # signal ran before data use
+    assert got.count() == 3
+
+
+def test_log_elements_passthrough(spark, capsys):
+    from ironbeam_spark.operators.control import log_elements
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    out = log_elements(df, label="tap", n=1)
+    assert out.count() == 2
+    assert "[tap]" in capsys.readouterr().out
+
+
+def test_debug_count_observation(spark):
+    from ironbeam_spark.operators.control import debug_count
+
+    df, obs = debug_count(spark.range(7).toDF("x"), "cnt")
+    df.collect()
+    assert obs.get["n"] == 7
