@@ -1,0 +1,121 @@
+"""Property-based differential tests (hypothesis): random small inputs,
+PCollection operator results vs pure-Python models.  The reference relies on
+seeded pseudo-random builders + seq/par differential runs (SURVEY §5); here
+the "other engine" is a Python model, which also pins the exact semantics
+(join cardinality, group ordering, window boundaries) independent of both
+Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ironbeam_spark.collection import from_vec
+
+KV = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=0, max_size=30
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _pc(spark, rows, schema="k long, v long"):
+    return from_vec(spark, [tuple(r) for r in rows], schema)
+
+
+@given(rows=KV)
+@settings(**_SETTINGS)
+def test_group_by_key_model(spark, rows):
+    got = {
+        r.k: list(r.v_list)
+        for r in _pc(spark, rows).key_by("k").group_by_key("v").collect()
+    }
+    model = defaultdict(list)
+    for k, v in rows:
+        model[k].append(v)
+    assert got == {k: sorted(vs) for k, vs in model.items()}
+
+
+@given(left=KV, right=KV)
+@settings(**_SETTINGS)
+def test_join_inner_cardinality_model(spark, left, right):
+    """SQL join cardinality: duplicate keys produce the full cross product
+    within a key group (reference src/helpers/joins.rs:197-207)."""
+    l = _pc(spark, left).key_by("k")
+    r = _pc(spark, right).map(F.col("k"), w=F.col("v")).key_by("k")
+    got = sorted((x.k, x.v, x.w) for x in l.join_inner(r).df.select("k", "v", "w").collect())
+    model = sorted(
+        (k1, v, w) for k1, v in left for k2, w in right if k1 == k2
+    )
+    assert got == model
+
+
+@given(left=KV, right=KV)
+@settings(**_SETTINGS)
+def test_join_left_nulls_model(spark, left, right):
+    l = _pc(spark, left).key_by("k")
+    r = _pc(spark, right).map(F.col("k"), w=F.col("v")).key_by("k")
+    got = sorted(
+        ((x.k, x.v, x.w) for x in l.join_left(r).df.select("k", "v", "w").collect()),
+        key=str,
+    )
+    rk = defaultdict(list)
+    for k, w in right:
+        rk[k].append(w)
+    model = sorted(
+        ((k, v, w) for k, v in left for w in (rk[k] or [None])),
+        key=str,
+    )
+    assert got == model
+
+
+@given(rows=KV)
+@settings(**_SETTINGS)
+def test_distinct_and_count_per_element_model(spark, rows):
+    pc = _pc(spark, rows)
+    got_distinct = sorted(tuple(r) for r in pc.distinct().collect())
+    assert got_distinct == sorted(set(map(tuple, rows)))
+    got_counts = {
+        (r.k, r.v): r["count"] for r in pc.count_per_element("k", "v").collect()
+    }
+    assert got_counts == dict(Counter(map(tuple, rows)))
+
+
+@given(rows=KV, k=st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_top_k_global_model(spark, rows, k):
+    pc = _pc(spark, rows)
+    got = [(r.k, r.v) for r in pc.top_k_globally(k, F.col("v").desc(), F.col("k").asc()).collect()]
+    model = sorted(map(tuple, rows), key=lambda t: (-t[1], t[0]))[:k]
+    assert got == model
+
+
+@given(
+    ts=st.lists(st.integers(0, 10_000), min_size=1, max_size=20),
+    size=st.integers(1, 500),
+    offset=st.integers(0, 400),
+)
+@settings(**_SETTINGS)
+def test_tumble_start_model(spark, ts, size, offset):
+    """Window::tumble boundary semantics, including ts < offset (floor, not
+    underflow — we are strictly more permissive than the reference's u64
+    precondition, SURVEY §7 item 8)."""
+    from ironbeam_spark.operators.windowing import tumble_start
+
+    df = spark.createDataFrame([(t,) for t in ts], "t long")
+    # t is epoch *millis* here: feed through the bigint branch via div by 1
+    df = df.withColumn("ts", (F.col("t") * F.lit(1_000_000)).cast("long"))
+    got = [
+        r.ws for r in df.select(tumble_start(df, "ts", size, offset).alias("ws"))
+        .orderBy("ws").collect()
+    ]
+    model = sorted(offset + ((t - offset) // size) * size for t in ts)
+    assert got == model

@@ -1,0 +1,67 @@
+"""Scale-lever tests: salted skew joins/aggs (correct vs unsalted) and
+bucketed co-located joins (no exchange in the plan)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ironbeam_spark.operators.skew import salted_agg, salted_join
+from ironbeam_spark.plans.explain import explain_formatted
+from ironbeam_spark.sources.bucketing import read_bucketed_join, write_bucketed
+
+
+def _skewed(spark):
+    # 90% of rows share key 0 — the power-law shape salting exists for
+    rows = [(i, i % 10 if i % 10 < 2 else 0) for i in range(1000)]
+    return spark.createDataFrame(rows, "row_id long, k long")
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(k, f"v{k}") for k in range(10)], "k long, label string")
+    plain = big.join(small, on="k").select("row_id", "k", "label")
+    salted = salted_join(big, small, ["k"], buckets=8, big_unique_col="row_id").select(
+        "row_id", "k", "label"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = _skewed(spark).withColumn("_salt_probe", F.pmod(F.xxhash64("row_id"), F.lit(8)))
+    # the hot key's rows really do land in >1 salt bucket
+    n_buckets = big.where("k = 0").select("_salt_probe").distinct().count()
+    assert n_buckets > 1
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = _skewed(spark).withColumn("v", F.col("row_id") % 100)
+    plain = df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    salted = salted_agg(
+        df,
+        ["k"],
+        partial_aggs=[F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")],
+        final_aggs=[F.sum("s").alias("s"), F.sum("n").alias("n")],
+        buckets=8,
+        unique_col="row_id",
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # tables land in the default warehouse dir; dropped (managed) in finally
+    left = spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, a long")
+    right = spark.createDataFrame([(i, i * 3) for i in range(100)], "k long, b long")
+    write_bucketed(left, "t_bleft", ["k"], buckets=4, sort_by=["k"])
+    write_bucketed(right, "t_bright", ["k"], buckets=4, sort_by=["k"])
+    joined = read_bucketed_join(spark, "t_bleft", "t_bright", on=["k"])
+    # small sides would normally broadcast; force the shuffle-join path to
+    # prove bucketing (not broadcast) removes the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_formatted(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
