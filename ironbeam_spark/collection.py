@@ -541,6 +541,58 @@ class PCollection:
         the batch.  Slow path; prefer native expressions."""
         return self._with(self.df.mapInPandas(fn, schema))
 
+    def map_values_batches(self, fn, out_schema: str) -> "PCollection":
+        """Arity-preserving batch transform of a key's values (reference
+        ``map_values_batches``, ``src/helpers/batches.rs:231``; the reference
+        asserts ``len(out) == len(chunk)``): ``applyInPandas`` per key group —
+        ``fn(pdf) -> pdf`` must return one output row per input row, keys
+        included in ``out_schema``."""
+        self._require_keys()
+        return self._with(
+            self.df.groupBy(*self.key_cols).applyInPandas(fn, out_schema),
+            self.key_cols,
+        )
+
+    def batch_by_size(
+        self, max_bytes: int, size_col: str, alias: str = "batch"
+    ) -> "PCollection":
+        """Size-bounded batching (reference ``batch_by_size``,
+        ``src/helpers/batches.rs:183``): greedy per-partition accumulation —
+        a batch closes when adding the next element would exceed
+        ``max_bytes``; an oversize element is emitted alone.  ``size_col``
+        holds each row's byte size (e.g. ``octet_length(to_json(struct(*)))``).
+
+        Greedy sequential state can't be a window expression; a mapInPandas
+        pass assigns batch ids per partition (streaming through Arrow chunks,
+        O(1) state), then one groupBy forms the arrays."""
+        df = self.df.withColumn("_pid", F.spark_partition_id())
+        cols = df.columns
+
+        def assign(batches):
+            running = {"bid": 0, "acc": 0}
+
+            def bid_of(size):
+                if running["acc"] > 0 and running["acc"] + size > max_bytes:
+                    running["bid"] += 1
+                    running["acc"] = 0
+                running["acc"] += size
+                return running["bid"]
+
+            for pdf in batches:
+                out = pdf.copy()
+                out["_bid"] = [bid_of(s) for s in pdf[size_col]]
+                yield out
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        assigned = df.mapInPandas(assign, f"{schema}, _bid long")
+        elem = F.struct(*[F.col(c) for c in cols if c != "_pid"])
+        out = (
+            assigned.groupBy("_pid", "_bid")
+            .agg(F.collect_list(elem).alias(alias))
+            .drop("_pid", "_bid")
+        )
+        return self._with(out)
+
     def batch_elements(self, n: int, alias: str = "batch") -> "PCollection":
         """``PC<T> → PC<list<T>>`` groups of ≤ n consecutive elements per
         partition (reference ``batch_elements``, ``src/helpers/batches.rs:120``).

@@ -7,6 +7,7 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
     extended,
     mm_stream,
     production,
+    sketches,
     relational,
     text_ml,
     udf_batch,

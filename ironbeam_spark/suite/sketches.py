@@ -1,0 +1,117 @@
+"""Sketch & grouping depth: faithful KMV distinct-count (deterministic, so it
+gets an exact oracle — unlike HLL), exact interpolated quantiles, 3-way
+CoGroupByKey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.functions.text import token_int
+from ironbeam_spark.sources.io import read_table
+from ironbeam_spark.suite.registry import _t, query
+
+_TWO48 = 281474976710656  # 2^48: token_int's hash domain
+
+
+@query(
+    "q_kmv_distinct",
+    f"""
+    WITH hashes AS (
+      SELECT DISTINCT ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,12))::BIGINT AS h
+      FROM lineitem
+    ),
+    kmin AS (SELECT h FROM hashes ORDER BY h LIMIT 256),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS r_k FROM kmin)
+    SELECT n AS k_seen,
+           CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                ELSE (256-1) * {_TWO48}.0 / r_k END AS kmv_estimate
+    FROM stats
+    """,
+    doc="KMV approx-distinct, faithful to the reference's sketch (estimate (k-1)/r_k, exact below k — src/combiners/distinct.rs:105-228); deterministic md5 hashing ⇒ exact SQL oracle, and the k-smallest set comes from distinct+TakeOrdered (never collects all hashes)",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 256
+    li = read_table(spark, sf_dir, "lineitem")
+    # scale path: shuffle-distinct the hashes, then TakeOrdered k — the
+    # "k minimum values" never exceed k rows anywhere
+    kmin = (
+        li.select(token_int(F.col("l_partkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return kmin.agg(
+        F.count(F.lit(1)).alias("k_seen"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(_TWO48)) / F.max("h"))
+        .alias("kmv_estimate"),
+    )
+
+
+@query(
+    "q_quantiles_exact",
+    """
+    SELECT quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_quantity, 0.99) AS q99
+    FROM lineitem
+    """,
+    doc="exact interpolated quantiles (both engines: continuous/linear interpolation) — the exact-oracle counterpart of q_approx_quantiles (ref ApproxQuantiles, src/combiners/quantiles.rs:34)",
+)
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.percentile("l_quantity", F.lit(0.99)).alias("q99"),
+    )
+
+
+@query(
+    "q_cogroup3",
+    """
+    SELECT n.n_nationkey,
+           coalesce(c.names, []) AS customer_names,
+           coalesce(s.names, []) AS supplier_names,
+           coalesce(r.names, []) AS rich_customer_names
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, list_sort(list(c_name)) AS names
+               FROM customer GROUP BY c_nationkey) c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN (SELECT s_nationkey, list_sort(list(s_name)) AS names
+               FROM supplier GROUP BY s_nationkey) s ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN (SELECT c_nationkey, list_sort(list(c_name)) AS names
+               FROM customer WHERE c_acctbal > 7500 GROUP BY c_nationkey) r
+           ON r.c_nationkey = n.n_nationkey
+    ORDER BY n.n_nationkey
+    """,
+    doc="3-way CoGroupByKey (ref cogroup_by_key! supports 2..10 sources, src/helpers/co_gbk.rs:305): per-source list columns, absent ⇒ empty list",
+)
+def q_cogroup3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").map(
+        n_nationkey=F.col("c_nationkey"), c_name=F.col("c_name")
+    )
+    supp = _t(spark, sf_dir, "supplier").map(
+        n_nationkey=F.col("s_nationkey"), s_name=F.col("s_name")
+    )
+    rich = _t(spark, sf_dir, "customer").filter_gt("c_acctbal", 7500.0).map(
+        n_nationkey=F.col("c_nationkey"), r_name=F.col("c_name")
+    )
+    nation = _t(spark, sf_dir, "nation").map("n_nationkey")
+    grouped = cust.key_by("n_nationkey").cogroup(
+        [supp, rich], [["c_name"], ["s_name"], ["r_name"]], on=["n_nationkey"]
+    )
+    # right-join to nation so key-less nations still appear (full-outer shape)
+    out = nation.df.join(grouped.df, on="n_nationkey", how="left")
+    for col, alias in [
+        ("c_name_list_0", "customer_names"),
+        ("s_name_list_1", "supplier_names"),
+        ("r_name_list_2", "rich_customer_names"),
+    ]:
+        out = out.withColumn(alias, F.coalesce(F.col(col), F.array().cast("array<string>"))).drop(col)
+    return out.select(
+        "n_nationkey", "customer_names", "supplier_names", "rich_customer_names"
+    ).orderBy("n_nationkey")

@@ -173,3 +173,40 @@ def test_debug_count_observation(spark):
     df, obs = debug_count(spark.range(7).toDF("x"), "cnt")
     df.collect()
     assert obs.get["n"] == 7
+
+
+def test_map_values_batches_arity_preserving(spark):
+    from ironbeam_spark.collection import from_vec
+
+    pc = from_vec(
+        spark, [("a", 1), ("a", 2), ("b", 5)], "k string, v long"
+    ).key_by("k")
+
+    def double(pdf):
+        out = pdf.copy()
+        out["v"] = out["v"] * 2
+        return out
+
+    got = sorted(
+        tuple(r) for r in pc.map_values_batches(double, "k string, v long").collect()
+    )
+    assert got == [("a", 2), ("a", 4), ("b", 10)]
+
+
+def test_batch_by_size_greedy(spark):
+    from ironbeam_spark.collection import from_vec
+
+    # single partition so the greedy order is deterministic
+    rows = [(i, s) for i, s in enumerate([40, 40, 40, 120, 10, 95, 10])]
+    pc = from_vec(spark, rows, "id long, sz long").reshuffle(1)
+    batches = [
+        sorted(e.sz for e in r.batch)
+        for r in pc.batch_by_size(100, "sz").collect()
+    ]
+    sizes = sorted(sum(b) for b in batches)
+    # greedy: [40,40] | [40] then 120 alone | [10] .. all batches <= 100 except oversize single
+    for b in batches:
+        assert sum(b) <= 100 or len(b) == 1
+    assert sum(len(b) for b in batches) == len(rows)
+    assert sorted(x for b in batches for x in b) == sorted(s for _, s in rows)
+    assert sizes  # non-empty
