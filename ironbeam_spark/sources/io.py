@@ -31,6 +31,7 @@ __all__ = [
     "read_avro",
     "write_avro",
     "read_xml",
+    "write_xml",
     "read_msgpack",
     "read_table",
     "load_tables",
@@ -136,6 +137,16 @@ def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> PCollectio
         return PCollection(spark.read.format("xml").option("rowTag", row_tag).load(path))
     except Exception as e:  # pragma: no cover
         raise NotImplementedError("xml source unavailable in this build") from e
+
+
+def write_xml(df: DataFrame | PCollection, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """Reference ``write_xml(_par)`` (``src/helpers/xml.rs:210,273``) — one
+    shard per partition via Spark 4's native XML sink."""
+    d = df.df if isinstance(df, PCollection) else df
+    try:
+        d.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+    except Exception as e:  # pragma: no cover
+        raise NotImplementedError("xml sink unavailable in this build") from e
 
 
 def read_msgpack(spark: SparkSession, path: str) -> PCollection:
