@@ -521,6 +521,27 @@ class PCollection:
     def except_all(self, other: "PCollection") -> "PCollection":
         return self._with(self.df.exceptAll(other.df))
 
+    def checkpoint(self, eager: bool = True) -> "PCollection":
+        """Data checkpoint (reference ``CheckpointManager``,
+        ``src/checkpoint.rs:68-147`` — which is *progress-only* and re-executes
+        from start on recovery; ``df.checkpoint`` persists the actual data and
+        truncates lineage, strictly stronger).  Requires
+        ``sc.setCheckpointDir``; see also ``local_checkpoint``."""
+        return self._with(self.df.checkpoint(eager))
+
+    def local_checkpoint(self, eager: bool = True) -> "PCollection":
+        """Executor-local checkpoint: lineage truncation without a reliable
+        store — the right tool for iterative jobs on a healthy cluster."""
+        return self._with(self.df.localCheckpoint(eager))
+
+    def explain_narrative(self, execute: bool = False) -> str:
+        """Optimization narrative (reference ``Plan::explain()``,
+        ``src/planner.rs:610``): scans/pushdown/joins/aggregation/codegen
+        summary from the physical plan."""
+        from ironbeam_spark.plans.explain import plan_report
+
+        return plan_report(self.df, execute=execute).narrative()
+
     def reshuffle(self, n: int | None = None) -> "PCollection":
         """Explicit repartition barrier (reference ``reshuffle``,
         ``src/helpers/reshuffle.rs:75`` — its doc explicitly cites Spark's

@@ -342,6 +342,74 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- composite prep pipeline
+
+
+@query(
+    "q_training_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {_lang_case_sql()} AS lang_pred,
+             CASE WHEN len({_TOKS_SQL}) BETWEEN 10 AND 100000
+                  THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - len({_TOKS_SQL}) + 1)::DOUBLE
+                         / len({_TOKS_SQL})::DOUBLE BETWEEN 2.0 AND 12.0
+                    THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                         / length(text)::DOUBLE <= 0.2
+                    THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS quality,
+             len({_TOKS_SQL})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.6),
+    deduped AS (
+      SELECT md5(lower(trim(text))) AS fp, source,
+             min(doc_id) AS doc_id,
+             arg_min(n_tokens, doc_id) AS n_tokens
+      FROM kept GROUP BY fp, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM deduped GROUP BY source ORDER BY source
+    """,
+    bench=True,
+    doc="flagship composite LLM-data-prep pipeline: language-ID filter → quality threshold → exact content dedup (deterministic winner) → per-source corpus stats; every stage a codegen expression, two shuffles total",
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no ensure_min_parallelism here: measured — the expression scoring is
+    # cheaper than a round-robin shuffle of the full text payload
+    docs = _t(spark, sf_dir, "documents").df
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    kept = scored.where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.6))
+    deduped = (
+        kept.withColumn("fp", md5_fingerprint("text"))
+        .groupBy("fp", "source")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_tokens", F.col("doc_id")).alias("n_tokens"),
+        )
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------- similarity search
 
 

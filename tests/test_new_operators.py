@@ -210,3 +210,50 @@ def test_batch_by_size_greedy(spark):
     assert sum(len(b) for b in batches) == len(rows)
     assert sorted(x for b in batches for x in b) == sorted(s for _, s in rows)
     assert sizes  # non-empty
+
+
+def test_metrics_collector(spark, tmp_path):
+    import json
+
+    from ironbeam_spark.metrics import MetricsCollector
+
+    mc = MetricsCollector()
+    df = spark.range(100).toDF("x")
+    rows = mc.run(
+        "count_range",
+        df,
+        counters={"n_rows": F.count(F.lit(1)), "sum_x": F.sum("x")},
+    )
+    assert len(rows) == 100
+    m = mc.metrics[0]
+    assert m.counters["n_rows"] == 100 and m.counters["sum_x"] == 4950
+    assert m.wall_sec > 0
+    assert "count_range" in mc.report()
+    p = str(tmp_path / "metrics.json")
+    mc.save_json(p)
+    assert json.load(open(p))[0]["counters"]["n_rows"] == 100
+
+
+def test_checkpoint_truncates_lineage(spark, tmp_path):
+    from ironbeam_spark.collection import from_vec
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pc = from_vec(spark, [(i,) for i in range(50)], "x long").filter(F.col("x") % 2 == 0)
+    cp = pc.checkpoint()
+    assert cp.df.count() == 25
+    # lineage truncated: checkpointed plan no longer scans the original source
+    assert "LogicalRDD" in cp.df._jdf.queryExecution().optimizedPlan().toString()
+    lc = pc.local_checkpoint()
+    assert lc.df.count() == 25
+
+
+def test_explain_narrative_surface(spark):
+    from ironbeam_spark.sources.io import read_table
+    from ironbeam_spark.collection import PCollection
+    from tests.conftest import SF_SMOKE
+
+    pc = PCollection(read_table(spark, SF_SMOKE, "lineitem")).filter_eq(
+        "l_returnflag", "R"
+    ).key_by("l_linestatus").count_per_key()
+    text = pc.explain_narrative()
+    assert "scans=" in text and "aggregates=" in text
