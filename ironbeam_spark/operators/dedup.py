@@ -33,6 +33,7 @@ from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
     "dedup_exact",
+    "dedup_components",
     "let_",
     "simhash_of_ints",
     "word_shingles",
@@ -247,6 +248,58 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", "jaccard_sim")
     )
     return verified
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate *groups* from near-dup pairs: connected components by
+    iterative min-label propagation.  Output: ``(node, component)`` where
+    ``component`` is the minimum id reachable from ``node`` — the canonical
+    survivor of the group (min-id winner, the same deterministic-winner
+    contract as :func:`dedup_exact`).
+
+    The loop is the standard Spark iterative-algorithm shape: each round is
+    one shuffle (join + min-agg), ``localCheckpoint`` truncates lineage so
+    plan size stays O(1) across rounds, and convergence is detected with a
+    cheap changed-count action.  Rounds needed = graph diameter (near-dup
+    components are shallow; ``max_iter`` is a safety bound)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate labels: my own + the label of every neighbor
+        propagated = (
+            edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
+            .select(F.col("src").alias("node"), "component")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            propagated.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = propagated
+        if changed == 0:
+            break
+    return labels
 
 
 def simhash(col: Column | str, bits: int = 48) -> Column:

@@ -196,8 +196,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_MOD = 10**17 + 3
 
-_MINHASH_ORACLE = f"""
-    WITH toksrc AS (SELECT doc_id,
+# CTE chain shared by q_dedup_minhash and q_dedup_groups (recursive components)
+_MINHASH_CTES = f"""toksrc AS (SELECT doc_id,
                       list_transform({_TOKS_SQL}, t -> {_TI_SQL.format('t')}) AS tis
                     FROM documents),
     base0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(
@@ -215,14 +215,18 @@ _MINHASH_ORACLE = f"""
               FROM sigs GROUP BY doc_id, (i//2)),
     cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b
-                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b,
-           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jaccard_sim
-    FROM cands JOIN base sa ON sa.doc_id = id_a JOIN base sb ON sb.doc_id = id_b
-    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= 0.5
-    ORDER BY id_a, id_b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jaccard_sim
+      FROM cands JOIN base sa ON sa.doc_id = id_a JOIN base sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= 0.5)"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT id_a, id_b, jaccard_sim FROM pairs ORDER BY id_a, id_b
 """
 
 
@@ -237,6 +241,44 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(
         docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_groups",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    r(n, m) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS group_size,
+           list_sort(list(CAST(node AS BIGINT))) AS members
+    FROM comp GROUP BY component ORDER BY component
+    """,
+    doc="duplicate groups: near-dup pairs → connected components via iterative min-label propagation (one shuffle/round, localCheckpoint lineage truncation); oracle = recursive-CTE reachability",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.dedup import dedup_components
+
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+    )
+    labels = dedup_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("component")
+    )
 
 
 @query(

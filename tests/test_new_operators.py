@@ -257,3 +257,29 @@ def test_explain_narrative_surface(spark):
     ).key_by("l_linestatus").count_per_key()
     text = pc.explain_narrative()
     assert "scans=" in text and "aggregates=" in text
+
+
+def test_dedup_components_union_find_model(spark):
+    from ironbeam_spark.operators.dedup import dedup_components
+
+    pairs = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)]  # {1,2,3,8,9} and {5,6}
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.component for r in dedup_components(df).collect()}
+
+    # python union-find model
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    model = {n: find(n) for n in parent}
+    assert got == model
+    assert got[8] == 1 and got[5] == 5  # chain collapses to min id
