@@ -25,7 +25,13 @@ from pyspark.sql import Window as W
 from ironbeam_spark.functions.vectors import cosine, dot
 from ironbeam_spark.scale import ensure_min_parallelism
 
-__all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_ann_topk"]
+__all__ = [
+    "brute_force_topk",
+    "hyperplane_buckets",
+    "lsh_ann_topk",
+    "ivf_assign_cells",
+    "ivf_ann_topk",
+]
 
 
 def brute_force_topk(
@@ -74,6 +80,81 @@ def hyperplane_buckets(
             dot(F.col(vec_col), plane) > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return df.withColumn(out_col, bucket)
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``n_probe`` nearest
+    centroids by cosine (deterministic ties: lower centroid id wins).  Output
+    ``(id, vec, cell, cell_rank)`` — one row per probed cell.
+
+    Centroids are a driver-side list (k-means output or, here, vectors chosen
+    by id — deterministic, oracle-friendly); the per-row argmax is a codegen
+    expression over a literal array, no join, no shuffle."""
+    scored = [
+        (cid, cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+        for cid, c in centroids
+    ]
+    cells = F.array(*[F.struct(s.alias("sim"), F.lit(cid).alias("cell")) for cid, s in scored])
+    # sort by (-sim, cell): nearest first, deterministic on ties
+    ranked = F.slice(
+        F.array_sort(
+            cells, lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1).otherwise(a["cell"] - b["cell"]).cast("int")
+        ),
+        1,
+        n_probe,
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(ranked).alias("cell_rank", "cell_struct"),
+    )
+    return out.select(
+        id_col, vec_col, F.col("cell_struct.cell").alias("cell"), "cell_rank"
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their single nearest cell; each
+    query probes its ``n_probe`` nearest cells and exact-ranks only those
+    cells' members.  At scale the cell join is an equi-join hash-partitioned
+    on cell id — |Q|·|C| becomes |Q|·(corpus/cells)·n_probe."""
+    cb = ivf_assign_cells(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
+    )
+    qb = ivf_assign_cells(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    scored = (
+        qb.join(cb, on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+        # a (query, neighbor) pair can appear via several probed cells
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def lsh_ann_topk(

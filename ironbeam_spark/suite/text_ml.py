@@ -525,3 +525,47 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "q_ann_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT e.vec_id, e.embedding, cent.cell,
+                      {_COS_SQL.format(a='e.embedding', b='cent.cvec')} AS sim
+               FROM embeddings e CROSS JOIN cent),
+    corp AS (SELECT vec_id, embedding, cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cell) AS rn
+               FROM scored) WHERE rn = 1),
+    qprobe AS (SELECT vec_id, embedding, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cell) AS rn
+                 FROM scored WHERE vec_id < 10) WHERE rn <= 2),
+    pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_sim
+              FROM qprobe q JOIN corp c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+               FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-style ANN (the brief's scale path alongside LSH): coarse cells = 8 deterministic centroid vectors, corpus in nearest cell, queries probe 2 cells, exact re-rank in-cell (north-star similarity)",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    centroids = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_ann_topk(emb, queries, centroids, "vec_id", "embedding", k=5, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
