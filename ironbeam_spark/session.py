@@ -82,7 +82,13 @@ def _ship_package(spark: SparkSession) -> None:
     holds by accident when the driver runs from the repo root — shipping a
     zip via ``addPyFile`` makes it hold everywhere (local or cluster),
     exactly how a real deployment distributes its job package.
+
+    Idempotent per session, and called both from :func:`get_spark` and from
+    every suite query (the driver harness builds its own bare SparkSession,
+    which would otherwise lack the package on workers).
     """
+    if getattr(spark, "_ironbeam_pkg_shipped", False):
+        return
     import shutil
     import tempfile
     from pathlib import Path
@@ -92,5 +98,6 @@ def _ship_package(spark: SparkSession) -> None:
         stem = str(Path(tempfile.gettempdir()) / "ironbeam_spark_pkg")
         zpath = shutil.make_archive(stem, "zip", root_dir=repo, base_dir="ironbeam_spark")
         spark.sparkContext.addPyFile(zpath)
+        spark._ironbeam_pkg_shipped = True  # type: ignore[attr-defined]
     except Exception:  # pragma: no cover - already-added / read-only tmp
         pass

@@ -37,7 +37,18 @@ QUERIES: dict[str, Query] = {}
 
 def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = Query(name, fn, oracle, bench, doc)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the harness may hand us a bare SparkSession (not from
+            # get_spark): ship the package zip so pandas-UDF closures
+            # resolve on executor workers regardless of driver cwd
+            from ironbeam_spark.session import _ship_package
+
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = Query(name, wrapped, oracle, bench, doc)
         return fn
 
     return deco

@@ -72,6 +72,30 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_median_per_key",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="exact median per key (ref approx_median_per_key, src/helpers/statistical.rs:127 — here exact, interpolation matching quantile_cont)",
+)
+def q_median_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_cogroup3",
     """
     SELECT n.n_nationkey,
