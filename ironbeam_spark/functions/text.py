@@ -79,16 +79,22 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
 
 def quality_score(col: Column | str) -> Column:
     """Heuristic [0,1] quality score: mean word length band + punctuation band
-    + non-empty band.  Deterministic: integer comparisons, fixed weights."""
+    + non-empty band.  Deterministic: integer comparisons, fixed weights.
+    The token count is let-bound — it feeds four comparisons, and un-bound
+    each would re-tokenize the row."""
+    from ironbeam_spark.functions.hof import let_
+
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
-    mean_wlen = (F.length(c) - n_tok + 1).cast("double") / n_tok.cast("double")
-    score = (
-        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio(c) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
-    )
-    return score
+
+    def build(n_tok: Column) -> Column:
+        mean_wlen = (F.length(c) - n_tok + 1).cast("double") / n_tok.cast("double")
+        return (
+            F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.when(punct_ratio(c) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        )
+
+    return let_(token_count(c), build)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -99,18 +105,38 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 def lang_id(col: Column | str) -> Column:
     """Predicted language = argmax stopword score, ties broken by fixed
     priority order (en, es, fr, de, zh) — a CASE chain, so the oracle can
-    mirror it verbatim.  'und' (undetermined) when every score is 0."""
-    scores = lang_scores(col)
+    mirror it verbatim.  'und' (undetermined) when every score is 0.
+
+    Both the token array and the 5-score array are let-bound (see
+    :func:`ironbeam_spark.functions.hof.let_`): the CASE chain reads each
+    score O(langs) times, and un-bound references would tokenize + scan the
+    stopword lists O(langs²) times per row."""
+    from ironbeam_spark.functions.hof import let_
+
     langs = list(STOPWORDS)
-    # first-match-wins CASE in priority order: lang i wins if its score is > 0
-    # and >= every lower-priority score (earlier langs already failed their WHEN)
-    case = None
-    for i, lang in enumerate(langs):
-        cond = scores[lang] > 0
-        for other in langs[i + 1 :]:
-            cond = cond & (scores[lang] >= scores[other])
-        case = F.when(cond, F.lit(lang)) if case is None else case.when(cond, F.lit(lang))
-    return case.otherwise(F.lit("und"))
+
+    def build(toks: Column) -> Column:
+        def count_for(words: tuple[str, ...]) -> Column:
+            # single-arg lambda only: PySpark binds 2-arg lambdas as
+            # (elem, index), so the word list must be closed over, not
+            # passed as a default argument
+            arr = F.array(*[F.lit(w) for w in words])
+            return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+        counts = F.array(*[count_for(words) for words in STOPWORDS.values()])
+
+        def choose(s: Column) -> Column:
+            case = None
+            for i, lang in enumerate(langs):
+                cond = F.get(s, i) > 0
+                for j in range(i + 1, len(langs)):
+                    cond = cond & (F.get(s, i) >= F.get(s, j))
+                case = F.when(cond, F.lit(lang)) if case is None else case.when(cond, F.lit(lang))
+            return case.otherwise(F.lit("und"))
+
+        return let_(counts, choose)
+
+    return let_(tokens(col), build)
 
 
 def md5_fingerprint(col: Column | str) -> Column:

@@ -74,18 +74,7 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 SHINGLE_MOD = 10**17 + 3
 
 
-def let_(expr: Column, fn) -> Column:
-    """Let-binding for Spark expressions: evaluate ``expr`` ONCE and pass it to
-    ``fn`` as a lambda variable.
-
-    ``transform(array(expr), x -> fn(x))[0]`` — inside the higher-order
-    function the value is a variable read, however many times ``fn``
-    references it.  This is the only reliable way to share a subexpression
-    within one projection: Catalyst's CollapseProject inlines (not CSEs)
-    column references, so "stage it in a withColumn" silently re-evaluates
-    the expression at every use site downstream.
-    """
-    return F.get(F.transform(F.array(expr), fn), 0)
+from ironbeam_spark.functions.hof import let_  # noqa: E402 - re-export (API compat)
 
 
 def hashed_word_shingles(col: Column | str, n: int = 3) -> Column:
