@@ -72,6 +72,37 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    doc="CUBE grouping sets (SURVEY §2.6 'missing vs SQL engines' — free in Spark, absent in reference)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
     "q_median_per_key",
     """
     SELECT l_returnflag,

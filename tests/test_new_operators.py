@@ -283,3 +283,29 @@ def test_dedup_components_union_find_model(spark):
     model = {n: find(n) for n in parent}
     assert got == model
     assert got[8] == 1 and got[5] == 5  # chain collapses to min id
+
+
+def test_pcollection_element_wise_long_tail(spark):
+    """filter_map / to_display_string / take / first / filter_by-style derived
+    filters (SURVEY §2.2-2.3 long tail)."""
+    from ironbeam_spark.collection import from_vec
+
+    pc = from_vec(spark, [(1, "a"), (2, None), (3, "c")], "id long, s string")
+    fm = pc.filter_map(F.upper("s"), alias="u")
+    assert sorted(r.u for r in fm.collect()) == ["A", "C"]
+    disp = pc.to_display_string("id")
+    assert sorted(r.display for r in disp.collect()) == ["1", "2", "3"]
+    assert len(pc.take(2).collect()) == 2
+    assert len(pc.first().collect()) == 1
+    derived = pc.filter(F.length(F.coalesce("s", F.lit(""))) > 0)
+    assert derived.df.count() == 2
+
+
+def test_kv_swap_and_constant_key(spark):
+    from ironbeam_spark.collection import from_vec
+
+    pc = from_vec(spark, [("x", 1), ("y", 2)], "k string, v long").key_by("k")
+    swapped = pc.kv_swap(["v"])
+    assert swapped.key_cols == ("v",)
+    ck = from_vec(spark, [(1,), (2,)], "x long").with_constant_key(7)
+    assert all(r.key == 7 for r in ck.collect())
