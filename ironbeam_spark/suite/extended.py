@@ -208,6 +208,101 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS → left-semi join, then priority counts (adapted: returned-lineitem predicate; schema has no commit/receipt dates)",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01")) & (F.col("o_orderdate") < ts_lit("1996-04-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_DISC_PRICE_SQL} ELSE 0 END)
+             / sum({_DISC_PRICE_SQL}) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 promo revenue: broadcast part join + conditional ratio, exact int64 sums and one final division",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1996-09-01")) & (F.col("l_shipdate") < ts_lit("1996-10-01"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    disc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0)))
+                / F.sum(disc)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, epoch_ms(o.o_orderdate) AS orderdate_ms,
+           CAST(round(o.o_totalprice*100) AS BIGINT)/100.0 AS totalprice,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 large-volume customers: HAVING post-aggregation filter + top-20 (the reference has no HAVING operator — free as a filter over the agg)",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("orderdate_ms"),
+            (cents("o_totalprice") / F.lit(100.0)).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 # =========================================================================
 # Side inputs (multimap), side outputs (partition!), try_map
 # =========================================================================
