@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironbeam_spark.collection import PCollection
-from ironbeam_spark.functions.exact import avg_exact, avg_money, cents, sum_long, sum_money
+from ironbeam_spark.functions.exact import avg_money, cents, sum_long, sum_money
 from ironbeam_spark.functions.time import ts_lit
 from ironbeam_spark.sources.io import read_table
 from ironbeam_spark.suite.registry import _t, query

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ironbeam_spark.functions.exact import avg_money, cents, sum_money
+from ironbeam_spark.functions.exact import cents, sum_money
 from ironbeam_spark.functions.time import ts_lit
 from ironbeam_spark.operators.dead_letter import partition_tags, try_map
 from ironbeam_spark.operators.side_inputs import with_side_multimap

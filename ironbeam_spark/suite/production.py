@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ironbeam_spark.collection import PCollection
 from ironbeam_spark.functions.exact import sum_money
 from ironbeam_spark.operators.dead_letter import Rule, map_catching, validate
 from ironbeam_spark.operators.sampling import sample_fraction, sample_per_key, sample_reservoir

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironbeam_spark.collection import PCollection, flatten
-from ironbeam_spark.functions.exact import avg_money, cents, sum_long, sum_money
+from ironbeam_spark.functions.exact import cents, sum_long, sum_money
 from ironbeam_spark.suite.registry import _t, query
 
 

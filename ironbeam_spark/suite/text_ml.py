@@ -19,7 +19,6 @@ from ironbeam_spark.functions.text import (
     bpe_ish_token_count,
     lang_id,
     md5_fingerprint,
-    punct_ratio,
     quality_score,
     rolling_fingerprint,
     token_count,

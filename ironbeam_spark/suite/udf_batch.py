@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ironbeam_spark.collection import PCollection
 from ironbeam_spark.operators.combinefn import CombineFn, combine_per_key
 from ironbeam_spark.sources.io import read_table
 from ironbeam_spark.suite.registry import _t, query

@@ -5,7 +5,6 @@ differential tests, reference tests/mega_integration.rs:1-19)."""
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import functions as F
 

@@ -9,8 +9,6 @@ work must be visible in the physical plan, not assumed.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-
 from ironbeam_spark.plans.explain import plan_report
 from ironbeam_spark.suite import QUERIES
 from tests.conftest import SF_SMOKE

@@ -66,3 +66,47 @@ def test_stream_running_count_single_batch(spark):
         for r in static.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == expected
+
+
+def test_stream_sliding_and_session_match_batch(spark):
+    """stream_sliding_agg / stream_session_agg (AvailableNow) agree with the
+    same aggregation run in batch mode — shared DataFrame code, two engines."""
+    from ironbeam_spark.streaming.windows import stream_session_agg, stream_sliding_agg
+
+    sdf, static = _events_stream(spark)
+    to_ts = lambda df: df.withColumn(  # noqa: E731
+        "event_time", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+
+    slid = stream_sliding_agg(
+        to_ts(sdf), "event_time", 3_600_000, 1_800_000, ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+    )
+    _run_to_memory(slid, "t_slide", "complete")
+    got = {
+        (r.event_type, r.window_start): r.n for r in spark.table("t_slide").collect()
+    }
+    batch = stream_sliding_agg(
+        to_ts(static), "event_time", 3_600_000, 1_800_000, ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+    )
+    expected = {(r.event_type, r.window_start): r.n for r in batch.collect()}
+    assert got == expected
+
+    sess = stream_session_agg(
+        to_ts(sdf.where("user_id < 5")), "event_time", 600_000, ["user_id"],
+        F.count(F.lit(1)).alias("n"),
+    )
+    _run_to_memory(sess, "t_sess", "complete")
+    got_s = {
+        (r.user_id, r.session_start, r.session_end): r.n
+        for r in spark.table("t_sess").collect()
+    }
+    batch_s = stream_session_agg(
+        to_ts(static.where("user_id < 5")), "event_time", 600_000, ["user_id"],
+        F.count(F.lit(1)).alias("n"),
+    )
+    expected_s = {
+        (r.user_id, r.session_start, r.session_end): r.n for r in batch_s.collect()
+    }
+    assert got_s == expected_s
