@@ -562,6 +562,13 @@ class PCollection:
         the batch.  Slow path; prefer native expressions."""
         return self._with(self.df.mapInPandas(fn, schema))
 
+    def map_batches_arrow(self, fn, schema) -> "PCollection":
+        """Per-partition transform over raw Arrow RecordBatches (reference
+        ``apply_transform`` custom ``DynOp``, ``src/collection.rs:151`` —
+        partition-in/partition-out).  ``mapInArrow`` skips the pandas
+        conversion entirely: the fastest Python escape hatch."""
+        return self._with(self.df.mapInArrow(fn, schema))
+
     def map_values_batches(self, fn, out_schema: str) -> "PCollection":
         """Arity-preserving batch transform of a key's values (reference
         ``map_values_batches``, ``src/helpers/batches.rs:231``; the reference

@@ -309,3 +309,36 @@ def test_kv_swap_and_constant_key(spark):
     assert swapped.key_cols == ("v",)
     ck = from_vec(spark, [(1,), (2,)], "x long").with_constant_key(7)
     assert all(r.key == 7 for r in ck.collect())
+
+
+def test_map_batches_arrow_recordbatch(spark):
+    """mapInArrow custom physical op (ref apply_transform/DynOp,
+    src/collection.rs:151): RecordBatch in, RecordBatch out, no pandas."""
+    from ironbeam_spark.collection import from_vec
+
+    pc = from_vec(spark, [(i,) for i in range(10)], "x long")
+
+    def double(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            arr = pa.compute.multiply(b.column("x"), 2)
+            yield pa.RecordBatch.from_arrays([arr], names=["x"])
+
+    got = sorted(r.x for r in pc.map_batches_arrow(double, "x long").collect())
+    assert got == [i * 2 for i in range(10)]
+
+
+def test_python_udtf(spark):
+    """Python UDTF (SURVEY §2.12: flat_map's 1→N shape as a real table
+    function, Spark 3.5+)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield w, i
+
+    rows = SplitWords(F.lit("a b c")).collect()
+    assert [(r.word, r.pos) for r in rows] == [("a", 0), ("b", 1), ("c", 2)]
