@@ -175,6 +175,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # calendar extraction (year()/date_trunc) is session-timezone-sensitive;
+    # pin UTC so queries give oracle-identical results under ANY host session
+    # (get_spark already sets this, but the harness may pass a bare session)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
