@@ -588,3 +588,316 @@ def q_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         offset_ms=90_000,
     )
     return out.orderBy("user_id", "window_start")
+
+
+# =========================================================================
+# TPC-H long tail — ratio aggregates, decorrelated subqueries, EXISTS chains
+# (adapted to the testdata schema: no partsupp / comment / receipt columns;
+# each keeps the reference query's operator shape. Ref: ironbeam examples of
+# composite pipelines, e.g. examples/wordcount + join/groupBy combinators.)
+# =========================================================================
+
+
+@query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE_SQL} AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 market share: 8-way join, ratio of conditional sum over total per year; exact int64 sums so the double ratio is bit-stable",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01")) & (F.col("o_orderdate") < ts_lit("1998-01-01"))
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    volume = cents("l_extendedprice") * (100 - cents("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0))).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year, sum(amount)/10000.0 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE_SQL}
+               - CAST(round(p.p_retailprice*100) AS BIGINT)
+                 * CAST(round(l.l_quantity) AS BIGINT) * 100 AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 product-type profit (retailprice stands in for ps_supplycost — no partsupp table): LIKE-filtered 5-way join, per nation-year margin",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    amount = cents("l_extendedprice") * (100 - cents("l_discount")) - cents("p_retailprice") * F.round(
+        "l_quantity"
+    ).cast("long") * F.lit(100)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount") / F.lit(10000.0)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 customer distribution (priority filter stands in for the comment LIKE — no o_comment column): left join preserving zero-order customers, double aggregation",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_DISC_PRICE_SQL}) AS BIGINT) AS rev_scaled
+      FROM lineitem l
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_scaled/10000.0 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_scaled = (SELECT max(rev_scaled) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: quarterly revenue CTE reused for both the scalar max and the join — exact int64 revenue makes the max-equality deterministic",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01")) & (F.col("l_shipdate") < ts_lit("1996-04-01"))
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_scaled"))
+        .persist()
+    )
+    best = revenue.agg(F.max("rev_scaled").alias("best_rev"))
+    return (
+        revenue.join(F.broadcast(best), F.col("rev_scaled") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("rev_scaled") / F.lit(10000.0)).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT sum(CAST(round(l.l_extendedprice*100) AS BIGINT))/7000.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size = 5
+      AND 5 * CAST(round(l.l_quantity) AS BIGINT)
+            * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+          < (SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT)) AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q17 small-quantity revenue (p_size stands in for p_container): correlated avg subquery, decorrelated into a per-part aggregate join; qty < 0.2*avg rewritten as 5*qty*cnt < sum for exact integer comparison",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where((F.col("p_brand") == "Brand#1") & (F.col("p_size") == 5))
+    qty = F.round("l_quantity").cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.count(F.lit(1)).alias("cnt_qty"), F.sum(qty).alias("sum_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("agg_partkey"))
+        .where(F.lit(5) * qty * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg((F.sum(cents("l_extendedprice")) / F.lit(7000.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 suppliers kept waiting (returnflag='R' stands in for receipt>commit — no receipt/commit dates): EXISTS + NOT EXISTS on sibling lineitems via leftsemi/leftanti joins",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    waiting = (
+        l1.join(orders.select("o_orderkey"), l1.l_orderkey == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey")) & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey")) & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents
+      FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+    ),
+    thresh AS (
+      SELECT CAST(sum(acct_cents) AS BIGINT) AS sum_cents, count(*) AS cnt
+      FROM pool WHERE acct_cents > 0
+    )
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           sum(acct_cents)/100.0 AS totacctbal
+    FROM pool, thresh
+    WHERE acct_cents * cnt > sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 global sales opportunity (c_nationkey stands in for phone country code; 'no urgent orders' stands in for 'no orders' — every synthetic customer has orders): scalar avg threshold (exact: bal*cnt > sum), NOT EXISTS anti-join",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
+    orders = read_table(spark, sf_dir, "orders")
+    pool = cust.select("c_custkey", "c_nationkey", cents("c_acctbal").alias("acct_cents"))
+    thresh = pool.where(F.col("acct_cents") > 0).agg(
+        F.sum("acct_cents").alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        pool.join(F.broadcast(thresh))
+        .where(F.col("acct_cents") * F.col("cnt") > F.col("sum_cents"))
+        .join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            pool.c_custkey == F.col("o_custkey"),
+            "leftanti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"), (F.sum("acct_cents") / F.lit(100.0)).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
