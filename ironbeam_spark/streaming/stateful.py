@@ -81,3 +81,50 @@ def stream_running_count(sdf: DataFrame, key_cols: list[str]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# State-store backend selection (the 100 TB story for streaming state)
+# ---------------------------------------------------------------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class rocksdb_state_store:
+    """Context manager that runs streaming queries against the RocksDB state
+    store provider instead of the default in-memory HDFS-backed one.
+
+    At 100 TB the per-key state of a dedup or running-aggregate stream does
+    not fit on the executor heap; RocksDB keeps it on local SSD with
+    changelog checkpointing so commits upload only the delta, not a full
+    snapshot.  Local-mode behavior is identical — tests assert batch
+    equivalence under both providers.
+    """
+
+    _KEYS = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self._KEYS.items():
+            try:
+                self._saved[k] = self._spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self._spark.conf.set(k, v)
+        return self._spark
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, old)
+        return False

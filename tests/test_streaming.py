@@ -110,3 +110,30 @@ def test_stream_sliding_and_session_match_batch(spark):
         (r.user_id, r.session_start, r.session_end): r.n for r in batch_s.collect()
     }
     assert got_s == expected_s
+
+
+def test_stream_dedup_rocksdb_state_store_matches_default(spark):
+    """Same stateful dedup under the RocksDB state store provider (the
+    at-scale backend) — results must match the default provider exactly."""
+    from ironbeam_spark.streaming.stateful import ROCKSDB_PROVIDER, rocksdb_state_store
+
+    sdf, static = _events_stream(spark)
+    with rocksdb_state_store(spark):
+        assert spark.conf.get("spark.sql.streaming.stateStore.providerClass") == ROCKSDB_PROVIDER
+        out = stream_dedup_first(
+            sdf.select("user_id", "event_type", "event_id"),
+            ["user_id", "event_type"],
+            "event_id",
+        )
+        _run_to_memory(out, "t_stream_dedup_rocks", "append")
+    got = {
+        (r.user_id, r.event_type): r.event_id
+        for r in spark.table("t_stream_dedup_rocks").collect()
+    }
+    expected = {
+        (r.user_id, r.event_type): r.first_id
+        for r in static.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_id"))
+        .collect()
+    }
+    assert got == expected
