@@ -901,3 +901,180 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), (F.sum("acct_cents") / F.lit(100.0)).alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+# -------------------------------------------------------------------------
+# TPC-H Q2/Q11/Q16/Q20 shapes — the testdata has no partsupp table, so
+# lineitem serves as the part<->supplier link; each query keeps the original
+# plan shape (correlated min, scalar-subquery HAVING, NOT IN exclusion,
+# nested IN) which is what matters for engine parity.
+# -------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS cost_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 1
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_size,
+           c.cost_cents/100.0 AS supplycost
+    FROM cost c
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE c.cost_cents = (SELECT min(c2.cost_cents) FROM cost c2 WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier (lineitem min price stands in for ps_supplycost): correlated min subquery decorrelated into a window min; dims broadcast so lineitem shuffles once on (part,supp)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    nat = read_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    supp = read_table(spark, sf_dir, "supplier")
+    supp_r = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    part = read_table(spark, sf_dir, "part").where(F.col("p_size") == 5)
+    li = read_table(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(supp_r.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents("l_extendedprice")).alias("cost_cents"))
+    )
+    best = cost.withColumn(
+        "min_cost", F.min("cost_cents").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("cost_cents") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(supp_r), F.col("l_suppkey") == supp_r.s_suppkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_size",
+            (F.col("cost_cents") / F.lit(100.0)).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = 3
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_cents/100.0 AS value
+    FROM val, (SELECT CAST(sum(value_cents) AS BIGINT) AS tot, count(*) AS cnt FROM val) t
+    WHERE value_cents * cnt > 2 * tot
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 important stock (lineitem value per part for one nation's suppliers): scalar-subquery HAVING threshold, scale-free and exact as value*cnt > 2*total (parts above 2x the average value); the per-part agg is reused for both sides",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+    val = (
+        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_cents"))
+        .persist()
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"), F.count(F.lit(1)).alias("part_cnt"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value_cents") * F.col("part_cnt") > 2 * F.col("total_cents"))
+        .select("l_partkey", (F.col("value_cents") / F.lit(100.0)).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 parts/supplier relationship (negative s_acctbal stands in for complaint suppliers): NOT IN exclusion as a broadcast anti-join, count(DISTINCT) over three group keys",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = read_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "leftanti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+      GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (
+      SELECT l_partkey AS t_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey FROM shipped sh
+      JOIN tot ON tot.t_partkey = sh.l_partkey
+      WHERE 2 * sh.qty > total_qty
+    )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 potential part promotion (majority share of a part's shipped qty stands in for availqty > half of sold): nested IN subqueries as semi-joins; per-part totals joined back without recomputing the base agg",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01")) & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+    )
+    red = read_table(spark, sf_dir, "part").where(F.col("p_name").like("red %")).select("p_partkey")
+    supp = read_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+        .persist()
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(F.sum("qty").alias("total_qty"))
+    excess = (
+        shipped.join(F.broadcast(tot), shipped.l_partkey == F.col("t_partkey"))
+        .where(2 * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "leftsemi")
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )
