@@ -31,7 +31,47 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_assign_cells",
     "ivf_ann_topk",
+    "train_centroids_kmeans",
 ]
+
+
+def train_centroids_kmeans(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    iters: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Train IVF centroids with spherical k-means (Lloyd's on unit vectors,
+    cosine == dot) over a deterministic sample.
+
+    The sample is the ``sample_n`` lowest-id vectors and init is ``k`` evenly
+    spaced vectors from that id-sorted sample — no RNG, so training is
+    reproducible run-to-run.  Training cost is driver-side numpy,
+    O(sample·k·iters) on a few thousand rows; the expensive step (assigning
+    the full corpus) remains the distributed codegen expression in
+    :func:`ivf_assign_cells`.  If the corpus is too heterogeneous for a
+    driver-side sample, swap in ``pyspark.ml.clustering.KMeans`` (distributed
+    k-means||) — the output contract ``[(cell_id, centroid), ...]`` is
+    unchanged.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[np.linspace(0, len(X) - 1, num=k).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # ties -> lowest cell, deterministic
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    C[j] = m / norm
+    return [(j, [float(x) for x in C[j]]) for j in range(k)]
 
 
 def brute_force_topk(

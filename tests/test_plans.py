@@ -56,3 +56,43 @@ def test_narrative_renders(spark):
     rep = plan_report(QUERIES["q5_local_supplier_volume"].fn(spark, SF_SMOKE))
     text = rep.narrative()
     assert "broadcast=" in text and "codegen" in text
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """When a shuffle join's build side carries a selective filter, Spark
+    injects a bloom_filter_might_contain predicate on the probe side — at
+    100 TB this prunes most fact-table rows before they are shuffled.  The
+    thresholds are lowered here only because local test data is tiny; at real
+    scale the defaults (10 MB creation side / 10 GB application side) fire on
+    their own."""
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.sources.io import read_table
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        orders = read_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -1,0 +1,45 @@
+"""Trained-centroid IVF: k-means training determinism and recall against the
+brute-force oracle.  All inputs are deterministic (id-sorted sample, RNG-free
+init), so recall values are exact and the assertions are stable.
+"""
+
+from __future__ import annotations
+
+from ironbeam_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_ann_topk,
+    train_centroids_kmeans,
+)
+from ironbeam_spark.sources.io import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _recall(exact: set, approx: set) -> float:
+    return len(exact & approx) / len(exact)
+
+
+def test_kmeans_training_deterministic(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = train_centroids_kmeans(emb, k=8)
+    b = train_centroids_kmeans(emb, k=8)
+    assert a == b
+    assert len(a) == 8 and all(len(vec) > 0 for _, vec in a)
+
+
+def test_trained_ivf_recall_vs_brute_force(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.orderBy("vec_id").limit(20)
+    cents = train_centroids_kmeans(emb, k=8)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    # probing more cells only adds candidates, so recall is monotone in n_probe
+    recalls = []
+    for n_probe in (1, 2, 3):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_ann_topk(emb, queries, cents, k=5, n_probe=n_probe).collect()
+        }
+        recalls.append(_recall(exact, approx))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] >= 0.7, recalls
