@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from ironbeam_spark.operators.skew import salted_agg, salted_join
 from ironbeam_spark.plans.explain import explain_formatted
 from ironbeam_spark.sources.bucketing import read_bucketed_join, write_bucketed
+from tests.conftest import SF_SMOKE
 
 
 def _skewed(spark):
@@ -65,3 +66,26 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted must produce files whose parquet min/max footer
+    stats are pairwise disjoint on the sort key — the property that lets a
+    range predicate skip every non-overlapping file at 100 TB."""
+    from ironbeam_spark.sources.io import read_table
+    from ironbeam_spark.sources.layout import file_column_ranges, write_range_sorted
+
+    events = read_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_ts")
+    write_range_sorted(events, out, ["ts"], num_files=8)
+
+    ranges = file_column_ranges(out, "ts")
+    assert len(ranges) >= 2, ranges
+    spans = sorted((lo, hi) for _, lo, hi in ranges)
+    for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= next_lo, spans  # disjoint (boundary ties allowed)
+
+    # layout must not change content
+    assert (
+        spark.read.parquet(out).count() == events.count()
+    )
