@@ -63,7 +63,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_tumble",
-    None,  # streaming sink: rows-only check; batch-equivalence in pytest
+    # Trigger.AvailableNow over a bounded source is batch-equivalent, so the
+    # batch tumbling SQL is an exact oracle (equivalence also pytest-asserted)
+    """
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+    """,
     doc="Structured Streaming tumbling agg: readStream parquet → watermark → window groupBy → memory sink, Trigger.AvailableNow (beyond reference scope, FEATURE_PARITY_PLAN.md:6-11)",
 )
 def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +85,8 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         # streaming source must be a directory; glob-filter to the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        # int64-nanos event time → TIMESTAMP for watermarking
+        # parquet TIMESTAMP(NANOS) reads as int64 nanos in Spark → TIMESTAMP
+        # millis for watermarking (bit-exact with the oracle's epoch_ms)
         .withColumn("event_time", F.timestamp_millis(F.expr("ts div 1000000")))
     )
     agg = stream_tumbling_agg(

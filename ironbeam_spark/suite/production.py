@@ -184,19 +184,23 @@ def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT c_nationkey, CAST((rn - 1) // 10 AS BIGINT) AS batch_id,
-           list_sort(list(c_name)) AS c_name_batch
+           array_to_string(list_sort(list(c_name)), '|') AS c_name_batch
     FROM numbered
     GROUP BY c_nationkey, (rn - 1) // 10
     ORDER BY c_nationkey, batch_id
     """,
-    doc="group_into_batches: per-key chunks of <=10 via one window + one groupBy (ref src/helpers/batches.rs:297)",
+    doc="group_into_batches: per-key chunks of <=10 via one window + one groupBy (ref src/helpers/batches.rs:297); batch serialized '|'-joined so the driver's value-hash can canonicalize it (arrays are unhashable there)",
 )
 def q_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").key_by("c_nationkey")
     out = cust.map("c_nationkey", "c_name").key_by("c_nationkey").group_into_batches(
         10, "c_name", sort=True, keep_batch_id=True
     )
-    return out.df.orderBy("c_nationkey", "batch_id")
+    return out.df.select(
+        "c_nationkey",
+        "batch_id",
+        F.array_join("c_name_batch", "|").alias("c_name_batch"),
+    ).orderBy("c_nationkey", "batch_id")
 
 
 @query(
@@ -224,29 +228,56 @@ def q_side_input_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_distinct",
-    None,  # HLL++ sketch differs from any SQL-exact oracle; see pytest band test
-    doc="approx_count_distinct (HLL++, rsd 0.016 like reference precision 12 — src/combiners/distinct.rs:230); rows-only here, rel-err test in tests/test_operators.py",
+    # the sketch estimate is banded against the exact count inside the query,
+    # so the oracle is the band contract itself (SURVEY §7 tolerance rule)
+    "SELECT TRUE AS parts_within_band, TRUE AS orders_within_band",
+    doc="approx_count_distinct (HLL++, rsd 0.016 like reference precision 12 — src/combiners/distinct.rs:230); emits within-band booleans (|approx/exact - 1| < 5*rsd) so the driver gate has an exact oracle; raw rel-err test in tests/test_operators.py",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    band = 5 * 0.016  # 5 sigma of the configured rsd
     return li.agg_global(
-        F.approx_count_distinct("l_partkey", 0.016).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.016).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.016).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.016).alias("ao"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    ).map(
+        parts_within_band=(
+            F.abs(F.col("ap") / F.col("ep") - F.lit(1.0)) < F.lit(band)
+        ),
+        orders_within_band=(
+            F.abs(F.col("ao") / F.col("eo") - F.lit(1.0)) < F.lit(band)
+        ),
     ).df
 
 
 @query(
     "q_approx_quantiles",
-    None,  # GK sketch vs t-digest/exact: tolerance-band tested in pytest
-    doc="approx quantiles via percentile_approx (ref ApproxQuantiles t-digest, src/combiners/quantiles.rs:34; SURVEY §7 item 2)",
+    # banded against exact interpolated quantiles at +-1% rank tolerance
+    "SELECT TRUE AS q25_within_band, TRUE AS q50_within_band, "
+    "TRUE AS q75_within_band, TRUE AS median_qty_within_band",
+    doc="approx quantiles via percentile_approx accuracy=10000 (ref ApproxQuantiles t-digest, src/combiners/quantiles.rs:34; SURVEY §7 item 2); each estimate asserted within the exact [p-0.01, p+0.01] rank band so the driver gate has an exact oracle",
 )
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg_global(
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
-        ).alias("price_quartiles"),
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("median_qty"),
+    aggs = []
+    for p, tag in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]:
+        aggs += [
+            F.percentile_approx("l_extendedprice", F.lit(p), F.lit(10000)).alias(f"a_{tag}"),
+            F.percentile("l_extendedprice", F.lit(max(p - 0.01, 0.0))).alias(f"lo_{tag}"),
+            F.percentile("l_extendedprice", F.lit(min(p + 0.01, 1.0))).alias(f"hi_{tag}"),
+        ]
+    aggs += [
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("a_mq"),
+        F.percentile("l_quantity", F.lit(0.49)).alias("lo_mq"),
+        F.percentile("l_quantity", F.lit(0.51)).alias("hi_mq"),
+    ]
+    out = li.agg_global(*aggs)
+    return out.map(
+        q25_within_band=F.col("a_q25").between(F.col("lo_q25"), F.col("hi_q25")),
+        q50_within_band=F.col("a_q50").between(F.col("lo_q50"), F.col("hi_q50")),
+        q75_within_band=F.col("a_q75").between(F.col("lo_q75"), F.col("hi_q75")),
+        median_qty_within_band=F.col("a_mq").between(F.col("lo_mq"), F.col("hi_mq")),
     ).df
 
 

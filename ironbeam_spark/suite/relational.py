@@ -102,8 +102,8 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cogroup",
     """
     SELECT n.n_nationkey,
-           coalesce(c.names, []) AS customer_names,
-           coalesce(s.names, []) AS supplier_names
+           coalesce(array_to_string(c.names, '|'), '') AS customer_names,
+           coalesce(array_to_string(s.names, '|'), '') AS supplier_names
     FROM nation n
     LEFT JOIN (SELECT c_nationkey, list_sort(list(c_name)) AS names
                FROM customer GROUP BY c_nationkey) c ON c.c_nationkey = n.n_nationkey
@@ -111,7 +111,7 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM supplier GROUP BY s_nationkey) s ON s.s_nationkey = n.n_nationkey
     ORDER BY n.n_nationkey
     """,
-    doc="2-way CoGroupByKey: per-key list per source, absent ⇒ empty list (ref cogroup_by_key!, src/helpers/co_gbk.rs:305)",
+    doc="2-way CoGroupByKey: per-key list per source, absent ⇒ empty list (ref cogroup_by_key!, src/helpers/co_gbk.rs:305); lists '|'-joined for the driver's scalar value-hash",
 )
 def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").map(
@@ -126,7 +126,8 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = nations.join_left(cg, on=["n_nationkey"]).df
     for col, alias in [("c_name_list_0", "customer_names"), ("s_name_list_1", "supplier_names")]:
         out = out.withColumn(
-            alias, F.coalesce(F.col(col), F.array().cast("array<string>"))
+            alias,
+            F.array_join(F.coalesce(F.col(col), F.array().cast("array<string>")), "|"),
         ).drop(col)
     return out.orderBy("n_nationkey")
 
@@ -134,33 +135,38 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_group_by_key",
     """
-    SELECT c_nationkey, list_sort(list(c_name)) AS c_name_list
+    SELECT c_nationkey, array_to_string(list_sort(list(c_name)), '|') AS c_name_list
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
-    doc="group_by_key → (K, sorted list<V>) (ref src/helpers/keyed.rs:213; ordering per SURVEY §7 item 3)",
+    doc="group_by_key → (K, sorted list<V>) (ref src/helpers/keyed.rs:213; ordering per SURVEY §7 item 3); list '|'-joined for the driver's scalar value-hash",
 )
 def q_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").key_by("c_nationkey")
-    return cust.group_by_key("c_name").df.orderBy("c_nationkey")
+    return (
+        cust.group_by_key("c_name")
+        .map("c_nationkey", c_name_list=F.array_join("c_name_list", "|"))
+        .df.orderBy("c_nationkey")
+    )
 
 
 @query(
     "q_to_set_per_key",
     """
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_type_set,
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_type_set,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events
     GROUP BY user_id
     ORDER BY user_id
     """,
-    doc="to_set_per_key + distinct_count_per_key (ref src/helpers/collect_values.rs:160, distinct.rs:244)",
+    doc="to_set_per_key + distinct_count_per_key (ref src/helpers/collect_values.rs:160, distinct.rs:244); set '|'-joined for the driver's scalar value-hash",
 )
 def q_to_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").key_by("user_id")
     out = ev.agg_per_key(
-        F.sort_array(F.collect_set("event_type")).alias("event_type_set"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias("event_type_set"),
         F.countDistinct("event_type").alias("n_types"),
     )
     return out.df.orderBy("user_id")

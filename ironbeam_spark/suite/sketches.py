@@ -130,9 +130,9 @@ def q_median_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cogroup3",
     """
     SELECT n.n_nationkey,
-           coalesce(c.names, []) AS customer_names,
-           coalesce(s.names, []) AS supplier_names,
-           coalesce(r.names, []) AS rich_customer_names
+           coalesce(array_to_string(c.names, '|'), '') AS customer_names,
+           coalesce(array_to_string(s.names, '|'), '') AS supplier_names,
+           coalesce(array_to_string(r.names, '|'), '') AS rich_customer_names
     FROM nation n
     LEFT JOIN (SELECT c_nationkey, list_sort(list(c_name)) AS names
                FROM customer GROUP BY c_nationkey) c ON c.c_nationkey = n.n_nationkey
@@ -166,7 +166,10 @@ def q_cogroup3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("s_name_list_1", "supplier_names"),
         ("r_name_list_2", "rich_customer_names"),
     ]:
-        out = out.withColumn(alias, F.coalesce(F.col(col), F.array().cast("array<string>"))).drop(col)
+        out = out.withColumn(
+            alias,
+            F.array_join(F.coalesce(F.col(col), F.array().cast("array<string>")), "|"),
+        ).drop(col)
     return out.select(
         "n_nationkey", "customer_names", "supplier_names", "rich_customer_names"
     ).orderBy("n_nationkey")

@@ -257,7 +257,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
     SELECT CAST(component AS BIGINT) AS component,
            CAST(count(*) AS BIGINT) AS group_size,
-           list_sort(list(CAST(node AS BIGINT))) AS members
+           array_to_string(list_sort(list(CAST(node AS BIGINT))), '|') AS members
     FROM comp GROUP BY component ORDER BY component
     """,
     doc="duplicate groups: near-dup pairs → connected components via iterative min-label propagation (one shuffle/round, localCheckpoint lineage truncation); oracle = recursive-CTE reachability",
@@ -274,7 +274,10 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")),
+                "|",
+            ).alias("members"),
         )
         .orderBy("component")
     )
