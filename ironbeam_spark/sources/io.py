@@ -33,6 +33,7 @@ __all__ = [
     "read_xml",
     "write_xml",
     "read_msgpack",
+    "write_msgpack",
     "read_table",
     "load_tables",
     "TPCH_TABLES",
@@ -149,14 +150,21 @@ def write_xml(df: DataFrame | PCollection, path: str, row_tag: str = "row", mode
         raise NotImplementedError("xml sink unavailable in this build") from e
 
 
-def read_msgpack(spark: SparkSession, path: str) -> PCollection:
-    """Reference ``read_msgpack`` (``src/helpers/msgpack.rs:140``) — no native
-    Spark reader; the scale-correct shape is binaryFile + mapInPandas decode.
-    Decode library is not in this container, so this is a declared stub."""
-    raise NotImplementedError(
-        "msgpack: read via spark.read.format('binaryFile') + mapInPandas decode; "
-        "msgpack codec not available in this environment"
-    )
+def read_msgpack(spark: SparkSession, path: str, schema: Any, as_arrays: bool = True) -> PCollection:
+    """Reference ``read_msgpack`` (``src/helpers/msgpack.rs:140``): binaryFile
+    enumeration (globs native) + Arrow-batched per-file decode with the
+    dependency-free codec in :mod:`ironbeam_spark.sources.msgpack`."""
+    from ironbeam_spark.sources.msgpack import read_msgpack as _read
+
+    return PCollection(_read(spark, path, schema, as_arrays=as_arrays))
+
+
+def write_msgpack(df: DataFrame | PCollection, path: str, as_arrays: bool = True, mode: str = "overwrite") -> int:
+    """Reference ``write_msgpack_par`` (``src/helpers/msgpack.rs:254``): one
+    byte-concatenable shard per partition, encoded and written in parallel."""
+    from ironbeam_spark.sources.msgpack import write_msgpack as _write
+
+    return _write(df, path, as_arrays=as_arrays, mode=mode)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

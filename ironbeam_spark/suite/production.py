@@ -300,3 +300,36 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("l_orderkey", "l_linenumber", F.unix_millis("l_shipdate").alias("ship_ms"))
     )
+
+
+@query(
+    "q_msgpack",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="msgpack sink+source end-to-end (ref write_msgpack_par + read_msgpack, src/helpers/msgpack.rs:140,254): partition-parallel encode to byte-concatenable shards, binaryFile + Arrow-batched decode back, then aggregate — oracle computes the same aggregate straight from parquet",
+)
+def q_msgpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.io import read_msgpack, write_msgpack
+
+    li = _t(spark, sf_dir, "lineitem").df.where(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_msgpack_q_")
+    write_msgpack(li, path)
+    back = read_msgpack(
+        spark, path, "l_orderkey long, l_returnflag string, l_extendedprice double"
+    ).df
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), sum_money("l_extendedprice", "revenue"))
+        .orderBy("l_returnflag")
+    )
