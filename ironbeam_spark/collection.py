@@ -37,6 +37,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as _types
 
 __all__ = ["PCollection", "from_df", "from_vec", "flatten"]
 
@@ -624,18 +625,37 @@ class PCollection:
     def batch_elements(self, n: int, alias: str = "batch") -> "PCollection":
         """``PC<T> → PC<list<T>>`` groups of ≤ n consecutive elements per
         partition (reference ``batch_elements``, ``src/helpers/batches.rs:120``).
-        Stays fully distributed: batch ids are assigned per partition with no
-        shuffle, then one groupBy forms the arrays."""
-        df = self.df
-        struct_col = F.struct(*[F.col(c) for c in df.columns])
-        df = df.select(
-            F.spark_partition_id().alias("_pid"),
-            F.monotonically_increasing_id().alias("_mid"),
-            struct_col.alias("_elem"),
-        )
-        from pyspark.sql import Window as W
 
-        w = W.partitionBy("_pid").orderBy("_mid")
-        df = df.withColumn("_bid", ((F.row_number().over(w) - F.lit(1)) / F.lit(n)).cast("long"))
-        out = df.groupBy("_pid", "_bid").agg(F.collect_list("_elem").alias(alias)).drop("_pid", "_bid")
-        return self._with(out)
+        Chunking is by definition per-partition, so it needs NO shuffle: a
+        ``mapInArrow`` chunker slices each partition's Arrow stream into
+        length-n list<struct> rows (carry buffer across Arrow batches; only
+        the final chunk per partition may be short).  The plan contains zero
+        Exchange (asserted in tests)."""
+        df = self.df
+        elem_type = _types.StructType(df.schema.fields).simpleString()
+
+        def chunker(batches):
+            import pyarrow as pa
+
+            def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+                tbl = tbl.combine_chunks()
+                struct = pa.StructArray.from_arrays(
+                    [tbl.column(i).combine_chunks() for i in range(tbl.num_columns)],
+                    names=tbl.column_names,
+                )
+                lst = pa.ListArray.from_arrays(
+                    pa.array([0, len(struct)], type=pa.int32()), struct
+                )
+                return pa.RecordBatch.from_arrays([lst], [alias])
+
+            buf = None
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                buf = tbl if buf is None else pa.concat_tables([buf, tbl])
+                while buf.num_rows >= n:
+                    yield emit(buf.slice(0, n))
+                    buf = buf.slice(n)
+            if buf is not None and buf.num_rows:
+                yield emit(buf)
+
+        return self._with(df.mapInArrow(chunker, f"{alias} array<{elem_type}>"))

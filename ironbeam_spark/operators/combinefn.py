@@ -73,22 +73,35 @@ def combine_per_key(
 def combine_globally(df: DataFrame, fn: CombineFn, out_schema: str) -> DataFrame:
     """Global combine (reference ``combine_globally``,
     ``src/helpers/combine_global.rs:50``).  Two-phase like the reference's
-    partial+final: per-partition partial accumulators via ``mapInPandas``
-    (parallel, no shuffle), then a single merge of the tiny accumulator set.
+    partial+final, entirely inside the DAG (the result stays a lazy
+    DataFrame, composable mid-pipeline):
+
+    1. per-partition partial accumulators via ``mapInPandas`` (parallel, no
+       shuffle) — one pickled accumulator row per partition;
+    2. ``repartition(1)`` moves only those tiny rows (this is exactly
+       ``treeAggregate``'s final exchange; ``coalesce(1)`` would instead
+       collapse stage-1's parallelism upstream), then a second
+       ``mapInPandas`` merges and extracts.
+
     Emits the identity accumulator's output on empty input, matching the
     reference."""
     import pandas as pd
+    import pickle
 
     def partial(batches):
         acc = fn.create_accumulator()
         for pdf in batches:
             acc = fn.add_batch(acc, pdf)
-        yield pd.DataFrame({"acc": [__import__("pickle").dumps(acc)]})
+        yield pd.DataFrame({"acc": [pickle.dumps(acc)]})
 
-    partials = df.mapInPandas(partial, "acc binary").collect()
-    import pickle
+    def final(batches):
+        accs = []
+        for pdf in batches:
+            accs.extend(pickle.loads(b) for b in pdf["acc"])
+        if not accs:
+            accs = [fn.create_accumulator()]
+        out = fn.extract_output(fn.merge_accumulators(accs))
+        yield pd.DataFrame([out])
 
-    accs = [pickle.loads(r.acc) for r in partials] or [fn.create_accumulator()]
-    out = fn.extract_output(fn.merge_accumulators(accs))
-    spark = df.sparkSession
-    return spark.createDataFrame([tuple(out.values())], schema=out_schema)
+    partials = df.mapInPandas(partial, "acc binary")
+    return partials.repartition(1).mapInPandas(final, out_schema)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ironbeam_spark.functions.vectors import cosine, dot
+from ironbeam_spark.functions.vectors import cosine, dot, norm
 from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
@@ -42,21 +42,31 @@ def train_centroids_kmeans(
     vec_col: str = "embedding",
     sample_n: int = 4096,
     iters: int = 10,
+    distributed: bool | None = None,
 ) -> list[tuple[int, list[float]]]:
-    """Train IVF centroids with spherical k-means (Lloyd's on unit vectors,
-    cosine == dot) over a deterministic sample.
+    """Train IVF centroids with spherical k-means (unit vectors, cosine ==
+    dot).  Two paths, chosen by corpus size (``distributed`` overrides):
 
-    The sample is the ``sample_n`` lowest-id vectors and init is ``k`` evenly
-    spaced vectors from that id-sorted sample — no RNG, so training is
-    reproducible run-to-run.  Training cost is driver-side numpy,
-    O(sample·k·iters) on a few thousand rows; the expensive step (assigning
-    the full corpus) remains the distributed codegen expression in
-    :func:`ivf_assign_cells`.  If the corpus is too heterogeneous for a
-    driver-side sample, swap in ``pyspark.ml.clustering.KMeans`` (distributed
-    k-means||) — the output contract ``[(cell_id, centroid), ...]`` is
-    unchanged.
+    - **≤ sample_n rows** (the bound is probed with a ``limit(n+1).count()``,
+      never a full scan): driver-side numpy Lloyd's over the id-sorted
+      sample, RNG-free init (``k`` evenly spaced vectors) — bit-reproducible,
+      which the exact-oracle suite queries rely on.
+    - **> sample_n rows — the 100 TB default**: ``pyspark.ml.clustering
+      .KMeans`` (k-means||, seeded), all data parallel, nothing collected to
+      the driver but the ``k`` centers themselves.  Centers are re-normalized
+      to the unit sphere and id-ordered lexicographically so the output
+      contract ``[(cell_id, centroid), ...]`` is deterministic for a fixed
+      input.
+
+    Either way, the expensive step (assigning the full corpus) remains the
+    distributed codegen expression in :func:`ivf_assign_cells`.
     """
     import numpy as np
+
+    if distributed is None:
+        distributed = df.limit(sample_n + 1).count() > sample_n
+    if distributed:
+        return _train_centroids_kmeans_ml(df, k, vec_col, iters)
 
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
     X = np.array([r[1] for r in rows], dtype=np.float64)
@@ -72,6 +82,33 @@ def train_centroids_kmeans(
                 if norm > 1e-12:
                     C[j] = m / norm
     return [(j, [float(x) for x in C[j]]) for j in range(k)]
+
+
+def _train_centroids_kmeans_ml(
+    df: DataFrame, k: int, vec_col: str, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means via ``pyspark.ml`` (k-means||): rows are
+    unit-normalized with a codegen expression before fitting, so Euclidean
+    k-means on the sphere ≈ cosine clustering.  Only the ``k`` fitted centers
+    cross to the driver."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double") / F.greatest(norm(F.col(vec_col)), F.lit(1e-12)),
+    )
+    feats = df.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=k, maxIter=iters, seed=0, initMode="k-means||").fit(feats)
+    centers = []
+    for c in model.clusterCenters():
+        v = np.asarray(c, dtype=np.float64)
+        n = np.linalg.norm(v)
+        centers.append(v / n if n > 1e-12 else v)
+    # ml's center order is fit-internal; lexicographic ids make it stable
+    centers.sort(key=lambda v: tuple(v))
+    return [(j, [float(x) for x in c]) for j, c in enumerate(centers)]
 
 
 def brute_force_topk(

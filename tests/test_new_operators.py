@@ -53,6 +53,18 @@ def test_combinefn_globally_and_empty(spark):
     assert (row.total, row.n) == (0, 0)  # identity on empty input, like the reference
 
 
+def test_combinefn_globally_composes_lazily(spark):
+    """The result is a lazy DataFrame (no driver collect inside), so it can
+    sit mid-pipeline — e.g. broadcast-joined back onto the input."""
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v long")
+    total = combine_globally(df, _sum_count(), "total long, n long")
+    enriched = df.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("v") / F.col("total")
+    )
+    rows = {r.k: r.share for r in enriched.collect()}
+    assert rows == {"a": 1 / 6, "b": 2 / 6, "c": 3 / 6}
+
+
 def test_side_inputs(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, v string")
     mapped = with_side_map(df, {1: "one", 2: "two"}, "id", "name")

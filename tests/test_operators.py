@@ -160,10 +160,18 @@ def test_pcollection_basics(spark):
 
 def test_batch_elements_preserves_rows(spark):
     pc = from_vec(spark, [(i,) for i in range(100)], schema="v long").reshuffle(4)
-    batches = pc.batch_elements(7).collect()
+    out = pc.batch_elements(7)
+    batches = out.collect()
     total = sum(len(r["batch"]) for r in batches)
     assert total == 100
     assert all(len(r["batch"]) <= 7 for r in batches)
+    # at most one short batch per partition (4 partitions), the rest full
+    assert sum(1 for r in batches if len(r["batch"]) < 7) <= 4
+    # per-partition chunking needs no shuffle beyond the explicit reshuffle:
+    # the batch_elements plan segment itself adds zero Exchange
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final_plan.count("Exchange") <= 1  # only reshuffle(4)'s repartition
 
 
 def test_cogroup_empty_sides(spark):

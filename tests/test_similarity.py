@@ -43,3 +43,36 @@ def test_trained_ivf_recall_vs_brute_force(spark):
         recalls.append(_recall(exact, approx))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] >= 0.7, recalls
+
+
+def test_kmeans_distributed_path_no_driver_collect(spark, monkeypatch):
+    """Above the sample threshold the ml (k-means||) path runs and never
+    calls DataFrame.collect — only the k fitted centers reach the driver."""
+    from pyspark.sql import DataFrame
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+
+    def _no_collect(self):
+        raise AssertionError("driver collect() in distributed training path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    cents = train_centroids_kmeans(emb, k=4, sample_n=8)  # forces distributed
+    assert len(cents) == 4
+    assert [cid for cid, _ in cents] == [0, 1, 2, 3]
+    for _, vec in cents:
+        assert abs(sum(x * x for x in vec) - 1.0) < 1e-6  # unit sphere
+
+
+def test_kmeans_distributed_recall(spark):
+    """Trained-by-ml centroids still give usable IVF recall at n_probe=3."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.orderBy("vec_id").limit(20)
+    cents = train_centroids_kmeans(emb, k=8, sample_n=8, iters=20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    }
+    assert _recall(exact, approx) >= 0.7
