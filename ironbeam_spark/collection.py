@@ -462,11 +462,25 @@ class PCollection:
     def to_dict(self, key_col: str, val_col: str, alias: str = "dict") -> "PCollection":
         """Reference ``to_dict`` (``src/helpers/collect_values.rs:212``;
         ToDict combiner ``src/combiners/collect.rs:207`` — arbitrary winner on
-        duplicate keys; here last-by-value for determinism)."""
-        return self.agg_global(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct(F.col(key_col), F.col(val_col))))
-            ).alias(alias)
+        duplicate keys; here max-value-per-key for determinism).
+
+        Duplicate keys are deduped BEFORE ``map_from_entries`` — Spark's
+        default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` would otherwise
+        throw at runtime, diverging from the reference's last-write-wins.
+        Entries are (key, value)-sorted and only the last entry per key kept
+        (an element survives iff it is the final index or the next entry has
+        a different key), so the winner is the max value — deterministic
+        under any partitioning."""
+        entries = F.sort_array(
+            F.collect_list(F.struct(F.col(key_col).alias("k"), F.col(val_col).alias("v")))
+        )
+        arr = F.col("_entries")
+        deduped = F.filter(
+            arr,
+            lambda e, i: (i == F.size(arr) - 1) | (e["k"] != F.get(arr, i + 1)["k"]),
+        )
+        return self.agg_global(entries.alias("_entries")).map(
+            **{alias: F.map_from_entries(deduped)}
         )
 
     def latest_per_key(self, ts_col: str, value_col: str, alias: str | None = None) -> "PCollection":

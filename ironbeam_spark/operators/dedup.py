@@ -43,6 +43,7 @@ __all__ = [
     "minhash_signature_from_ints",
     "minhash_candidates",
     "minhash_dedup_pairs",
+    "release_shingle_caches",
     "simhash",
     "simhash_pairs",
     "jaccard",
@@ -192,6 +193,20 @@ def minhash_candidates(
     return pairs
 
 
+# shingle tables persisted by minhash_dedup_pairs, awaiting caller release
+_PERSISTED_SHINGLE_TABLES: list[DataFrame] = []
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle table cached by :func:`minhash_dedup_pairs`.
+    Call after materializing dedup results in a long-lived session, else
+    repeated runs accumulate cached blocks until eviction pressure."""
+    n = len(_PERSISTED_SHINGLE_TABLES)
+    while _PERSISTED_SHINGLE_TABLES:
+        _PERSISTED_SHINGLE_TABLES.pop().unpersist()
+    return n
+
+
 def jaccard(set_a: Column, set_b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays — single int/int division."""
     inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
@@ -222,8 +237,12 @@ def minhash_dedup_pairs(
         # once instead of re-shingling — the analog of the reference's
         # dominator-CSE cache (src/runner.rs:257-337).  MEMORY_AND_DISK spills
         # rather than OOMs when the shingle table outgrows executor memory.
+        # The returned plan is lazy, so this function cannot unpersist itself;
+        # long-lived sessions issuing many dedup runs should call
+        # release_shingle_caches() after materializing each result.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED_SHINGLE_TABLES.append(base)
     signed = base.select(
         F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
     )
@@ -329,27 +348,44 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     bits: int = 48,
-    chunks: int = 4,
+    chunks: int | None = None,
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Candidate generation uses the pigeonhole band trick: split the
-    fingerprint into ``chunks`` equal bit-chunks; any pair within distance
-    ``max_hamming < chunks * (max_hamming // chunks + 1)`` shares at least
-    one exact chunk — so candidates come from equi-joins on (chunk_idx,
-    chunk_value), never a cross join."""
-    chunk_bits = bits // chunks
-    fp = ensure_min_parallelism(docs).select(F.col(id_col), simhash(text_col, bits).alias("fp"))
-    mask = (1 << chunk_bits) - 1
-    chunk_keys = [
-        F.concat_ws(
-            "#",
-            F.lit(str(c)),
-            F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"),
+    fingerprint into ``chunks`` bit-ranges covering all ``bits``.  A pair at
+    distance d dirties at most d chunks, so with ``max_hamming < chunks``
+    at least one chunk is shared exactly and the pair surfaces from the
+    (chunk_idx, chunk_value) equi-join — never a cross join, and recall 1.0
+    within the distance bound.  ``chunks`` defaults to ``max_hamming + 1``,
+    the smallest count with that guarantee; passing fewer raises (a pair at
+    distance ≥ chunks can differ in every chunk and be silently dropped).
+    Chunk widths are as even as possible and cover every bit, so ``chunks``
+    need not divide ``bits``."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole recall guarantee requires max_hamming < chunks "
+            f"(got max_hamming={max_hamming}, chunks={chunks})"
         )
-        for c in range(chunks)
-    ]
+    if chunks > bits:
+        raise ValueError(f"chunks={chunks} exceeds fingerprint bits={bits}")
+    fp = ensure_min_parallelism(docs).select(F.col(id_col), simhash(text_col, bits).alias("fp"))
+    base_w, extra = divmod(bits, chunks)
+    chunk_keys, start = [], 0
+    for c in range(chunks):
+        width = base_w + (1 if c < extra else 0)
+        mask = (1 << width) - 1
+        chunk_keys.append(
+            F.concat_ws(
+                "#",
+                F.lit(str(c)),
+                F.shiftright(F.col("fp"), start).bitwiseAND(F.lit(mask)).cast("string"),
+            )
+        )
+        start += width
     chunked = fp.select(id_col, "fp", F.explode(F.array(*chunk_keys)).alias("chunk_key"))
     a = chunked.alias("a")
     b = chunked.alias("b")

@@ -64,10 +64,19 @@ def stream_dedup_first(
     )
 
 
+def _key_ddl(sdf: DataFrame, key_cols: list[str]) -> str:
+    """Output-schema DDL for the grouping keys, derived from the input
+    schema — hardcoding ``string`` would mismatch non-string keys (e.g. a
+    bigint ``event_id``) and fail or silently cast at runtime."""
+    return ", ".join(
+        f"{c} {sdf.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+
+
 def stream_running_count(sdf: DataFrame, key_cols: list[str]) -> DataFrame:
     """Per-key cumulative count across micro-batches (update mode): emits one
     row per key per batch with the running total."""
-    key_ddl = ", ".join(f"{c} string" for c in key_cols)
+    key_ddl = _key_ddl(sdf, key_cols)
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -123,7 +132,7 @@ def stream_running_count_tws(sdf: DataFrame, key_cols: list[str]) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    key_ddl = ", ".join(f"{c} string" for c in key_cols)
+    key_ddl = _key_ddl(sdf, key_cols)
 
     class _RunningCount(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

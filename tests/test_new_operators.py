@@ -354,3 +354,54 @@ def test_python_udtf(spark):
 
     rows = SplitWords(F.lit("a b c")).collect()
     assert [(r.word, r.pos) for r in rows] == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_to_dict_duplicate_keys_last_write_wins(spark):
+    """Duplicate keys dedupe to the max value per key BEFORE map building —
+    Spark's default mapKeyDedupPolicy=EXCEPTION would otherwise throw
+    (reference ToDict is last-write-wins, src/combiners/collect.rs:207)."""
+    from ironbeam_spark.collection import PCollection
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2), ("a", 3), ("c", 0)], "k string, v long"
+    )
+    out = PCollection(df).to_dict("k", "v", alias="d").collect()
+    assert out[0]["d"] == {"a": 5, "b": 2, "c": 0}
+
+
+def test_simhash_pairs_pigeonhole_guarantee(spark):
+    """chunks defaults to max_hamming+1, so every pair within the Hamming
+    bound shares >=1 exact chunk and recall within the bound is 1.0; fewer
+    chunks than the guarantee needs is rejected."""
+    import itertools
+
+    import pytest as _pytest
+
+    from ironbeam_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely different text about spark query engines"),
+            (5, "unrelated musings on distributed systems design"),
+        ],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="max_hamming < chunks"):
+        simhash_pairs(docs, "doc_id", "text", chunks=4, max_hamming=6)
+
+    max_h = 12
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=max_h).collect()
+    }
+    fps = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", simhash("text", 48).alias("fp")).collect()}
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= max_h
+    }
+    assert got == expected  # exhaustive ground truth: recall AND precision 1.0

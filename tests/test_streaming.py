@@ -68,6 +68,21 @@ def test_stream_running_count_single_batch(spark):
     assert got == expected
 
 
+def test_stream_running_count_bigint_key(spark):
+    """Key DDL is derived from the input dtype — a bigint grouping key must
+    round-trip as bigint, not be hardcoded to string."""
+    sdf, static = _events_stream(spark)
+    out = stream_running_count(sdf.select("user_id"), ["user_id"])
+    assert dict(out.dtypes)["user_id"] == "bigint"
+    _run_to_memory(out, "t_stream_counts_big", "update")
+    got = {r.user_id: r.running_n for r in spark.table("t_stream_counts_big").collect()}
+    expected = {
+        r.user_id: r.n
+        for r in static.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+
+
 def test_stream_sliding_and_session_match_batch(spark):
     """stream_sliding_agg / stream_session_agg (AvailableNow) agree with the
     same aggregation run in batch mode — shared DataFrame code, two engines."""
