@@ -33,10 +33,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n, q in QUERIES.items() if q.bench]
-    for name in names:  # warm-up pass (untimed; cold time to stderr)
+    cold: dict[str, float] = {}
+    for name in names:  # warm-up pass (untimed headline; cold recorded apart)
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).count()
-        print(f"# cold {name}: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        print(f"# cold {name}: {cold[name]:.3f}s", file=sys.stderr)
 
     times: dict[str, float] = {}
     total = 0.0
@@ -56,6 +58,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "cold_queries": cold,
+                "cold_value": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

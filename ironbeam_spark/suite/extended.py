@@ -368,6 +368,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY totalprice DESC, o_orderkey
     LIMIT 20
     """,
+    bench=True,
     doc="TPC-H Q18 large-volume customers: HAVING post-aggregation filter + top-20 (the reference has no HAVING operator — free as a filter over the agg)",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,6 +689,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
+    bench=True,
     doc="TPC-H Q9 product-type profit (retailprice stands in for ps_supplycost — no partsupp table): LIKE-filtered 5-way join, per nation-year margin",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,6 +828,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s_name
     LIMIT 20
     """,
+    bench=True,
     doc="TPC-H Q21 suppliers kept waiting (returnflag='R' stands in for receipt>commit — no receipt/commit dates): EXISTS + NOT EXISTS on sibling lineitems via leftsemi/leftanti joins",
 )
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
