@@ -333,3 +333,43 @@ def q_msgpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), sum_money("l_extendedprice", "revenue"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_custom_source",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="from_custom_source via the Python DataSource API (ref src/helpers/custom_source.rs): msgpack registered as format('msgpack'), DSv2 writer emits shards, DSv2 reader schedules one task per shard, then aggregate — oracle reads parquet directly",
+)
+def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.custom import register_msgpack_format
+
+    register_msgpack_format(spark)
+    li = _t(spark, sf_dir, "lineitem").df.where(F.col("l_orderkey") % 20 == 0).select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_custom_src_q_")
+    li.write.format("msgpack").option("path", path).mode("append").save()
+    back = (
+        spark.read.format("msgpack")
+        .schema("l_orderkey long, l_returnflag string, l_quantity double")
+        .option("path", path)
+        .load()
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -158,3 +158,39 @@ def test_avro_is_runtime_gated(spark, sample, tmp_path):
     else:  # pragma: no cover - jar present
         back = read_avro(spark, str(tmp_path / "t.avro")).df
         assert _sorted(back) == _sorted(sample)
+
+
+def test_custom_source_msgpack_format(spark, sample, tmp_path):
+    """from_custom_source parity via the Python DataSource API: msgpack as a
+    registered format, one input partition per shard, writer included
+    (ref from_custom_source, src/helpers/custom_source.rs)."""
+    import os
+
+    from ironbeam_spark.sources.custom import (
+        MsgpackDataSource,
+        from_custom_source,
+        register_msgpack_format,
+    )
+
+    register_msgpack_format(spark)
+    p = str(tmp_path / "ds_msgpack")
+    sample.repartition(2).write.format("msgpack").option("path", p).mode("append").save()
+    assert len([f for f in os.listdir(p) if f.endswith(".msgpack")]) == 2
+    back = (
+        spark.read.format("msgpack")
+        .schema("id long, s string, v double")
+        .option("path", p)
+        .load()
+    )
+    assert _sorted(back) == _sorted(sample)
+    assert back.rdd.getNumPartitions() == 2  # one task per shard
+    helper = from_custom_source(spark, MsgpackDataSource, "id long, s string, v double", path=p)
+    assert _sorted(helper) == _sorted(sample)
+
+
+def test_custom_source_requires_schema(spark, tmp_path):
+    from ironbeam_spark.sources.custom import register_msgpack_format
+
+    register_msgpack_format(spark)
+    with pytest.raises(Exception, match="schemaless|schema"):
+        spark.read.format("msgpack").option("path", str(tmp_path)).load().collect()
