@@ -375,12 +375,20 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    # aggregate lineitem FIRST and apply the HAVING filter before any join:
+    # the >300-qty orders are rare, so the join input collapses from every
+    # lineitem row to a tiny order set — at 100 TB this is one partial+final
+    # agg shuffle instead of a full 3-way join.  No broadcast hint: AQE sees
+    # the post-filter size at runtime and picks broadcast itself (measured
+    # faster than forcing it, which serializes the agg behind the exchange).
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
         .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -836,23 +844,26 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
-    l3 = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    # EXISTS/NOT EXISTS over sibling lineitems collapse to a per-order
+    # aggregate instead of two shuffled self-joins of the fact table:
+    #   EXISTS other-supplier row      ⟺ #distinct suppliers ≥ 2
+    #   NOT EXISTS other R-supplier    ⟺ #distinct R-suppliers == 1
+    # (the l1 row itself is R, so "exactly one R supplier" means it's l1's).
+    # Two-level agg, not countDistinct: distinct (order, supplier) pairs
+    # first (map-side partial combine, no Expand), then a count per order.
+    # At 100 TB: lineitem moves twice (l1 + int-only pair agg) instead of 3×.
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("is_r")
     )
-    waiting = (
-        l1.join(orders.select("o_orderkey"), l1.l_orderkey == F.col("o_orderkey"))
-        .join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_orderkey")) & (F.col("l_suppkey") != F.col("l2_suppkey")),
-            "leftsemi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_orderkey")) & (F.col("l_suppkey") != F.col("l3_suppkey")),
-            "leftanti",
-        )
+    stats = (
+        pair.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supps"), F.sum("is_r").alias("n_r_supps"))
+        .where((F.col("n_supps") >= 2) & (F.col("n_r_supps") == 1))
+        .select("l_orderkey")
     )
+    waiting = l1.join(
+        orders.select("o_orderkey"), l1.l_orderkey == F.col("o_orderkey")
+    ).join(stats, on="l_orderkey")
     return (
         waiting.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
