@@ -373,3 +373,70 @@ def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_salted_join",
+    """
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(round(l.l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_quantity >= 30
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+    doc="salted join (skew lever, operators/skew.py): small side exploded K ways, big side deterministically salted, join on (key, salt) — result identical to the plain join, which IS the oracle; hot keys spread over K reducers at 100 TB",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").df.where(F.col("l_quantity") >= 30).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").df.select("s_suppkey", "s_name")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"),
+        supp,
+        on=["s_suppkey"],
+        buckets=8,
+        big_unique_col="l_orderkey",
+    )
+    return (
+        joined.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"), sum_money("l_extendedprice", "revenue"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q_salted_agg",
+    """
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+    doc="salted two-phase aggregation (skew lever, operators/skew.py): partial by (key, salt), final by key — assoc+comm aggregates only, result identical to the direct groupBy, which IS the oracle",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").df
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round("l_quantity").cast("long")).alias("pq"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n"),
+            F.sum("pq").alias("sum_qty"),
+        ],
+        buckets=8,
+        unique_col="l_orderkey",
+    )
+    return out.orderBy("l_suppkey")
