@@ -68,3 +68,76 @@ def file_column_ranges(path: str, column: str) -> list[tuple[str, object, object
         if lo is not None:
             out.append((os.path.basename(f), lo, hi))
     return out
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 6
+) -> "tuple[DataFrame, str]":
+    """Append a Morton (Z-order) key column interleaving the rank-buckets of
+    ``cols`` and return ``(df_with_key, key_col_name)``.
+
+    Each column is quantile-bucketed into ``2**bits`` ranks via
+    ``percentile_approx`` boundaries (one small aggregate; only the 2^bits-1
+    split points reach the driver — same scale story as
+    ``repartitionByRange``'s sampling), then the rank bits are interleaved in
+    pure codegen: bit j of column c lands at position ``j*len(cols)+c``.
+    Rows close in z-value are close in EVERY dimension, so files covering
+    contiguous z-ranges get tight min/max footer stats on all ``cols`` at
+    once — multi-column file skipping where a plain sort only serves its
+    leading column.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bound_rows = df.agg(
+        *[
+            F.percentile_approx(c, F.array(*[F.lit(p) for p in probs]), F.lit(10000)).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+
+    def bucket_of(c: str) -> "F.Column":
+        bounds = F.array(*[F.lit(float(b)) for b in bound_rows[c]])
+        v = F.col(c).cast("double")
+        # rank = #boundaries <= value: a fold over the literal boundary array
+        return F.aggregate(
+            bounds,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.when(v >= b, 1).otherwise(0).cast("long"),
+        )
+
+    z = F.lit(0).cast("long")
+    width = len(cols)
+    for c_idx, c in enumerate(cols):
+        b = bucket_of(c)
+        for j in range(bits):
+            z = z + (
+                F.shiftright(b, j).bitwiseAND(F.lit(1)).cast("long")
+                * F.lit(1 << (j * width + c_idx)).cast("long")
+            )
+    key = "_zorder"
+    return df.withColumn(key, z), key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 6,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ordered on ``cols``: range-partition and sort by the
+    Morton key, so every file owns a contiguous z-range — a rectangle-ish
+    region of the multi-column space — and range predicates on ANY of the
+    ``cols`` skip most files via footer stats.  One full shuffle at write
+    time (the same investment as :func:`write_range_sorted`), repaid on
+    every multi-dimension read."""
+    keyed, key = zorder_key(df, cols, bits)
+    parted = (
+        keyed.repartitionByRange(num_files, key)
+        if num_files is not None
+        else keyed.repartitionByRange(key)
+    )
+    parted.sortWithinPartitions(key).drop(key).write.mode(mode).parquet(path)

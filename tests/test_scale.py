@@ -89,3 +89,32 @@ def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
     assert (
         spark.read.parquet(out).count() == events.count()
     )
+
+
+def test_zorder_write_skips_files_on_both_columns(spark, tmp_path):
+    """Z-order layout: a narrow range predicate on EITHER interleaved column
+    intersects only a fraction of the files' footer ranges — the multi-column
+    file-skipping a plain leading-column sort cannot give."""
+    from ironbeam_spark.sources.io import read_table
+    from ironbeam_spark.sources.layout import file_column_ranges, write_zordered
+    from tests.conftest import SF_SMOKE
+
+    events = read_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    total = events.count()
+    out = str(tmp_path / "zorder.parquet")
+    # event_id and value are both high-cardinality — the interesting case
+    write_zordered(events, out, ["event_id", "value"], bits=6, num_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == total  # layout is result-invariant
+
+    def files_hit(col, lo, hi):
+        ranges = file_column_ranges(out, col)
+        assert len(ranges) >= 8
+        return sum(1 for _, fmin, fmax in ranges if not (fmax < lo or fmin > hi)), len(ranges)
+
+    hit_e, n_files = files_hit("event_id", 100, 160)  # ~6% of the id domain
+    assert hit_e <= n_files // 2, (hit_e, n_files)
+
+    hit_v, n_files = files_hit("value", 1.0, 2.0)  # narrow value slice
+    assert hit_v <= n_files // 2, (hit_v, n_files)
