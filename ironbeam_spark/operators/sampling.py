@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key"]
+__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix"]
 
 
 def priority(seed: int, key: Column) -> Column:
@@ -75,3 +75,29 @@ def sample_fraction(df: DataFrame, fraction: float, seed: int, key_col: str) -> 
     threshold = int(fraction * (1 << 48))
     h48 = F.conv(F.substring(priority(seed, F.col(key_col)), 1, 12), 16, 10).cast("long")
     return df.where(h48 < F.lit(threshold))
+
+
+def training_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    seed: int,
+    key_col: str,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic dataset mixing for training pipelines: keep each row
+    with its source's sampling rate — a per-source Bernoulli on the same
+    stateless md5 priority as :func:`sample_fraction`, so the mix is exactly
+    reproducible under any partitioning and re-run.
+
+    This is the standard "recipe" step of assembling a training corpus
+    (web 10%, books 100%, code 50%, …) expressed as one codegen filter:
+    no shuffle, no state, embarrassingly parallel over 100 TB.  Unknown
+    sources fall back to ``default_weight`` (0 ⇒ dropped).
+    """
+    two48 = 1 << 48
+    thr = F.lit(int(default_weight * two48)).cast("long")
+    for src, w in sorted(weights.items()):
+        thr = F.when(F.col(source_col) == src, F.lit(int(w * two48)).cast("long")).otherwise(thr)
+    h48 = F.conv(F.substring(priority(seed, F.col(key_col)), 1, 12), 16, 10).cast("long")
+    return df.where(h48 < thr)

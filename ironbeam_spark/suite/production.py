@@ -440,3 +440,34 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_col="l_orderkey",
     )
     return out.orderBy("l_suppkey")
+
+
+@query(
+    "q_training_mix",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE ('0x' || substr(md5('11|' || doc_id::VARCHAR), 1, 12))::BIGINT
+          < CASE WHEN source IN ('src0','src1','src2') THEN CAST(0.9 * 281474976710656 AS BIGINT)
+                 WHEN source IN ('src3','src4') THEN CAST(0.5 * 281474976710656 AS BIGINT)
+                 ELSE CAST(0.1 * 281474976710656 AS BIGINT) END
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="deterministic training-data mixing (north-star pipeline op): per-source Bernoulli rates on the stateless md5 priority — one codegen filter, no shuffle, reproducible under any partitioning (same discipline as q_sample_fraction; ref sample_globally, src/helpers/sampling.rs:90)",
+)
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.sampling import training_mix
+
+    docs = _t(spark, sf_dir, "documents").df
+    weights = {"src0": 0.9, "src1": 0.9, "src2": 0.9, "src3": 0.5, "src4": 0.5}
+    mixed = training_mix(docs, "source", weights, seed=11, key_col="doc_id", default_weight=0.1)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
