@@ -23,6 +23,8 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "md5_fingerprint",
+    "scrub_pii",
+    "PII_PATTERNS",
     "rolling_fingerprint",
     "token_int",
     "STOPWORDS",
@@ -159,3 +161,22 @@ def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(31) + token_int(t)) % F.lit(mod),
     )
+
+
+# PII patterns kept to constructs with identical Java-regex/RE2 semantics so
+# the DuckDB oracle reuses them verbatim (same discipline as BPE_ISH_PATTERN)
+PII_PATTERNS = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{13,16}\\b", "<CARDNUM>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails / IPv4 addresses / 13-16-digit numbers with typed
+    placeholder tags — the standard pre-training text-cleaning pass, pure
+    codegen ``regexp_replace`` chain (north-star text analysis)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

@@ -12,7 +12,8 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
     text_ml,
     udf_batch,
     windowed,
-    temporal,  # keep last: registers after the driver's 50-query window
+    temporal,  # these two stay last: they register after the driver's
+    llmops,    # 50-query window and earn driver rows next round
 )
 
 # The driver's correctness gate checks the first 50 registry entries

@@ -1,0 +1,93 @@
+"""LLM-pipeline text operations, wave 2: PII scrubbing and vocabulary
+building over the documents table (north-star text analysis — no reference
+counterpart; registered after the driver's current 50-query window, driver
+rows arrive next round, oracle-checked by tools/check.py now)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.functions.text import PII_PATTERNS, scrub_pii
+from ironbeam_spark.sources.io import read_table
+from ironbeam_spark.suite.registry import query
+
+# the synthetic corpus carries no PII, so the query plants deterministic
+# PII derived from doc_id before scrubbing — the redaction is then a real,
+# value-checked diff instead of a no-op
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id::VARCHAR || '@example.com from 10.0.' "
+    "|| (doc_id % 256)::VARCHAR || '.7 card 4111111111111111'"
+)
+
+
+@query(
+    "q_pii_scrub",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS raw FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, raw,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '{PII_PATTERNS[0][0]}', '{PII_PATTERNS[0][1]}', 'g'),
+               '{PII_PATTERNS[1][0]}', '{PII_PATTERNS[1][1]}', 'g'),
+               '{PII_PATTERNS[2][0]}', '{PII_PATTERNS[2][1]}', 'g') AS clean
+      FROM seeded
+    )
+    SELECT doc_id,
+           CAST(length(raw) - length(clean) AS BIGINT) AS chars_redacted,
+           md5(clean) AS clean_md5
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing (north-star text cleaning): email/IPv4/card-number redaction as a codegen regexp_replace chain; patterns shared verbatim with the RE2 oracle (functions/text.scrub_pii)",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111111111111111"),
+    )
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    out = seeded.select(
+        "doc_id",
+        "raw",
+        scrub_pii("raw").alias("clean"),
+    )
+    return out.select(
+        "doc_id",
+        (F.length("raw") - F.length("clean")).cast("long").alias("chars_redacted"),
+        F.md5("clean").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_vocab_topk",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+    doc="vocabulary building (north-star): lowercase whitespace tokens → frequency count → deterministic top-100; partial+final agg bounds the shuffle by |vocab|, TakeOrdered bounds the result (the classic corpus-vocab job)",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+    )

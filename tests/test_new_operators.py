@@ -450,3 +450,20 @@ def test_interval_join_bucketing_invariant(spark):
             for r in interval_join(points, ivs, ["k"], "pt", "s", "e", width).collect()
         }
         assert got == expected, width
+
+
+def test_scrub_pii_redacts_typed_tags(spark):
+    from ironbeam_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+spam@sub.example.co thanks",),
+            ("server 192.168.0.1 and card 4111111111111111 leaked",),
+            ("clean text with number 42 and date 2024.01.01",),
+        ],
+        "text string",
+    )
+    got = [r.clean for r in df.select(scrub_pii("text").alias("clean")).collect()]
+    assert got[0] == "mail me at <EMAIL> thanks"
+    assert got[1] == "server <IP> and card <CARDNUM> leaked"
+    assert got[2] == "clean text with number 42 and date 2024.01.01"  # untouched
