@@ -9,6 +9,8 @@ work must be visible in the physical plan, not assumed.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from ironbeam_spark.plans.explain import plan_report
 from ironbeam_spark.suite import QUERIES
 from tests.conftest import SF_SMOKE
@@ -96,3 +98,41 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark):
+    """The as-of join plans as union + one hash-partitioned window — exactly
+    one Exchange on the key, and never a BroadcastNestedLoopJoin."""
+    from ironbeam_spark.operators.temporal import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 10).alias("lt")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 17).alias("rt"),
+        F.col("id").alias("v"),
+    )
+    out = asof_join(left, right, ["k"], "lt", "rt", ["v"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_interval_join_is_equi_join(spark):
+    """The interval join must plan as a hash/sort-merge EQUI join on
+    (key, bucket) — the naive non-equi formulation would be nested-loop."""
+    from ironbeam_spark.operators.temporal import interval_join
+
+    points = spark.range(200).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("pt")
+    )
+    ivs = spark.range(20).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 10).alias("s"),
+        (F.col("id") * 10 + 15).alias("e"),
+    )
+    out = interval_join(points, ivs, ["k"], "pt", "s", "e", bucket_width=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)

@@ -119,3 +119,52 @@ def test_tumble_start_model(spark, ts, size, offset):
     ]
     model = sorted(offset + ((t - offset) // size) * size for t in ts)
     assert got == model
+
+
+# ---------------------------------------------------------------- msgpack codec
+
+# msgpack value domain: scalars + nested containers (no Spark involved)
+_SCALAR = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False),  # NaN != NaN breaks equality, tested apart
+    st.text(max_size=80),
+    st.binary(max_size=80),
+)
+_VALUE = st.recursive(
+    _SCALAR,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=10), inner, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+@given(st.lists(_VALUE, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_msgpack_codec_roundtrip_property(vals):
+    """Hand-rolled codec: decode(encode(x)) == x for arbitrary nested values,
+    concatenated stream framing included."""
+    from ironbeam_spark.sources.msgpack import packb, unpackb_stream
+
+    blob = b"".join(packb(v) for v in vals)
+    assert list(unpackb_stream(blob)) == vals
+
+
+@given(st.lists(_VALUE, min_size=1, max_size=5), st.integers(1, 6))
+@settings(max_examples=50, deadline=None)
+def test_msgpack_truncation_never_silently_corrupts(vals, cut):
+    """Any mid-record truncation raises (clean-EOF contract) — never yields
+    a wrong value for the cut record."""
+    from ironbeam_spark.sources.msgpack import packb, unpackb_stream
+
+    blob = b"".join(packb(v) for v in vals)
+    cut_at = max(0, len(blob) - cut)
+    try:
+        got = list(unpackb_stream(blob[:cut_at]))
+    except ValueError:
+        return  # raised = correct behavior for mid-record cuts
+    # no error ⇒ the cut landed exactly on a record boundary: prefix is exact
+    assert got == vals[: len(got)]
