@@ -1,0 +1,98 @@
+"""Approximate heavy hitters (frequent items) with bounded memory.
+
+Exact per-element counts (``count_per_element`` + top-k, reference
+``src/combiners/count.rs`` / ``topk.rs``) shuffle one row per *distinct*
+item — fine until the domain is billions of tokens/URLs at 100 TB.  This
+module adds the sketch tier the reference lacks: a **mergeable Misra-Gries
+summary** (Agarwal et al., "Mergeable Summaries", PODS'12) with capacity
+``m``:
+
+- per partition (Arrow-batched ``mapInPandas``): exact-count each batch,
+  merge into the running summary, trim to ``m`` entries by subtracting the
+  (m+1)-th largest count from all and dropping the non-positive — the
+  classic MG step, with the subtracted offsets accumulated as the summary's
+  error bound;
+- merge: same sum+trim over the per-partition summaries after a
+  ``repartition(1)`` of ≤ partitions·(m+1) tiny rows (the
+  ``combine_globally`` shape — the result stays a lazy DataFrame).
+
+Error transport is batch-safe: each summary emits its accumulated offset on
+ONE sentinel row (null item) and zero on item rows, so the merger can simply
+sum the ``err`` column no matter how Arrow re-batches the stream.
+
+Guarantees (the testable contract): for every item, ``est ≤ true_count ≤
+est + err``, and any item with ``true_count > err`` is present in the
+output — with ``err`` bounded by roughly ``n/(m+1)`` per merge level.  Both
+are asserted against exact counts in the suite query's within-guarantee
+booleans and in pytest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["approx_heavy_hitters"]
+
+
+def _trim(counts: dict, m: int) -> tuple[dict, int]:
+    """Keep < m+1 entries: subtract the (m+1)-th largest count from all,
+    drop non-positive.  Returns (trimmed, subtracted_offset)."""
+    if len(counts) <= m:
+        return counts, 0
+    pivot = sorted(counts.values(), reverse=True)[m]
+    return {k: v - pivot for k, v in counts.items() if v > pivot}, pivot
+
+
+def approx_heavy_hitters(df: DataFrame, item_col: str, m: int = 256) -> DataFrame:
+    """Frequent-items summary of ``item_col``: ≤ m rows ``(item, est, err)``
+    with ``est ≤ true_count ≤ est + err`` for present items and every item
+    of ``true_count > err`` guaranteed present.  Memory is O(m) per task and
+    the shuffle moves ≤ partitions·(m+1) summary rows — never one row per
+    distinct item."""
+    import pandas as pd
+
+    def summarize(batches: Iterator["pd.DataFrame"], is_merge: bool) -> Iterator["pd.DataFrame"]:
+        counts: dict = {}
+        err = 0
+        for pdf in batches:
+            if is_merge:
+                err += int(pdf["err"].sum())
+                items, ests = pdf["item"], pdf["est"]
+                for item, c in zip(items, ests):
+                    if item is not None and not pd.isna(item):
+                        counts[item] = counts.get(item, 0) + int(c)
+            else:
+                for item, c in pdf[item_col].value_counts().items():
+                    counts[item] = counts.get(item, 0) + int(c)
+            counts, off = _trim(counts, m)
+            err += off
+        out = pd.DataFrame(
+            {
+                "item": list(counts) + [None],  # sentinel row carries err
+                "est": list(counts.values()) + [0],
+                "err": [0] * len(counts) + [err],
+            }
+        )
+        yield out
+
+    def partial(batches):
+        yield from summarize(batches, is_merge=False)
+
+    def merge(batches):
+        yield from summarize(batches, is_merge=True)
+
+    item_type = df.schema[item_col].dataType.simpleString()
+    schema = f"item {item_type}, est long, err long"
+    partials = df.select(item_col).mapInPandas(partial, schema)
+    merged = partials.repartition(1).mapInPandas(merge, schema)
+    # publish the total bound on every item row; drop the sentinel (the
+    # window is over the ≤ m+1 merged rows — trivial, not a data shuffle)
+    total_err = F.max(F.col("err")).over(Window.partitionBy())
+    return (
+        merged.withColumn("err", total_err)
+        .where(F.col("item").isNotNull())
+        .select("item", "est", "err")
+    )

@@ -91,3 +91,42 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(100)
     )
+
+
+@query(
+    "q_heavy_hitters",
+    # the Misra-Gries guarantees are checked in-query against exact counts;
+    # the oracle is the guarantee contract itself (same pattern as
+    # q_approx_distinct / q_approx_quantiles)
+    "SELECT TRUE AS all_frequent_found, TRUE AS bounds_hold, TRUE AS bounded_size",
+    doc="approximate heavy hitters (mergeable Misra-Gries, operators/frequency.py): O(m) memory per task, <= partitions*(m+1) shuffle rows — the bounded-memory tier above exact count_per_element for billion-token domains; emits its guarantee booleans vs exact counts",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.frequency import approx_heavy_hitters
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    sketch = approx_heavy_hitters(toks, "token", m=64)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    joined = sketch.join(exact, sketch.item == exact.token, "left")
+    checks = joined.agg(
+        F.min(
+            (F.col("est") <= F.col("true_n")) & (F.col("true_n") <= F.col("est") + F.col("err"))
+        ).alias("bounds_hold"),
+        F.count(F.lit(1)).alias("n_reported"),
+        F.max("err").alias("err"),
+    )
+    missed_frequent = (
+        exact.join(sketch, exact.token == sketch.item, "left_anti")
+        .crossJoin(F.broadcast(checks.select("err")))
+        .where(F.col("true_n") > F.col("err"))
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    return checks.crossJoin(missed_frequent).select(
+        (F.col("n_missed") == 0).alias("all_frequent_found"),
+        F.col("bounds_hold"),
+        (F.col("n_reported") <= 64).alias("bounded_size"),
+    )

@@ -467,3 +467,41 @@ def test_scrub_pii_redacts_typed_tags(spark):
     assert got[0] == "mail me at <EMAIL> thanks"
     assert got[1] == "server <IP> and card <CARDNUM> leaked"
     assert got[2] == "clean text with number 42 and date 2024.01.01"  # untouched
+
+
+def test_heavy_hitters_guarantees_vs_exact(spark):
+    """Mergeable Misra-Gries contract on a skewed domain: every item with
+    true count > err is present, and est <= true <= est + err for all
+    reported items."""
+    from ironbeam_spark.operators.frequency import approx_heavy_hitters
+    from ironbeam_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    toks = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .repartition(8)
+    )
+    exact = {r.token: r.n for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    sketch = approx_heavy_hitters(toks, "token", m=16).collect()
+    assert 0 < len(sketch) <= 16
+    err = sketch[0].err
+    reported = {r.item: r.est for r in sketch}
+    for item, est in reported.items():
+        assert est <= exact[item] <= est + err, (item, est, exact[item], err)
+    for item, true_n in exact.items():
+        if true_n > err:
+            assert item in reported, (item, true_n, err)
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark):
+    """With m >= |domain| no trimming happens: err == 0 and counts exact."""
+    from ironbeam_spark.operators.frequency import approx_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(x,) for x in ["a"] * 50 + ["b"] * 30 + ["c"] * 20], "item_in string"
+    ).repartition(4)
+    got = {r.item: (r.est, r.err) for r in approx_heavy_hitters(df, "item_in", m=8).collect()}
+    assert got == {"a": (50, 0), "b": (30, 0), "c": (20, 0)}
