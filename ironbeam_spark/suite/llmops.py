@@ -130,3 +130,89 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bounds_hold"),
         (F.col("n_reported") <= 64).alias("bounded_size"),
     )
+
+
+@query(
+    "q_doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_id,
+             array_to_string(tok[i*24+1 : i*24+32], ' ') AS chunk_text
+      FROM toks, (SELECT unnest(generate_series(0, 63)) AS i)
+      WHERE i*24 < len(tok)
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(list_filter(string_split(chunk_text, ' '), t -> t <> '')) AS BIGINT)
+             AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="document chunking (north-star preprocessing): split each doc into 32-token windows with 8-token overlap (stride 24) — one explode over a codegen sequence, no Python; the unit every embedding/training pipeline feeds downstream",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    size, stride = 32, 24
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tok"),
+    )
+    # chunk starts: 0, stride, 2*stride, ... while start < len(tok)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("tok") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = toks.select(
+        "doc_id", "tok", F.explode(starts).alias("start")
+    ).where(F.col("start") < F.size("tok"))
+    out = chunks.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(F.slice("tok", F.col("start") + 1, size), " ").alias("chunk_text"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.size(F.filter(F.split("chunk_text", " "), lambda t: t != "")).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q_contamination",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text)-23, 0)),
+               i -> substr(text, i, 24))) AS grams
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10),
+    flagged AS (
+      SELECT DISTINCT g.doc_id
+      FROM g, bench
+      WHERE doc_id >= 10 AND list_contains(g.grams, bench.gram)
+    )
+    SELECT doc_id FROM flagged ORDER BY doc_id
+    """,
+    doc="benchmark-contamination check (north-star decontamination): corpus docs sharing ANY char-24-gram with the benchmark set (doc_id<10) — shingle explode + broadcast semi-join on the gram, never a doc×doc comparison",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.dedup import char_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(char_ngrams("text", 24))).alias("gram")
+    )
+    bench = grams.where(F.col("doc_id") < 10).select("gram").distinct()
+    flagged = (
+        grams.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), on="gram", how="leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    return flagged.orderBy("doc_id")
