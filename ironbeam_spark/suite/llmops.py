@@ -109,8 +109,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
     )
-    sketch = approx_heavy_hitters(toks, "token", m=64)
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    # both intermediates are tiny (≤ m sketch rows, |vocab| exact rows) but
+    # feed 3 downstream branches — localCheckpoint cuts the re-scan of the
+    # exploded token stream from ~4× to 2×
+    sketch = approx_heavy_hitters(toks, "token", m=64).localCheckpoint()
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n")).localCheckpoint()
     joined = sketch.join(exact, sketch.item == exact.token, "left")
     checks = joined.agg(
         F.min(
