@@ -190,3 +190,47 @@ def test_transform_with_state_running_count_or_gated(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join (watermarked both sides, time-range
+    condition so state evicts) equals the batch join under AvailableNow."""
+    from ironbeam_spark.streaming.joins import stream_interval_join
+
+    def prep(df, ts_alias, id_alias, etype):
+        return (
+            df.where(F.col("event_type") == etype)
+            .withColumn("event_time", F.timestamp_millis(F.expr("ts div 1000000")))
+            .select(
+                "user_id",
+                F.col("event_time").alias(ts_alias),
+                F.col("event_id").alias(id_alias),
+            )
+        )
+
+    sdf, static = _events_stream(spark)
+    s_out = stream_interval_join(
+        prep(sdf, "err_time", "err_id", "error"),
+        prep(sdf, "click_time", "click_id", "click"),
+        on=["user_id"],
+        left_ts="err_time",
+        right_ts="click_time",
+        lower_ms=0,
+        upper_ms=3_600_000,
+        watermark_ms=600_000,
+    ).select("user_id", "err_id", "click_id")
+    _run_to_memory(s_out, "t_stream_ij", "append")
+    got = {(r.user_id, r.err_id, r.click_id) for r in spark.table("t_stream_ij").collect()}
+
+    b_out = stream_interval_join(
+        prep(static, "err_time", "err_id", "error"),
+        prep(static, "click_time", "click_id", "click"),
+        on=["user_id"],
+        left_ts="err_time",
+        right_ts="click_time",
+        lower_ms=0,
+        upper_ms=3_600_000,
+    ).select("user_id", "err_id", "click_id")
+    expected = {(r.user_id, r.err_id, r.click_id) for r in b_out.collect()}
+    assert got == expected
+    assert len(expected) > 0  # non-degenerate
