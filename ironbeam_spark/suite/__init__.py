@@ -12,8 +12,9 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
     text_ml,
     udf_batch,
     windowed,
-    temporal,  # these two stay last: they register after the driver's
+    temporal,  # these stay last: they register after the driver's
     llmops,    # 50-query window and earn driver rows next round
+    reshape,
 )
 
 

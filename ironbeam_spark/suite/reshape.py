@@ -1,0 +1,67 @@
+"""Reshape queries: pivot (long→wide) and unpivot/melt (wide→long) — table
+reshaping the reference has no operator for (Spark natives: ``groupBy().
+pivot()`` with explicit values so no extra distinct-scan, ``unpivot``).
+Registered after the driver window; oracle-checked locally now."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.sources.io import read_table
+from ironbeam_spark.suite.registry import query
+
+_ETYPES = ["click", "error", "purchase", "view"]
+
+
+@query(
+    "q_pivot",
+    f"""
+    SELECT user_id,
+           {', '.join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in _ETYPES)}
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="pivot long→wide: per-user event-type count matrix via groupBy().pivot(values=...) — explicit pivot values skip the extra distinct pass, one shuffle total (no reference counterpart; oracle = FILTERed conditional aggregation)",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _ETYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in _ETYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out.orderBy("user_id")
+
+
+@query(
+    "q_unpivot",
+    """
+    WITH wide AS (
+      SELECT c_custkey,
+             round(c_acctbal, 2) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nation
+      FROM customer WHERE c_custkey <= 100
+    )
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey, 'acctbal' AS metric, acctbal AS value FROM wide
+      UNION ALL
+      SELECT c_custkey, 'nation' AS metric, nation AS value FROM wide
+    )
+    ORDER BY c_custkey, metric
+    """,
+    doc="unpivot/melt wide→long: Spark native unpivot (zero shuffle — a per-row explode in the same stage); oracle = UNION ALL stack",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    wide = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nation"),
+    )
+    out = wide.unpivot("c_custkey", ["acctbal", "nation"], "metric", "value")
+    return out.orderBy("c_custkey", "metric")
