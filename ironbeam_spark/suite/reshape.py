@@ -65,3 +65,40 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = wide.unpivot("c_custkey", ["acctbal", "nation"], "metric", "value")
     return out.orderBy("c_custkey", "metric")
+
+
+@query(
+    "q_window_analytics",
+    """
+    SELECT c_nationkey, c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           cume_dist() OVER w AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(coalesce(lag(c_acctbal) OVER w, 0.0), 2) AS prev_bal,
+           round(coalesce(lead(c_acctbal) OVER w, 0.0), 2) AS next_bal
+    FROM customer
+    WHERE c_custkey <= 200
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, rnk, c_custkey
+    """,
+    doc="analytic window-function family (rank/cume_dist/ntile/lag/lead) over a single per-key window — ONE shuffle+sort serves all five functions (no reference counterpart; windows there are time-buckets only)",
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.coalesce(F.lag("c_acctbal").over(w), F.lit(0.0)), 2).alias("prev_bal"),
+            F.round(F.coalesce(F.lead("c_acctbal").over(w), F.lit(0.0)), 2).alias("next_bal"),
+        )
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    )
