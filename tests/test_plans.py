@@ -136,3 +136,32 @@ def test_interval_join_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoop" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_no_scale_killers_in_any_query(spark):
+    """Sweep EVERY registry query's executed plan: zero CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where the nested side is a
+    single row (scalar-subquery thresholds in Q11/Q22, the 1-row guarantee
+    joins in q_heavy_hitters) or the declared |Q|x|C| exactness baseline
+    (q_ann_bruteforce).  Any new query joining carelessly fails here."""
+    # BNLJ over a 1-row side is a map-side constant join, not a scale smell
+    BNLJ_ALLOWED = {
+        "q_ann_bruteforce",       # declared brute-force baseline, broadcast Q side
+        "q_heavy_hitters",        # crossJoin of single-row aggregate checks
+        "q22_global_sales_opportunity",  # scalar subquery (avg acctbal)
+        "q11_important_stock",    # scalar subquery (value threshold)
+    }
+    bnlj_hits, cartesian_hits = set(), set()
+    for name, q in QUERIES.items():
+        if name == "q_stream_tumble":  # runs a streaming sink; covered elsewhere
+            continue
+        df = q.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        if "CartesianProduct" in plan:
+            cartesian_hits.add(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj_hits.add(name)
+    assert cartesian_hits == set(), cartesian_hits
+    assert bnlj_hits <= BNLJ_ALLOWED, bnlj_hits - BNLJ_ALLOWED
