@@ -102,3 +102,59 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "rnk", "c_custkey")
     )
+
+
+@query(
+    "q_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 1000, 2) AS acctbal, c_nationkey
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 900000 + n AS c_custkey, 'Customer#new' || n::VARCHAR AS c_name,
+             round(n * 1.5, 2) AS acctbal, CAST(n % 25 AS BIGINT) AS c_nationkey
+      FROM (SELECT unnest(generate_series(1, 50)) AS n)
+    ),
+    target AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_nationkey
+      FROM customer
+    ),
+    merged AS (
+      SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.acctbal ELSE t.acctbal END AS acctbal,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey
+      FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM merged GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="merge/upsert without a lakehouse (operators/merge.py): matched rows replaced, new rows inserted, others kept — one key-shuffle full-outer join (bucket-layout removes even that); oracle mirrors the merge in SQL",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.merge import merge_upsert
+
+    cust = read_table(spark, sf_dir, "customer")
+    target = cust.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "c_nationkey"
+    )
+    modified = target.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "acctbal", F.round(F.col("acctbal") + 1000, 2)
+    )
+    inserts = spark.range(1, 51).select(
+        (F.col("id") + 900000).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("id").cast("string")).alias("c_name"),
+        F.round(F.col("id") * 1.5, 2).alias("acctbal"),
+        (F.col("id") % 25).cast("long").alias("c_nationkey"),
+    )
+    merged = merge_upsert(target, modified.unionByName(inserts), ["c_custkey"])
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("acctbal") * 100).cast("long")).alias("bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -505,3 +505,28 @@ def test_heavy_hitters_exact_when_capacity_suffices(spark):
     ).repartition(4)
     got = {r.item: (r.est, r.err) for r in approx_heavy_hitters(df, "item_in", m=8).collect()}
     assert got == {"a": (50, 0), "b": (30, 0), "c": (20, 0)}
+
+
+def test_merge_upsert_semantics(spark):
+    """Matched → whole-row replace (update NULLs overwrite), unmatched
+    update → insert, unmatched target → keep; schema mismatch rejected."""
+    from ironbeam_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10),     # kept
+        2: ("B", None),   # replaced, update NULL overwrites
+        3: ("c", 30),     # kept
+        4: ("d", 40),     # inserted
+    }
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, "x")], "k long, other string")
+    with _pytest.raises(ValueError, match="matching schemas"):
+        merge_upsert(target, bad, ["k"])
