@@ -158,3 +158,50 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_group_stats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sqq,
+             CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sp,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sq, sp,
+           (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_qty,
+           (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_qty_price
+    FROM s ORDER BY l_returnflag
+    """,
+    doc="per-group descriptive statistics (population variance + covariance, beyond the reference's Average/Mean): moments accumulated as EXACT int64 sums (bit-reproducible under any partitioning), the float formula evaluated identically on both engines — the scaled-int discipline extended to second moments",
+)
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    nd = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sqq = F.col("sqq").cast("double")
+    sp = F.col("sp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sq",
+        "sp",
+        ((nd * sqq - sq * sq) / (nd * nd)).alias("var_qty"),
+        ((nd * sqp - sq * sp) / (nd * nd)).alias("cov_qty_price"),
+    ).orderBy("l_returnflag")
