@@ -205,3 +205,76 @@ def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((nd * sqq - sq * sq) / (nd * nd)).alias("var_qty"),
         ((nd * sqp - sq * sp) / (nd * nd)).alias("cov_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_histogram",
+    """
+    WITH bounds AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+      SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bin
+      FROM orders, bounds
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="equi-width histogram (data profiling): 20 bins over the observed range — one pass for bounds (2 scalars to the driver-free broadcast), one pass to bin+count; the profiling primitive behind any column-distribution dashboard",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(20.0))
+            ).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
+
+
+@query(
+    "q_profile",
+    """
+    SELECT 'c_acctbal' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(c_acctbal) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+           CAST(round(min(c_acctbal)*100) AS BIGINT) AS min_cents,
+           CAST(round(max(c_acctbal)*100) AS BIGINT) AS max_cents
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(min(c_nationkey)*100 AS BIGINT),
+           CAST(max(c_nationkey)*100 AS BIGINT)
+    FROM customer
+    ORDER BY column_name
+    """,
+    doc="column profiling (data quality): row/non-null/distinct counts + range per column in one agg pass per column — the standard ingest-time profile",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+
+    def profile(col: str, scale: bool) -> DataFrame:
+        lo = F.min(col) * 100 if not scale else F.round(F.min(col) * 100)
+        hi = F.max(col) * 100 if not scale else F.round(F.max(col) * 100)
+        return cust.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            lo.cast("long").alias("min_cents"),
+            hi.cast("long").alias("max_cents"),
+        ).select(F.lit(col).alias("column_name"), "*")
+
+    return profile("c_acctbal", True).unionByName(
+        profile("c_nationkey", False)
+    ).orderBy("column_name")
