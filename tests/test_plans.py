@@ -150,6 +150,7 @@ def test_no_scale_killers_in_any_query(spark):
         "q_heavy_hitters",        # crossJoin of single-row aggregate checks
         "q22_global_sales_opportunity",  # scalar subquery (avg acctbal)
         "q11_important_stock",    # scalar subquery (value threshold)
+        "q_histogram",            # 1-row min/max bounds broadcast
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():
