@@ -331,9 +331,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints AS (SELECT doc_id, list_transform(toks, x -> {_TI_SQL.format('x')}) AS hs,
                     len(toks) AS n FROM t)
     SELECT doc_id,
+           -- ::BIGINT matters: DuckDB's list_sum over BIGINT yields HUGEINT,
+           -- which pandas widens to float64 — same values, different dtype,
+           -- and a dtype-sensitive comparator then sees every row mismatch.
            list_sum(list_transform(generate_series(0, 47), j ->
               CASE WHEN 2*len(list_filter(hs, h -> (h >> j) & 1 = 1)) > n
-                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS simhash_fp
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash_fp
     FROM ints
     ORDER BY doc_id
     """,
