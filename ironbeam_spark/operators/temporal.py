@@ -48,7 +48,14 @@ def asof_join(
     ``left_ts - tolerance``.
 
     Ties on ``right_ts`` within a key resolve to the row that sorts last by
-    the value struct — deterministic under any partitioning.
+    ``(right_ts, value struct)`` — deterministic under any partitioning.
+
+    All attached columns (``matched_ts`` + every value) come from the SAME
+    matched right row: the forward-fill moves one struct of the whole right
+    row, not each column independently, so a right row carrying a NULL in
+    one value column yields that NULL (pandas ``merge_asof`` / DuckDB
+    ``ASOF JOIN`` semantics), never a stitched row mixing older and newer
+    right rows.
     """
     keys = list(on)
     vals = list(value_cols)
@@ -60,21 +67,30 @@ def asof_join(
     ).withColumn("_side", F.lit(0)).withColumn("_t", F.col("_rts").cast("long"))
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
+    # one struct of (_rts, values): non-null exactly on right rows, so a
+    # single last(ignorenulls) carries the whole matched row atomically
+    rv = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_rts").alias("_rts"), *[F.col(v).alias(v) for v in vals]),
+    )
+    merged = merged.withColumn("_rv", rv)
+
     # right rows sort before left rows at equal time (inclusive match);
-    # the value struct breaks right-right ties deterministically
-    order = [F.col("_t"), F.col("_side"), F.struct(*[F.col(v) for v in vals])]
+    # the (_rts, values) struct breaks right-right ties deterministically
+    order = [F.col("_t"), F.col("_side"), F.col("_rv")]
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    filled = merged.withColumn("_m_ts", F.last(F.col("_rts"), ignorenulls=True).over(w))
-    for v in vals:
-        filled = filled.withColumn(v, F.last(F.col(v), ignorenulls=True).over(w))
+    filled = merged.withColumn("_rvf", F.last(F.col("_rv"), ignorenulls=True).over(w))
 
     out = filled.where(F.col("_side") == 1)
     if tolerance is not None:
-        keep = F.col("_m_ts").cast("long") >= F.col("_t") - F.lit(tolerance)
-        for v in vals:
-            out = out.withColumn(v, F.when(keep, F.col(v)))
-        out = out.withColumn("_m_ts", F.when(keep, F.col("_m_ts")))
-    return out.withColumnRenamed("_m_ts", "matched_ts").drop("_side", "_t", "_rts")
+        keep = F.col("_rvf._rts").cast("long") >= F.col("_t") - F.lit(tolerance)
+        out = out.withColumn("_rvf", F.when(keep, F.col("_rvf")))
+    for v in vals:
+        out = out.withColumn(v, F.col(f"_rvf.{v}"))
+    return (
+        out.withColumn("matched_ts", F.col("_rvf._rts"))
+        .drop("_side", "_t", "_rts", "_rv", "_rvf")
+    )
 
 
 def interval_join(

@@ -77,7 +77,7 @@ class _MsgpackReader(DataSourceReader):
 
         with open(partition.value, "rb") as fh:
             data = fh.read()
-        for rec in unpackb_stream(data):
+        for rec in unpackb_stream(data, int64_strict=True):
             if isinstance(rec, dict):
                 yield tuple(rec.get(n) for n in self.names)
             else:
@@ -89,12 +89,25 @@ class _MsgpackCommit(WriterCommitMessage):
 
 
 class _MsgpackWriter(DataSourceWriter):
-    def __init__(self, options: dict, schema: StructType):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("msgpack sink requires a path")
         self.names = [f.name for f in schema.fields]
+        # runs driver-side, before any task: honor SaveMode here.
+        # overwrite clears prior shards (a rewrite with fewer partitions must
+        # not leave stale part files to be silently mixed into later reads);
+        # append uniquifies names so same-numbered shards never clobber.
         os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".msgpack"):
+                    os.remove(os.path.join(self.path, f))
+            self.token = ""
+        else:
+            import uuid
+
+            self.token = f"-{uuid.uuid4().hex[:8]}"
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         import io as _io
@@ -110,7 +123,8 @@ class _MsgpackWriter(DataSourceWriter):
             pack_into(buf, list(row))
             n += 1
         if n:
-            with open(os.path.join(self.path, f"part-{pid:05d}.msgpack"), "wb") as fh:
+            shard = f"part-{pid:05d}{self.token}.msgpack"
+            with open(os.path.join(self.path, shard), "wb") as fh:
                 fh.write(buf.getvalue())
         return _MsgpackCommit()
 
@@ -136,7 +150,7 @@ class MsgpackDataSource(DataSource):
         return _MsgpackReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        return _MsgpackWriter(self.options, schema)
+        return _MsgpackWriter(self.options, schema, overwrite)
 
 
 def register_msgpack_format(spark: SparkSession) -> None:

@@ -143,11 +143,20 @@ def packb(v: Any) -> bytes:
 # ── codec: decoder ──────────────────────────────────────────────────────────
 
 class _Unpacker:
-    """Sequential decoder over one buffer of concatenated values."""
+    """Sequential decoder over one buffer of concatenated values.
 
-    def __init__(self, data: bytes):
+    ``int64_strict`` guards the Spark boundary: the codec itself is
+    full-range msgpack (uint64 up to 2**64-1 decodes to a Python int), but
+    every Spark read path types integer columns as long (int64), so a
+    0xCF value above 2**63-1 would otherwise surface only later as an
+    opaque Arrow conversion error.  Strict mode raises at the decode site
+    with the byte offset instead.
+    """
+
+    def __init__(self, data: bytes, *, int64_strict: bool = False):
         self.d = data
         self.pos = 0
+        self.int64_strict = int64_strict
 
     def eof(self) -> bool:
         return self.pos >= len(self.d)
@@ -196,7 +205,15 @@ class _Unpacker:
         if c == 0xCE:
             return struct.unpack(">I", self._take(4))[0]
         if c == 0xCF:
-            return struct.unpack(">Q", self._take(8))[0]
+            v = struct.unpack(">Q", self._take(8))[0]
+            if self.int64_strict and v > 0x7FFFFFFFFFFFFFFF:
+                raise ValueError(
+                    f"uint64 value {v} at byte {self.pos - 9} exceeds int64: "
+                    "Spark types integer columns as long; decode with "
+                    "unpackb_stream(..., int64_strict=False) for codec-level "
+                    "access"
+                )
+            return v
         if c == 0xD0:
             return struct.unpack("b", self._take(1))[0]
         if c == 0xD1:
@@ -228,11 +245,13 @@ class _Unpacker:
         return {self.unpack(): self.unpack() for _ in range(n)}
 
 
-def unpackb_stream(data: bytes) -> Iterator[Any]:
+def unpackb_stream(data: bytes, *, int64_strict: bool = False) -> Iterator[Any]:
     """Yield every concatenated value in ``data`` (the reference's
     ``msgpack_read_loop`` clean-EOF contract, ``src/io/msgpack.rs:88-105``:
-    stop exactly at a record boundary, raise mid-record)."""
-    u = _Unpacker(data)
+    stop exactly at a record boundary, raise mid-record).  Spark read paths
+    pass ``int64_strict=True`` so out-of-int64 uint64s fail loudly at the
+    decode site instead of as a downstream Arrow error."""
+    u = _Unpacker(data, int64_strict=int64_strict)
     while not u.eof():
         yield u.unpack()
 
@@ -268,7 +287,7 @@ def read_msgpack(
         for pdf in batches:
             for blob in pdf["content"]:
                 rows = []
-                for rec in unpackb_stream(bytes(blob)):
+                for rec in unpackb_stream(bytes(blob), int64_strict=True):
                     if isinstance(rec, dict):
                         rows.append([rec.get(n) for n in names])
                     elif isinstance(rec, (list, tuple)):
@@ -301,16 +320,35 @@ def write_msgpack(
     directory (this container's layout); an object-store deployment would
     swap the ``open`` for an fsspec/Hadoop-FS stream — the encode path and
     shard naming are unchanged.
+
+    ``mode`` follows DataFrameWriter semantics: ``overwrite`` removes
+    existing shards first; ``append`` adds uniquely-named shards (a per-job
+    token keeps them from clobbering a prior write's ``part-NNNNN``);
+    ``error``/``errorifexists`` raises if the directory already holds
+    shards; ``ignore`` is a no-op then.
     """
+    import uuid
+
     from ironbeam_spark.collection import PCollection
+
+    modes = {"overwrite", "append", "error", "errorifexists", "ignore"}
+    if mode not in modes:
+        raise ValueError(f"write_msgpack mode must be one of {sorted(modes)}, got {mode!r}")
 
     d = df.df if isinstance(df, PCollection) else df
     names = d.columns
     os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if f.endswith(".msgpack")]
     if mode == "overwrite":
-        for f in os.listdir(path):
-            if f.endswith(".msgpack"):
-                os.remove(os.path.join(path, f))
+        for f in existing:
+            os.remove(os.path.join(path, f))
+    elif mode in ("error", "errorifexists") and existing:
+        raise FileExistsError(f"msgpack shards already exist at {path} (mode={mode})")
+    elif mode == "ignore" and existing:
+        return 0
+    # append: a fresh job token uniquifies shard names; byte-concatenation
+    # semantics make old+new shards one valid dataset
+    token = f"-{uuid.uuid4().hex[:8]}" if mode == "append" else ""
 
     def write_partition(batches: Iterator) -> Iterator:
         # Arrow-batched: one task sees every batch of its partition, encodes
@@ -326,7 +364,7 @@ def write_msgpack(
                 pack_into(buf, [rec[c] for c in names] if as_arrays else rec)
                 n += 1
         if n:  # skip empty shards — concatenation semantics are unchanged
-            with open(os.path.join(path, f"part-{pid:05d}.msgpack"), "wb") as fh:
+            with open(os.path.join(path, f"part-{pid:05d}{token}.msgpack"), "wb") as fh:
                 fh.write(buf.getvalue())
         yield pa.RecordBatch.from_pylist([{"n": n}], schema=pa.schema([("n", pa.int64())]))
 

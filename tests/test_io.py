@@ -188,6 +188,84 @@ def test_custom_source_msgpack_format(spark, sample, tmp_path):
     assert _sorted(helper) == _sorted(sample)
 
 
+def test_custom_source_msgpack_overwrite_clears_stale_shards(spark, sample, tmp_path):
+    """mode('overwrite') with fewer partitions than a prior write must not
+    leave stale part files silently mixed into subsequent reads."""
+    import os
+
+    from ironbeam_spark.sources.custom import register_msgpack_format
+
+    register_msgpack_format(spark)
+    p = str(tmp_path / "ds_msgpack_ow")
+    sample.repartition(3).write.format("msgpack").option("path", p).mode("overwrite").save()
+    assert len([f for f in os.listdir(p) if f.endswith(".msgpack")]) == 3
+    one = sample.limit(1).coalesce(1)
+    one.write.format("msgpack").option("path", p).mode("overwrite").save()
+    assert len([f for f in os.listdir(p) if f.endswith(".msgpack")]) == 1
+    back = (
+        spark.read.format("msgpack")
+        .schema("id long, s string, v double")
+        .option("path", p)
+        .load()
+    )
+    assert back.count() == 1
+
+
+def test_custom_source_msgpack_append_never_clobbers(spark, sample, tmp_path):
+    """Two appends with the same partitioning double the data: shard names
+    are uniquified per job, not keyed by partition id alone."""
+    from ironbeam_spark.sources.custom import register_msgpack_format
+
+    register_msgpack_format(spark)
+    p = str(tmp_path / "ds_msgpack_app")
+    for _ in range(2):
+        sample.repartition(2).write.format("msgpack").option("path", p).mode("append").save()
+    back = (
+        spark.read.format("msgpack")
+        .schema("id long, s string, v double")
+        .option("path", p)
+        .load()
+    )
+    assert back.count() == sample.count() * 2
+
+
+def test_write_msgpack_modes(spark, sample, tmp_path):
+    """DataFrameWriter-style mode semantics on the standalone sink."""
+    p = str(tmp_path / "modes_msgpack")
+    with pytest.raises(ValueError, match="mode"):
+        write_msgpack(sample, p, mode="bogus")
+    write_msgpack(sample, p)  # default overwrite
+    # append adds uniquely-named shards: data doubles
+    write_msgpack(sample, p, mode="append")
+    back = read_msgpack(spark, p, "id long, s string, v double").df
+    assert back.count() == sample.count() * 2
+    with pytest.raises(FileExistsError):
+        write_msgpack(sample, p, mode="error")
+    assert write_msgpack(sample, p, mode="ignore") == 0
+    assert read_msgpack(spark, p, "id long, s string, v double").df.count() == sample.count() * 2
+
+
+def test_msgpack_uint64_strict_at_spark_boundary(spark, tmp_path):
+    """Codec is full-range msgpack (uint64 roundtrips), but Spark reads type
+    integers as int64 — the read path must fail loudly at decode, naming the
+    byte offset, instead of as a downstream Arrow error."""
+    import os
+
+    from ironbeam_spark.sources.msgpack import packb, unpackb_stream
+
+    big = 2**63  # encodes as 0xCF, exceeds int64
+    blob = packb([1, big])
+    assert list(unpackb_stream(blob)) == [[1, big]]  # codec-level: fine
+    with pytest.raises(ValueError, match="int64"):
+        list(unpackb_stream(blob, int64_strict=True))
+    d = tmp_path / "u64_msgpack"
+    d.mkdir()
+    with open(os.path.join(str(d), "part-00000.msgpack"), "wb") as fh:
+        fh.write(blob)
+    with pytest.raises(Exception, match="int64"):
+        read_msgpack(spark, str(d), "a long, b long").df.collect()
+
+
 def test_custom_source_requires_schema(spark, tmp_path):
     from ironbeam_spark.sources.custom import register_msgpack_format
 

@@ -431,6 +431,24 @@ def test_asof_join_semantics(spark):
     assert got_tol == {("a", 10): "r10", ("a", 20): None, ("a", 5): None, ("b", 7): None}
 
 
+def test_asof_join_null_value_from_matched_row(spark):
+    """A matched right row carrying a NULL value column yields that NULL —
+    never a stitched row whose columns come from different right rows
+    (pandas merge_asof / DuckDB ASOF semantics: the whole right row moves
+    as one struct)."""
+    from ironbeam_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("a", 20)], "k string, lt long")
+    right = spark.createDataFrame(
+        [("a", 5, "old_v", "old_w"), ("a", 15, None, "new_w")],
+        "k string, rt long, v string, w string",
+    )
+    out = asof_join(left, right, ["k"], "lt", "rt", ["v", "w"])
+    row = out.collect()[0]
+    # matched row is rt=15: v must be its NULL, not rt=5's "old_v"
+    assert (row.v, row.w, row.matched_ts) == (None, "new_w", 15)
+
+
 def test_interval_join_bucketing_invariant(spark):
     """Exact containment is independent of bucket width: intervals longer and
     shorter than the bucket all produce identical results."""
