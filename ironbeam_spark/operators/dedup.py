@@ -47,6 +47,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "jaccard",
+    "prefix_filter_candidates",
+    "set_similarity_join",
 ]
 
 
@@ -408,4 +410,97 @@ def simhash_pairs(
         cands.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def prefix_filter_candidates(
+    sets: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """EXACT candidate pairs for Jaccard ≥ ``threshold`` via prefix filtering
+    (the AllPairs/PPJoin family — Bayardo et al., WWW'07; public algorithm).
+
+    Unlike MinHash banding this has a zero-false-negative guarantee, so an
+    all-pairs oracle stays exact: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉ (since
+    |A∪B| ≥ |A|), and two sets with overlap ≥ α must share an element within
+    the first |·| − α + 1 elements under ANY shared total order.  We order
+    elements rarest-first (document frequency within the block, ties by
+    value) so the prefix posting lists are the SHORT ones — the classic
+    inverted-index trick that replaces the within-block all-pairs join.
+
+    100 TB shape: every step is a linear shuffle (freq aggregate, freq join,
+    per-doc window for prefix rank, posting-list equi-join, distinct) —
+    no step is quadratic in block size, unlike ``a.join(b, block).where(...)``.
+
+    ``block_cols``: optional hard blocking keys (pairs must agree on them);
+    the rarest-first order is computed per block, which is consistent for
+    every compared pair since pairs never cross blocks.
+    """
+    from pyspark.sql import Window as W
+
+    blocks = list(block_cols)
+    base = sets.select(
+        *blocks, F.col(id_col), F.col(set_col).alias("_set"), F.size(set_col).alias("_n")
+    ).where(F.col("_n") > 0)
+    tok = base.select(*blocks, id_col, "_n", F.explode("_set").alias("_tok"))
+    freq = tok.groupBy(*blocks, "_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(freq, on=[*blocks, "_tok"])
+    w = W.partitionBy(*blocks, id_col).orderBy("_df", "_tok")
+    # required overlap α = ⌈t·n⌉; prefix keeps the first n − α + 1 elements.
+    # The 1e-9 nudge guards FP error in t·n the SAFE way: it can only LOWER
+    # α (longer prefix → extra candidates), never raise it (missed pairs).
+    alpha = F.ceil(F.lit(float(threshold)) * F.col("_n") - F.lit(1e-9)).cast("long")
+    pref = (
+        ranked.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_n") - alpha + F.lit(1))
+        .select(*blocks, id_col, "_n", "_tok")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    na, nb = F.col("a._n"), F.col("b._n")
+    return (
+        a.join(b, on=[*blocks, "_tok"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # length filter: J ≥ t needs min(n_a,n_b) ≥ t·max(n_a,n_b)
+        .where(F.least(na, nb) >= F.lit(float(threshold)) * F.greatest(na, nb) - F.lit(1e-9))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def set_similarity_join(
+    sets: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    block_cols: tuple[str, ...] = (),
+    sim_col: str = "jaccard_sim",
+) -> DataFrame:
+    """Exact self set-similarity join: all pairs with Jaccard ≥ ``threshold``
+    (and equal ``block_cols``), as ``(id_a, id_b, sim)`` with ``id_a < id_b``.
+
+    Identical OUTPUT to the quadratic ``a.join(b, block).where(J ≥ t)``
+    formulation — prefix filtering only prunes pairs that provably cannot
+    reach the threshold — but with linear-shuffle plan shape (see
+    :func:`prefix_filter_candidates`).  The candidate→verify join re-attaches
+    each side's set once, hash-partitioned on id."""
+    base = sets.select(
+        *block_cols, F.col(id_col), F.col(set_col).alias("_set")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_SHINGLE_TABLES.append(base)
+    cands = prefix_filter_candidates(base, id_col, "_set", threshold, block_cols)
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    return (
+        cands.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(sim_col, jaccard(F.col("_sa"), F.col("_sb")))
+        .where(F.col(sim_col) >= F.lit(float(threshold)))
+        .select("id_a", "id_b", sim_col)
     )

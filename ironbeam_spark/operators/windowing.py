@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "to_epoch_ms",
+    "to_epoch_us",
+    "to_event_time",
     "tumble_start",
     "key_by_window",
     "combine_per_window",
@@ -43,6 +45,30 @@ def to_epoch_ms(df: DataFrame, ts_col: str) -> Column:
     if dt in ("bigint", "int"):
         return F.expr(f"`{ts_col}` div 1000000")
     return F.unix_millis(F.col(ts_col))
+
+
+def to_epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Epoch-micros view of an event-time column, dtype-aware.
+
+    Same contract as :func:`to_epoch_ms` at microsecond resolution: int64
+    columns are nanoseconds (``div 1000``), TIMESTAMP columns go through
+    ``unix_micros`` (Spark timestamps are micro-resolution, so this is
+    lossless and bit-exact with DuckDB's ``epoch_us``)."""
+    dt = df.schema[ts_col].dataType.simpleString()
+    if dt in ("bigint", "int"):
+        return F.expr(f"`{ts_col}` div 1000")
+    return F.unix_micros(F.col(ts_col))
+
+
+def to_event_time(df: DataFrame, ts_col: str) -> Column:
+    """TIMESTAMP view of an event-time column, dtype-aware (for streaming
+    watermarks / ``F.window``).  int64 columns are nanoseconds and truncate
+    to millis (the historical ``nanosAsLong`` read); TIMESTAMP columns pass
+    through untouched."""
+    dt = df.schema[ts_col].dataType.simpleString()
+    if dt in ("bigint", "int"):
+        return F.timestamp_millis(F.expr(f"`{ts_col}` div 1000000"))
+    return F.col(ts_col)
 
 
 def tumble_start(df: DataFrame, ts_col: str, size_ms: int, offset_ms: int = 0) -> Column:

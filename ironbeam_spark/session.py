@@ -63,6 +63,10 @@ def get_spark(
         # NTZ columns as naive-as-UTC instants
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 (Spark's legacy default) writes NO min/max footer stats, which
+        # kills file skipping on timestamp sort keys; micros is the modern
+        # interoperable encoding (same resolution as Spark's internal type)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")

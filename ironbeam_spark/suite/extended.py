@@ -13,7 +13,7 @@ from ironbeam_spark.functions.exact import cents, sum_money
 from ironbeam_spark.functions.time import ts_lit
 from ironbeam_spark.operators.dead_letter import partition_tags, try_map
 from ironbeam_spark.operators.side_inputs import with_side_multimap
-from ironbeam_spark.operators.windowing import combine_per_key_and_window
+from ironbeam_spark.operators.windowing import combine_per_key_and_window, to_epoch_ms
 from ironbeam_spark.sources.io import read_table
 from ironbeam_spark.suite.registry import _t, query
 
@@ -558,7 +558,7 @@ def q_bottom_k_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_latest_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    ts_ms = F.expr("ts div 1000000")  # int64 nanos → millis (nanosAsLong read)
+    ts_ms = to_epoch_ms(ev, "ts")  # dtype-aware (TIMESTAMP or int64 nanos)
     return ev.agg(
         F.max_by("event_id", ts_ms).alias("latest_event_id"),
         F.max_by("event_type", ts_ms).alias("latest_event_type"),

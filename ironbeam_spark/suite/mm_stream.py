@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironbeam_spark.operators.multimodal import as_blob, blob_metadata, fake_decode_features
+from ironbeam_spark.operators.windowing import to_event_time
 from ironbeam_spark.sources.io import read_table
 from ironbeam_spark.suite.registry import query
 
@@ -85,10 +86,11 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         # streaming source must be a directory; glob-filter to the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        # parquet TIMESTAMP(NANOS) reads as int64 nanos in Spark → TIMESTAMP
-        # millis for watermarking (bit-exact with the oracle's epoch_ms)
-        .withColumn("event_time", F.timestamp_millis(F.expr("ts div 1000000")))
     )
+    # dtype-aware: current testdata stores TIMESTAMP(MICROS) (passes through);
+    # a legacy nanosAsLong int64 read truncates to millis — either way
+    # window assignment is bit-exact with the oracle's epoch_ms floor
+    sdf = sdf.withColumn("event_time", to_event_time(sdf, "ts"))
     agg = stream_tumbling_agg(
         sdf,
         "event_time",

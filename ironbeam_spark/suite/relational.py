@@ -199,9 +199,15 @@ def q_count_per_element(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").key_by("user_id")
+    # dtype-aware: ts is TIMESTAMP in current testdata (epoch-millis via
+    # unix_millis), int64 nanos under the legacy nanosAsLong read
+    if ev.df.schema["ts"].dataType.simpleString() == "bigint":
+        latest_ms = F.expr("max(ts) div 1000000")
+    else:
+        latest_ms = F.unix_millis(F.max("ts"))
     out = ev.agg_per_key(
         F.max_by("value", "ts").alias("latest_value"),
-        F.expr("max(ts) div 1000000").alias("latest_ts_ms"),
+        latest_ms.alias("latest_ts_ms"),
     )
     return out.df.orderBy("user_id")
 

@@ -4,7 +4,7 @@ events table (north-star extensions — the reference has no temporal joins).
 Registered LAST in the suite so the driver's 50-query window (already
 exactly filled this round) is undisturbed; these earn driver rows next
 round and are oracle-checked by tools/check.py now.  Timestamps compare at
-microsecond resolution on both engines (Spark: int64-nanos ``ts div 1000``;
+microsecond resolution on both engines (Spark: dtype-aware ``to_epoch_us``;
 DuckDB: ``epoch_us``), so the oracles are exact.
 """
 
@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ironbeam_spark.operators.windowing import to_epoch_us
 from ironbeam_spark.sources.io import read_table
 from ironbeam_spark.suite.registry import query
 
@@ -38,7 +39,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.temporal import asof_join
 
     ev = read_table(spark, sf_dir, "events")
-    us = F.expr("ts div 1000")
+    us = to_epoch_us(ev, "ts")
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_event_id"), "user_id", us.alias("click_us")
     )
@@ -73,7 +74,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.temporal import interval_join
 
     ev = read_table(spark, sf_dir, "events")
-    us = F.expr("ts div 1000")
+    us = to_epoch_us(ev, "ts")
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),
         "user_id",

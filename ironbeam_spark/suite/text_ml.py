@@ -303,25 +303,22 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="char-4-gram Jaccard near-dup within (lang, source) blocking buckets (north-star dedup)",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale-safe shape: EXACT prefix-filter candidates (rarest-first inverted
+    # index) + verify — identical output to the oracle's all-pairs join, but
+    # every shuffle is linear in block size (operators/dedup.py:
+    # prefix_filter_candidates; zero-false-negative guarantee documented
+    # there, so the quadratic SQL stays an exact oracle)
+    from ironbeam_spark.operators.dedup import set_similarity_join
     from ironbeam_spark.scale import ensure_min_parallelism
 
     docs = ensure_min_parallelism(_t(spark, sf_dir, "documents").df)
     g = docs.select(
         "doc_id", "lang", "source", char_ngrams("text", 4).alias("grams")
     )
-    a = g.alias("a")
-    b = g.alias("b")
-    return (
-        a.join(b, on=["lang", "source"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard_sim"),
-        )
-        .where(F.col("jaccard_sim") >= 0.4)
-        .orderBy("id_a", "id_b")
+    out = set_similarity_join(
+        g, "doc_id", "grams", 0.4, block_cols=("lang", "source")
     )
+    return out.select("id_a", "id_b", "jaccard_sim").orderBy("id_a", "id_b")
 
 
 @query(

@@ -129,11 +129,12 @@ def test_stream_tumble_matches_batch(spark):
         (r.event_type, r.window_start): (r.n, r.sum_value_cents)
         for r in QUERIES["q_stream_tumble"].fn(spark, SF_SMOKE).collect()
     }
+    from ironbeam_spark.operators.windowing import to_event_time
     from ironbeam_spark.sources.io import read_table
 
     ev = read_table(spark, SF_SMOKE, "events")
     batch = (
-        ev.withColumn("event_time", F.timestamp_millis(F.expr("ts div 1000000")))
+        ev.withColumn("event_time", to_event_time(ev, "ts"))
         .groupBy("event_type", F.window("event_time", "3600000 milliseconds"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -190,9 +190,10 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     DataFrame-first promise: same code both modes)."""
     from ironbeam_spark.streaming.windows import stream_tumbling_agg
 
-    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "event_type", "value"
-    )
+    from ironbeam_spark.operators.windowing import to_event_time
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src = ev.select(to_event_time(ev, "ts").alias("ts"), "event_type", "value")
     batch = {
         (r["event_type"], r["window_start"]): r["n"]
         for r in stream_tumbling_agg(

@@ -88,9 +88,11 @@ def test_stream_sliding_and_session_match_batch(spark):
     same aggregation run in batch mode — shared DataFrame code, two engines."""
     from ironbeam_spark.streaming.windows import stream_session_agg, stream_sliding_agg
 
+    from ironbeam_spark.operators.windowing import to_event_time
+
     sdf, static = _events_stream(spark)
     to_ts = lambda df: df.withColumn(  # noqa: E731
-        "event_time", F.timestamp_millis(F.expr("ts div 1000000"))
+        "event_time", to_event_time(df, "ts")
     )
 
     slid = stream_sliding_agg(
@@ -197,10 +199,12 @@ def test_stream_interval_join_matches_batch(spark):
     condition so state evicts) equals the batch join under AvailableNow."""
     from ironbeam_spark.streaming.joins import stream_interval_join
 
+    from ironbeam_spark.operators.windowing import to_event_time
+
     def prep(df, ts_alias, id_alias, etype):
         return (
             df.where(F.col("event_type") == etype)
-            .withColumn("event_time", F.timestamp_millis(F.expr("ts div 1000000")))
+            .withColumn("event_time", to_event_time(df, "ts"))
             .select(
                 "user_id",
                 F.col("event_time").alias(ts_alias),
