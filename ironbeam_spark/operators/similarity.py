@@ -32,6 +32,7 @@ __all__ = [
     "ivf_assign_cells",
     "ivf_ann_topk",
     "train_centroids_kmeans",
+    "lsh_near_dup_pairs",
 ]
 
 
@@ -269,4 +270,79 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    block_cols: tuple[str, ...] = (),
+    sim_col: str = "cos_sim",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ ``threshold`` over multi-band
+    hyperplane-LSH candidates — the scale-safe replacement for a within-block
+    all-pairs self-join.
+
+    The ``len(planes)``-bit sign signature (bit i = dot(v, plane_i) > 0) is
+    split into ``bands`` contiguous bit-ranges; two vectors are CANDIDATES
+    iff they agree on every bit of at least one band (and on ``block_cols``).
+    Candidates come from a (block, band_idx, band_bits) equi-join —
+    hash-partitioned, never a cross join — then exact cosine verifies.
+
+    Semantics are candidates ∩ (cos ≥ t): deterministic (planes are data
+    vectors, no RNG) and exactly reproducible in SQL, which is what makes an
+    external-oracle check possible.  Recall vs the all-pairs ideal follows
+    the standard banding curve 1 − (1 − p^r)^b with p = 1 − θ/π; at
+    production near-dup thresholds (≥0.8) these defaults give ≥0.95, at
+    loose thresholds LSH trades recall for the linear plan shape — that
+    trade IS the operator.
+    """
+    n_bits = len(planes)
+    if n_bits % bands != 0:
+        raise ValueError(f"bands={bands} must divide len(planes)={n_bits}")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    blocks = list(block_cols)
+
+    bk = hyperplane_buckets(
+        ensure_min_parallelism(df).select(*blocks, id_col, vec_col), planes, vec_col
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("bucket"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("band_bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = bk.select(
+        *blocks, id_col, F.explode(band_keys).alias("bk")
+    ).select(*blocks, id_col, F.col("bk.band").alias("band"), F.col("bk.band_bits").alias("band_bits"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, on=[*blocks, "band", "band_bits"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn(sim_col, cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col(sim_col) >= F.lit(float(threshold)))
+        .select("id_a", "id_b", sim_col)
     )

@@ -358,32 +358,48 @@ _COS_SQL = (
 @query(
     "q_dedup_embedding",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
+    WITH p AS (SELECT vec_id AS plane_id, embedding AS plane
+               FROM embeddings WHERE vec_id < 16),
+    bk AS (SELECT e.vec_id, e.label,
+             sum(CASE WHEN {_COS_SQL.format(a='e.embedding', b='p.plane')} > 0
+                      THEN (1::BIGINT << plane_id) ELSE 0::BIGINT END) AS bucket
+           FROM embeddings e CROSS JOIN p
+           GROUP BY e.vec_id, e.label),
+    bands AS (SELECT vec_id, label, band,
+                     (bucket >> (4*band)) & 15 AS band_bits
+              FROM bk CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.label = b.label AND a.band = b.band
+              AND a.band_bits = b.band_bits AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           {_COS_SQL.format(a='ea.embedding', b='eb.embedding')} AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {_COS_SQL.format(a='ea.embedding', b='eb.embedding')} >= 0.3
     ORDER BY id_a, id_b
     """,
-    doc="embedding-cosine near-dup within label blocks (north-star dedup)",
+    doc="embedding-cosine near-dup within label blocks via multi-band hyperplane LSH (4 bands × 4 sign bits, planes = data vectors 0..15) + exact cosine verify — candidate equi-join, never all-pairs (north-star dedup)",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ironbeam_spark.functions.vectors import cosine
+    # scale-safe shape: the within-label ALL-PAIRS join is replaced by
+    # multi-band LSH candidates + exact verify (operators/similarity.py:
+    # lsh_near_dup_pairs).  The oracle replicates the deterministic plane
+    # construction, so the check is exact by construction — same pattern as
+    # q_ann_lsh.  Semantics = candidates ∩ (cos ≥ 0.3); banding recall curve
+    # documented on the operator.
+    from ironbeam_spark.operators.similarity import lsh_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").df
-    a = emb.alias("a")
-    b = emb.alias("b")
-    return (
-        a.join(b, on="label")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.3)
-        .orderBy("id_a", "id_b")
+    planes = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    out = lsh_near_dup_pairs(
+        emb, planes, 0.3, "vec_id", "embedding", bands=4, block_cols=("label",)
     )
+    return out.orderBy("id_a", "id_b")
 
 
 # ------------------------------------------------- composite prep pipeline
