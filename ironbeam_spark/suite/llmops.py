@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ironbeam_spark.functions.text import PII_PATTERNS, scrub_pii
 from ironbeam_spark.sources.io import read_table
-from ironbeam_spark.suite.registry import query
+from ironbeam_spark.suite.registry import QUERIES, query
 
 # the synthetic corpus carries no PII, so the query plants deterministic
 # PII derived from doc_id before scrubbing — the redaction is then a real,
@@ -219,3 +219,165 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return flagged.orderBy("doc_id")
+
+
+@query(
+    "q_quality_pipeline",
+    None,  # assembled below (needs text_ml SQL fragments) — see _QP_SQL
+    doc="composable quality-filter pipeline (north-star corpus curation): one pass chaining language-ID → quality score → PII redaction size → benchmark-contamination flag → keep verdict, per corpus doc; every stage a codegen expression except one broadcast semi-join",
+)
+def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import lang_id, quality_score, token_count
+    from ironbeam_spark.operators.dedup import char_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111111111111111"),
+    )
+    # contamination stage: corpus docs (id ≥ 10) sharing any char-24-gram
+    # with the benchmark set (id < 10) — broadcast semi-join, as
+    # q_contamination, folded into the pipeline as a boolean flag
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(char_ngrams("text", 24))).alias("gram")
+    )
+    bench = grams.where(F.col("doc_id") < 10).select("gram").distinct()
+    flagged = (
+        grams.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), on="gram", how="leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    scored = docs.where(F.col("doc_id") >= 10).select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        (F.length(raw) - F.length(scrub_pii(raw))).cast("long").alias("pii_chars"),
+    )
+    out = (
+        scored.join(flagged, on="doc_id", how="left")
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+        .withColumn(
+            "keep",
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.6)
+            & ~F.col("contaminated"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+def _qp_oracle() -> str:
+    from ironbeam_spark.suite.text_ml import _TOKS_SQL, _lang_case_sql
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text)-23, 0)),
+               i -> substr(text, i, 24))) AS grams
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10),
+    contam AS (
+      SELECT DISTINCT g.doc_id FROM g, bench
+      WHERE doc_id >= 10 AND list_contains(g.grams, bench.gram)
+    ),
+    seeded AS (
+      SELECT doc_id, text, text || {_PII_SUFFIX_SQL} AS raw
+      FROM documents WHERE doc_id >= 10
+    ),
+    scored AS (
+      SELECT doc_id,
+             {_lang_case_sql()} AS lang_pred,
+             CASE WHEN len({_TOKS_SQL}) BETWEEN 10 AND 100000
+                  THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - len({_TOKS_SQL}) + 1)::DOUBLE
+                         / len({_TOKS_SQL})::DOUBLE BETWEEN 2.0 AND 12.0
+                    THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                         / length(text)::DOUBLE <= 0.2
+                    THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS quality,
+             len({_TOKS_SQL})::BIGINT AS n_tokens,
+             CAST(length(raw) - length(
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '{PII_PATTERNS[0][0]}', '{PII_PATTERNS[0][1]}', 'g'),
+                 '{PII_PATTERNS[1][0]}', '{PII_PATTERNS[1][1]}', 'g'),
+                 '{PII_PATTERNS[2][0]}', '{PII_PATTERNS[2][1]}', 'g')) AS BIGINT)
+               AS pii_chars
+      FROM seeded
+    )
+    SELECT s.doc_id, s.lang_pred, s.quality, s.n_tokens, s.pii_chars,
+           (c.doc_id IS NOT NULL) AS contaminated,
+           (s.lang_pred = 'en' AND s.quality >= 0.6 AND c.doc_id IS NULL) AS keep
+    FROM scored s LEFT JOIN contam c ON s.doc_id = c.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+QUERIES["q_quality_pipeline"].oracle = _qp_oracle()
+
+
+@query(
+    "q_crossshard_dedup",
+    None,  # assembled below — needs text_ml's shared tokenizer SQL
+    doc="cross-shard span-level dedup (north-star corpus curation, suffix-array-free): per-doc fraction of word-8-gram shingles that also occur in ANOTHER shard (source) — shingle md5 explode → per-shingle distinct-shard spread → per-doc rollup; linear shuffles on shingle hash, never doc×doc",
+)
+def q_crossshard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.dedup import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles("text", 8)).alias("shingle"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5("shingle"), 1, 16).alias("h")
+    )
+    spread = sh.groupBy("h").agg(F.count_distinct("source").alias("nsrc"))
+    per_doc = (
+        sh.join(spread, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("nsrc") >= 2).alias("n_shared"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_shared", "dup_frac"
+    ).orderBy("doc_id")
+
+
+def _cs_oracle() -> str:
+    from ironbeam_spark.suite.text_ml import _TOKS_SQL
+
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, source,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(toks)-7, 0)),
+              i -> substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16))) AS hs
+          FROM t),
+    ex AS (SELECT doc_id, source, unnest(hs) AS h FROM s),
+    spread AS (SELECT h, count(DISTINCT source) AS nsrc FROM ex GROUP BY h)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE spread.nsrc >= 2) AS BIGINT) AS n_shared,
+           count(*) FILTER (WHERE spread.nsrc >= 2)::DOUBLE / count(*)::DOUBLE AS dup_frac
+    FROM ex JOIN spread USING (h)
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+    """
+
+
+QUERIES["q_crossshard_dedup"].oracle = _cs_oracle()
