@@ -66,33 +66,20 @@ def test_prefix_filter_prunes_skewed_block(spark):
     of replacing the quadratic join.  Fixture: 200 docs in ONE block, 10
     families of near-identical text (these should collide), the rest
     pairwise-dissimilar random-ish strings."""
-    rows = []
-    for fam in range(10):
-        base = f"family {fam} shares this fairly long common sentence body"
-        for j in range(3):
-            rows.append((fam * 3 + j, f"{base} variant {j}"))
-    for i in range(30, 200):
-        # pairwise-distinct filler: unique tokens, no shared 4-grams beyond
-        # what the per-doc id digits force
-        rows.append((i, f"u{i}q{i * 7}z{i * 13}w{i * 31}v{i * 57}k{i * 91}"))
-    df = spark.createDataFrame(rows, "doc_id long, text string").withColumns(
-        {"lang": F.lit("en"), "source": F.lit("web")}
-    )
+    from tests.builders import near_dup_corpus
+
+    df, expected = near_dup_corpus(spark, n_families=10, family_size=3, n_filler=170)
+    n_docs = df.count()
     g = df.select("doc_id", "lang", "source", char_ngrams("text", 4).alias("grams"))
     n_cands = prefix_filter_candidates(
         g, "doc_id", "grams", 0.4, ("lang", "source")
     ).count()
-    block_pairs = 200 * 199 // 2  # 19900
+    block_pairs = n_docs * (n_docs - 1) // 2
     assert n_cands < block_pairs * 0.05, (n_cands, block_pairs)
     # and the survivors still include every true near-dup pair
     res = set_similarity_join(g, "doc_id", "grams", 0.4, ("lang", "source"))
     found = {(r.id_a, r.id_b) for r in res.collect()}
-    for fam in range(10):
-        ids = [fam * 3 + j for j in range(3)]
-        for x in ids:
-            for y in ids:
-                if x < y:
-                    assert (x, y) in found, (x, y)
+    assert expected <= found, expected - found
 
 
 def test_setsim_plan_has_no_quadratic_join(spark):
