@@ -223,7 +223,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quality_pipeline",
-    None,  # assembled below (needs text_ml SQL fragments) — see _QP_SQL
+    None,  # assembled below (needs text_ml SQL fragments) — see _qp_oracle
+    bench=True,
     doc="composable quality-filter pipeline (north-star corpus curation): one pass chaining language-ID → quality score → PII redaction size → benchmark-contamination flag → keep verdict, per corpus doc; every stage a codegen expression except one broadcast semi-join",
 )
 def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
