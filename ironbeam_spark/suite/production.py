@@ -358,7 +358,11 @@ def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_quantity"
     )
     path = tempfile.mkdtemp(prefix="ironbeam_custom_src_q_")
-    li.write.format("msgpack").option("path", path).mode("append").save()
+    # shard count follows input partitioning; right-size it to the (small)
+    # filtered volume — each DSv2 python task is a worker round-trip, so 32
+    # near-empty shards paid ~20s of pure task overhead for ~3k rows.
+    # At real volume the same operator keeps many shards (one per partition).
+    li.coalesce(4).write.format("msgpack").option("path", path).mode("append").save()
     back = (
         spark.read.format("msgpack")
         .schema("l_orderkey long, l_returnflag string, l_quantity double")
