@@ -40,23 +40,35 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach ``value_cols`` from the latest right row
-    of the same key with ``right_ts <= left_ts`` (inclusive, backward
-    direction; pandas ``merge_asof`` semantics).  Unmatched rows keep NULLs;
-    ``tolerance`` (same units as the ts columns) drops matches older than
-    ``left_ts - tolerance``.
+    """For every left row, attach ``value_cols`` from the matching right row
+    of the same key (pandas ``merge_asof`` semantics, all three directions):
+
+    - ``backward`` (default): latest right row with ``right_ts <= left_ts``
+    - ``forward``: earliest right row with ``right_ts >= left_ts``
+    - ``nearest``: whichever of the two is closer in time; exact-distance
+      ties resolve to the backward match (pandas behavior)
+
+    Unmatched rows keep NULLs; ``tolerance`` (same units as the ts columns)
+    drops matches farther than ``tolerance`` from ``left_ts`` in the match
+    direction.
 
     Ties on ``right_ts`` within a key resolve to the row that sorts last by
     ``(right_ts, value struct)`` — deterministic under any partitioning.
 
     All attached columns (``matched_ts`` + every value) come from the SAME
-    matched right row: the forward-fill moves one struct of the whole right
-    row, not each column independently, so a right row carrying a NULL in
-    one value column yields that NULL (pandas ``merge_asof`` / DuckDB
-    ``ASOF JOIN`` semantics), never a stitched row mixing older and newer
-    right rows.
+    matched right row: the fill moves one struct of the whole right row, not
+    each column independently, so a right row carrying a NULL in one value
+    column yields that NULL (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics), never a stitched row mixing two right rows.
+
+    Cost: ONE hash shuffle on the key for every direction; ``nearest`` pays
+    a second in-partition sort (ascending + descending window over the same
+    exchange), never a second shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     keys = list(on)
     vals = list(value_cols)
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
@@ -75,21 +87,56 @@ def asof_join(
     )
     merged = merged.withColumn("_rv", rv)
 
-    # right rows sort before left rows at equal time (inclusive match);
-    # the (_rts, values) struct breaks right-right ties deterministically
-    order = [F.col("_t"), F.col("_side"), F.col("_rv")]
-    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    filled = merged.withColumn("_rvf", F.last(F.col("_rv"), ignorenulls=True).over(w))
+    # scan order puts right rows before left rows at equal time (inclusive
+    # match both directions); the (_rts, values) struct breaks right-right
+    # ties deterministically.  backward scans time ascending; forward scans
+    # descending, so "last right row seen" is the earliest following one.
+    w_back = W.partitionBy(*keys).orderBy(
+        F.col("_t"), F.col("_side"), F.col("_rv")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    # _rv stays ASCENDING under the descending time scan so that, among
+    # right rows tied on _rts, "last seen" is still the largest value struct
+    # — the same tie winner as the backward direction
+    w_fwd = W.partitionBy(*keys).orderBy(
+        F.col("_t").desc(), F.col("_side"), F.col("_rv")
+    ).rowsBetween(W.unboundedPreceding, 0)
 
-    out = filled.where(F.col("_side") == 1)
-    if tolerance is not None:
-        keep = F.col("_rvf._rts").cast("long") >= F.col("_t") - F.lit(tolerance)
-        out = out.withColumn("_rvf", F.when(keep, F.col("_rvf")))
+    tol = None if tolerance is None else F.lit(tolerance)
+
+    def within_tol(struct_col, is_back: bool):
+        if tol is None:
+            return struct_col
+        rts = struct_col["_rts"].cast("long")
+        keep = (F.col("_t") - rts <= tol) if is_back else (rts - F.col("_t") <= tol)
+        return F.when(keep, struct_col)
+
+    if direction == "backward":
+        filled = merged.withColumn("_rvf", F.last("_rv", ignorenulls=True).over(w_back))
+        pick = within_tol(F.col("_rvf"), True)
+    elif direction == "forward":
+        filled = merged.withColumn("_rvf", F.last("_rv", ignorenulls=True).over(w_fwd))
+        pick = within_tol(F.col("_rvf"), False)
+    else:  # nearest: both fills over the SAME exchange, then the closer one
+        filled = merged.withColumn(
+            "_rvb", F.last("_rv", ignorenulls=True).over(w_back)
+        ).withColumn("_rvf2", F.last("_rv", ignorenulls=True).over(w_fwd))
+        b = within_tol(F.col("_rvb"), True)
+        f = within_tol(F.col("_rvf2"), False)
+        d_b = F.col("_t") - b["_rts"].cast("long")
+        d_f = f["_rts"].cast("long") - F.col("_t")
+        pick = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(d_f < d_b, f)  # strict: distance tie → backward (pandas)
+            .otherwise(b)
+        )
+
+    out = filled.where(F.col("_side") == 1).withColumn("_pick", pick)
     for v in vals:
-        out = out.withColumn(v, F.col(f"_rvf.{v}"))
+        out = out.withColumn(v, F.col(f"_pick.{v}"))
     return (
-        out.withColumn("matched_ts", F.col("_rvf._rts"))
-        .drop("_side", "_t", "_rts", "_rv", "_rvf")
+        out.withColumn("matched_ts", F.col("_pick._rts"))
+        .drop("_side", "_t", "_rts", "_rv", "_rvb", "_rvf", "_rvf2", "_pick")
     )
 
 

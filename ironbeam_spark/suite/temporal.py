@@ -93,3 +93,85 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clicks"))
         .orderBy("incident_id")
     )
+
+
+@query(
+    "q_asof_forward",
+    """
+    SELECT c.event_id AS click_event_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(v.ts) AS matched_ts,
+           v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts <= v.ts
+    ORDER BY click_event_id
+    """,
+    doc="forward as-of join: each click matched to the user's EARLIEST view at-or-after it — same one-shuffle union+window plan as backward, scanned in descending time; oracle is DuckDB ASOF with the inequality reversed (operators/temporal.py)",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    us = to_epoch_us(ev, "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", us.alias("click_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", us.alias("view_us"), F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="click_us", right_ts="view_us",
+        value_cols=["view_event_id"], direction="forward",
+    )
+    return out.select(
+        "click_event_id", "user_id", "click_us", "matched_ts", "view_event_id"
+    ).orderBy("click_event_id")
+
+
+@query(
+    "q_asof_nearest",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    b AS (SELECT c.event_id, epoch_us(v.ts) AS bts, v.event_id AS bid
+          FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts),
+    f AS (SELECT c.event_id, epoch_us(v.ts) AS fts, v.event_id AS fid
+          FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts)
+    SELECT c.event_id AS click_event_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           CASE WHEN b.bts IS NULL THEN f.fts
+                WHEN f.fts IS NULL THEN b.bts
+                WHEN f.fts - epoch_us(c.ts) < epoch_us(c.ts) - b.bts THEN f.fts
+                ELSE b.bts END AS matched_ts,
+           CASE WHEN b.bts IS NULL THEN f.fid
+                WHEN f.fts IS NULL THEN b.bid
+                WHEN f.fts - epoch_us(c.ts) < epoch_us(c.ts) - b.bts THEN f.fid
+                ELSE b.bid END AS view_event_id
+    FROM c
+    LEFT JOIN b ON b.event_id = c.event_id
+    LEFT JOIN f ON f.event_id = c.event_id
+    ORDER BY click_event_id
+    """,
+    doc="nearest as-of join: each click matched to the user's time-closest view, distance ties to the backward match (pandas merge_asof nearest) — one shuffle, two in-partition sorts; oracle composes DuckDB's two ASOF directions with the same pick rule (operators/temporal.py)",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    us = to_epoch_us(ev, "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", us.alias("click_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", us.alias("view_us"), F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="click_us", right_ts="view_us",
+        value_cols=["view_event_id"], direction="nearest",
+    )
+    return out.select(
+        "click_event_id", "user_id", "click_us", "matched_ts", "view_event_id"
+    ).orderBy("click_event_id")

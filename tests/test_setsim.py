@@ -134,3 +134,81 @@ def test_lsh_near_dup_pairs_subset_and_plan(spark):
     # banding recall at a loose threshold is the documented trade; just pin a
     # floor so a silent bucketing regression (e.g. wrong band masks) surfaces
     assert len(got) >= 0.25 * len(truth), (len(got), len(truth))
+
+
+# ----------------------------------------------------- asof directions
+
+
+def test_asof_directions(spark):
+    """forward/nearest semantics on literal rows: forward takes the earliest
+    at-or-after match, nearest the time-closest with distance ties going
+    backward (pandas merge_asof), tolerance bounds the match distance."""
+    from ironbeam_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100), ("k", 205), ("k", 350), ("k", 999)], "k string, lt long"
+    )
+    right = spark.createDataFrame(
+        [("k", 90, "a"), ("k", 200, "b"), ("k", 210, "c"), ("k", 400, "d")],
+        "k string, rt long, val string",
+    )
+
+    def run(direction, tolerance=None):
+        out = asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt",
+            value_cols=["val"], direction=direction, tolerance=tolerance,
+        )
+        return {r.lt: (r.matched_ts, r.val) for r in out.collect()}
+
+    assert run("backward") == {
+        100: (90, "a"), 205: (200, "b"), 350: (210, "c"), 999: (400, "d")
+    }
+    assert run("forward") == {
+        100: (200, "b"), 205: (210, "c"), 350: (400, "d"), 999: (None, None)
+    }
+    # 205 is exactly 5 from both 200 and 210 → tie goes backward ("b");
+    # 350 is 140 from 210 but only 50 from 400 → forward match wins
+    assert run("nearest") == {
+        100: (90, "a"), 205: (200, "b"), 350: (400, "d"), 999: (400, "d")
+    }
+    # tolerance: forward match for 350 is 400 (distance 50) — tolerance 40
+    # drops it; nearest falls back to the in-tolerance backward match
+    assert run("forward", tolerance=40)[350] == (None, None)
+    assert run("nearest", tolerance=200)[999] == (None, None)  # 599 away
+    assert run("nearest", tolerance=600)[999] == (400, "d")
+    assert run("nearest", tolerance=30)[100] == (90, "a")
+
+
+def test_asof_forward_equals_backward_on_negated_time(spark):
+    """Property: forward(left, right) == backward with all timestamps
+    negated — a direction-symmetry check on real data."""
+    import pyspark.sql.functions as F
+
+    from ironbeam_spark.operators.temporal import asof_join
+    from ironbeam_spark.operators.windowing import to_epoch_us
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    us = to_epoch_us(ev, "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", us.alias("ct")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", us.alias("vt"), F.col("event_id").alias("vid")
+    )
+    fwd = {
+        r.cid: (r.matched_ts, r.vid)
+        for r in asof_join(
+            clicks, views, ["user_id"], "ct", "vt", ["vid"], direction="forward"
+        ).collect()
+    }
+    neg_clicks = clicks.withColumn("ct", -F.col("ct"))
+    neg_views = views.withColumn("vt", -F.col("vt"))
+    back_neg = {
+        r.cid: ((-r.matched_ts if r.matched_ts is not None else None), r.vid)
+        for r in asof_join(
+            neg_clicks, neg_views, ["user_id"], "ct", "vt", ["vid"],
+            direction="backward",
+        ).collect()
+    }
+    assert fwd == back_neg
