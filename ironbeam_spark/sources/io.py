@@ -109,26 +109,31 @@ def write_jsonl(df: DataFrame | PCollection, path: str, mode: str = "overwrite",
     w.json(path)
 
 
-def read_avro(spark: SparkSession, path: str) -> PCollection:
-    """Reference ``read_avro`` (``src/helpers/avro.rs:109``). Requires the
-    spark-avro package; gated behind a runtime check like the reference's
-    feature gates (``Cargo.toml:11-44``)."""
+def read_avro(spark: SparkSession, path: str, schema=None) -> PCollection:
+    """Reference ``read_avro`` (``src/helpers/avro.rs:109``).  Uses the
+    native spark-avro reader when its jar is on the classpath (fastest);
+    otherwise falls back to the dependency-free pure-Python OCF codec
+    (``sources/avro.py`` — implemented from the public Avro spec,
+    Java-interop-tested), the same strategy as the msgpack source."""
     try:
         return PCollection(spark.read.format("avro").load(path))
-    except Exception as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "avro source requires the spark-avro package on the classpath"
-        ) from e
+    except Exception:  # no spark-avro jar — environment-dependent
+        from ironbeam_spark.sources.avro import read_avro_py
+
+        return PCollection(read_avro_py(spark, path, schema))
 
 
 def write_avro(df: DataFrame | PCollection, path: str, mode: str = "overwrite") -> None:
+    """Reference ``write_avro`` (``src/helpers/avro.rs:200``).  Native
+    spark-avro writer when available, else the partition-parallel
+    pure-Python OCF sink (one self-contained shard per partition)."""
     d = df.df if isinstance(df, PCollection) else df
     try:
         d.write.mode(mode).format("avro").save(path)
-    except Exception as e:  # pragma: no cover
-        raise NotImplementedError(
-            "avro sink requires the spark-avro package on the classpath"
-        ) from e
+    except Exception:  # no spark-avro jar
+        from ironbeam_spark.sources.avro import write_avro_py
+
+        write_avro_py(d, path, mode)
 
 
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> PCollection:

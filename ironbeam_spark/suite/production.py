@@ -475,3 +475,34 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_avro",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 15 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="avro sink+source end-to-end (ref read/write_avro, src/helpers/avro.rs:109-289): partition-parallel OCF shards via the dependency-free spec codec (Java-interop-tested), binaryFile + Arrow-batched decode back, then aggregate — oracle computes the same aggregate straight from parquet",
+)
+def q_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.io import read_avro, write_avro
+
+    li = _t(spark, sf_dir, "lineitem").df.where(F.col("l_orderkey") % 15 == 0).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_avro_q_")
+    write_avro(li.coalesce(4), path)
+    back = read_avro(spark, path).df
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), sum_money("l_extendedprice", "revenue"))
+        .orderBy("l_returnflag")
+    )

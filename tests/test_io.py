@@ -144,20 +144,15 @@ def test_xml_roundtrip(spark, sample, tmp_path):
     assert _sorted(back) == _sorted(sample)
 
 
-def test_avro_is_runtime_gated(spark, sample, tmp_path):
-    """spark-avro jar absent in this build: the gate must raise the declared
-    NotImplementedError (reference feature-gate behavior, Cargo.toml:11-44),
-    and must work unchanged when the jar is on the classpath."""
+def test_avro_roundtrip(spark, sample, tmp_path):
+    """read/write_avro works with OR without the spark-avro jar: native
+    format when on the classpath, else the pure-Python OCF codec
+    (sources/avro.py; Java-interop coverage in tests/test_avro.py)."""
     from ironbeam_spark.sources.io import read_avro, write_avro
 
-    try:
-        write_avro(sample, str(tmp_path / "t.avro"))
-    except NotImplementedError:
-        with pytest.raises(NotImplementedError):
-            read_avro(spark, str(tmp_path / "t.avro"))
-    else:  # pragma: no cover - jar present
-        back = read_avro(spark, str(tmp_path / "t.avro")).df
-        assert _sorted(back) == _sorted(sample)
+    write_avro(sample, str(tmp_path / "t.avro"))
+    back = read_avro(spark, str(tmp_path / "t.avro")).df.select("id", "s", "v")
+    assert _sorted(back) == _sorted(sample)
 
 
 def test_custom_source_msgpack_format(spark, sample, tmp_path):
