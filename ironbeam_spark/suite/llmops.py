@@ -382,3 +382,58 @@ def _cs_oracle() -> str:
 
 
 QUERIES["q_crossshard_dedup"].oracle = _cs_oracle()
+
+
+@query(
+    "q_token_packing",
+    None,  # assembled below — needs the shared tokenizer SQL
+    doc="cross-document token-stream packing (north-star training prep): concatenate the corpus token stream in doc_id order, slice into fixed 2048-token training windows; each doc's pack id + offset come from a DISTRIBUTED two-pass prefix sum (operators/scan.py), never a single-partition global window",
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import token_count
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    cap = 2048
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    scanned = global_running_sum(docs, ["doc_id"], "n_tokens", "cum_end")
+    start = F.col("cum_end") - F.col("n_tokens")
+    return scanned.select(
+        "doc_id",
+        "n_tokens",
+        (start / cap).cast("long").alias("pack_id"),
+        (start % cap).alias("offset_in_pack"),
+        # packs this doc spans (long docs cross window boundaries)
+        (
+            F.when(F.col("n_tokens") == 0, F.lit(1))
+            .otherwise(((F.col("cum_end") - 1) / cap).cast("long") - (start / cap).cast("long") + 1)
+        ).alias("n_packs_spanned"),
+    ).orderBy("doc_id")
+
+
+def _tp_oracle() -> str:
+    from ironbeam_spark.suite.text_ml import _TOKS_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_end
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (cum_end - n_tokens) // 2048 AS pack_id,
+           (cum_end - n_tokens) % 2048 AS offset_in_pack,
+           CASE WHEN n_tokens = 0 THEN 1
+                ELSE (cum_end - 1) // 2048 - (cum_end - n_tokens) // 2048 + 1
+           END AS n_packs_spanned
+    FROM s ORDER BY doc_id
+    """
+
+
+QUERIES["q_token_packing"].oracle = _tp_oracle()

@@ -212,3 +212,42 @@ def test_asof_forward_equals_backward_on_negated_time(spark):
         ).collect()
     }
     assert fwd == back_neg
+
+
+# ----------------------------------------------------- distributed scan
+
+
+def test_global_running_sum_matches_single_partition(spark):
+    """Two-pass distributed scan == the single-partition reference answer,
+    regardless of input partitioning (prefix sums are boundary-invariant)."""
+    from ironbeam_spark.operators.scan import global_running_sum, release_scan_caches
+
+    rows = [(i, (i * 37) % 101) for i in range(5000)]
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "k long, v long").repartition(nparts)
+        got = {
+            r.k: r.running_sum
+            for r in global_running_sum(df, ["k"], "v").collect()
+        }
+        acc, want = 0, {}
+        for k, v in rows:
+            acc += v
+            want[k] = acc
+        assert got == want, nparts
+    release_scan_caches()
+
+
+def test_global_running_sum_plan_has_no_global_window(spark):
+    """The point of the operator: no single-partition Exchange(1) global
+    window in the plan — range partitioning + mapInArrow only."""
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = global_running_sum(df, ["k"], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
