@@ -42,22 +42,28 @@ def test_prefix_filter_equals_all_pairs(spark):
     thresholds (including ones that don't divide set sizes evenly)."""
     g = _docs_with_grams(spark)
     for t in (0.2, 0.4, 0.55):
-        fast = {
-            (r.id_a, r.id_b): r.jaccard_sim
-            for r in set_similarity_join(
-                g, "doc_id", "grams", t, block_cols=("lang", "source")
-            ).collect()
-        }
         slow = {
             (r.id_a, r.id_b): r.jaccard_sim for r in _all_pairs(g, t).collect()
         }
-        assert fast.keys() == slow.keys(), (
-            t,
-            slow.keys() - fast.keys(),  # missed pairs = broken guarantee
-            fast.keys() - slow.keys(),
-        )
-        for k in fast:
-            assert abs(fast[k] - slow[k]) < 1e-12
+        # cap=0 forces EVERY block down the prefix-filter (large) path;
+        # the default cap routes these small blocks down the direct path —
+        # both must equal the all-pairs reference
+        for cap in (0, 512):
+            fast = {
+                (r.id_a, r.id_b): r.jaccard_sim
+                for r in set_similarity_join(
+                    g, "doc_id", "grams", t, block_cols=("lang", "source"),
+                    small_block_cap=cap,
+                ).collect()
+            }
+            assert fast.keys() == slow.keys(), (
+                t,
+                cap,
+                slow.keys() - fast.keys(),  # missed pairs = broken guarantee
+                fast.keys() - slow.keys(),
+            )
+            for k in fast:
+                assert abs(fast[k] - slow[k]) < 1e-12
 
 
 def test_prefix_filter_prunes_skewed_block(spark):
