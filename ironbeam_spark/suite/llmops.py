@@ -437,3 +437,93 @@ def _tp_oracle() -> str:
 
 
 QUERIES["q_token_packing"].oracle = _tp_oracle()
+
+
+@query(
+    "q_repetition_filter",
+    None,  # assembled below — needs the shared tokenizer SQL
+    doc="repetition-based quality signals (Gopher-rule family, Rae et al. 2021 §A1.1 — public): per-doc top-token fraction, top-bigram fraction, distinct-token ratio, thresholded keep verdict; explode + partial-agg per (doc, gram), linear shuffles only",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("tok")).where(F.size("tok") > 0)
+    uni = toked.select("doc_id", F.explode("tok").alias("g"))
+    big = toked.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("tok", 1, F.greatest(F.size("tok") - 1, F.lit(0))),
+                F.slice("tok", 2, F.greatest(F.size("tok") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+
+    def stats(ex, top_col, total_col):
+        return (
+            ex.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").alias(top_col),
+                F.sum("c").alias(total_col),
+                F.count(F.lit(1)).alias(f"_distinct_{total_col}"),
+            )
+        )
+
+    u = stats(uni, "top_uni", "n_uni").withColumnRenamed("_distinct_n_uni", "n_distinct")
+    b = stats(big, "top_big", "n_big").drop("_distinct_n_big")
+    out = (
+        u.join(b, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_uni").alias("n_tokens"),
+            (F.col("top_uni") / F.col("n_uni")).alias("top_token_frac"),
+            F.coalesce(F.col("top_big") / F.col("n_big"), F.lit(0.0)).alias("top_bigram_frac"),
+            (F.col("n_distinct") / F.col("n_uni")).alias("distinct_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_token_frac") <= 0.2)
+            & (F.col("top_bigram_frac") <= 0.4)
+            & (F.col("distinct_frac") >= 0.3),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+def _rep_oracle() -> str:
+    from ironbeam_spark.suite.text_ml import _TOKS_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tok FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE len(tok) > 0),
+    uni AS (SELECT doc_id, unnest(tok) AS g FROM nz),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tok)-1),
+                                         i -> tok[i] || ' ' || tok[i+1])) AS g
+            FROM nz WHERE len(tok) > 1),
+    us AS (SELECT doc_id, max(c) AS top_uni, sum(c) AS n_uni, count(*) AS n_distinct
+           FROM (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    bs AS (SELECT doc_id, max(c) AS top_big, sum(c) AS n_big
+           FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT us.doc_id,
+           CAST(us.n_uni AS BIGINT) AS n_tokens,
+           us.top_uni::DOUBLE / us.n_uni::DOUBLE AS top_token_frac,
+           coalesce(bs.top_big::DOUBLE / bs.n_big::DOUBLE, 0.0) AS top_bigram_frac,
+           us.n_distinct::DOUBLE / us.n_uni::DOUBLE AS distinct_frac,
+           (us.top_uni::DOUBLE / us.n_uni::DOUBLE <= 0.2
+            AND coalesce(bs.top_big::DOUBLE / bs.n_big::DOUBLE, 0.0) <= 0.4
+            AND us.n_distinct::DOUBLE / us.n_uni::DOUBLE >= 0.3) AS keep
+    FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+    ORDER BY us.doc_id
+    """
+
+
+QUERIES["q_repetition_filter"].oracle = _rep_oracle()
