@@ -112,3 +112,73 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("event_type", "window_start")
+
+
+@query(
+    "q_stream_session",
+    # Trigger.AvailableNow over a bounded source is batch-equivalent; the
+    # oracle replicates F.session_window's EXACT semantics at micro
+    # resolution: a new session starts when the gap to the previous event is
+    # >= 30min (session end is exclusive: [start, last+gap)), and the
+    # reported end is last_event + gap — NOT max(event) as in the
+    # gaps-and-islands q_session_windows definition.
+    """
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events WHERE user_id < 30
+    ),
+    sess AS (
+      SELECT user_id, tus,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           min(tus) // 1000 AS session_start,
+           (max(tus) + 1800000000) // 1000 AS session_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Structured Streaming session windows: readStream parquet → watermark → F.session_window groupBy → memory sink, Trigger.AvailableNow; oracle replicates session_window's micro-resolution merge semantics exactly (gap >= G splits, end = last + G)",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.windows import stream_session_agg
+
+    static = read_table(spark, sf_dir, "events")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("user_id") < 30)
+    )
+    sdf = sdf.withColumn("event_time", to_event_time(sdf, "ts"))
+    agg = stream_session_agg(
+        sdf,
+        "event_time",
+        1_800_000,
+        ["user_id"],
+        F.count(F.lit(1)).alias("n"),
+        watermark_ms=600_000,
+    )
+    name = "q_stream_session_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_sess_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "session_end", "n")
+        .orderBy("user_id", "session_start")
+    )
