@@ -182,3 +182,63 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_stream_sliding",
+    # same floor-arithmetic oracle as the batch q_sliding_window: F.window's
+    # slide-aligned assignment is identical to the bounded explode, and every
+    # window boundary is a whole 6h multiple so ms-floored comparisons agree
+    # with the stream's micro-resolution event times
+    f"""
+    WITH exploded AS (
+      SELECT event_type, epoch_ms(ts) AS tms,
+             unnest(list_transform(generate_series(0, 3),
+                    i -> (epoch_ms(ts) // {6 * 3_600_000}) * {6 * 3_600_000}
+                         - ({24 * 3_600_000} - {6 * 3_600_000}) + i * {6 * 3_600_000}))
+                    AS window_start
+      FROM events
+    )
+    SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n
+    FROM exploded
+    WHERE tms >= window_start AND tms < window_start + {24 * 3_600_000}
+    GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+    """,
+    doc="Structured Streaming sliding windows (24h size / 6h slide): readStream → watermark → F.window groupBy → memory sink, Trigger.AvailableNow; oracle is the batch bounded-explode formulation (beyond reference scope)",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.windows import stream_sliding_agg
+
+    static = read_table(spark, sf_dir, "events")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = sdf.withColumn("event_time", to_event_time(sdf, "ts"))
+    agg = stream_sliding_agg(
+        sdf,
+        "event_time",
+        24 * 3_600_000,
+        6 * 3_600_000,
+        ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+        watermark_ms=600_000,
+    )
+    name = "q_stream_sliding_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_slide_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("event_type", "window_start", "n")
+        .orderBy("event_type", "window_start")
+    )
