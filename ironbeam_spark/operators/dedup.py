@@ -62,12 +62,18 @@ def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct sorted n-word shingles of a text column."""
+    """Distinct sorted n-word shingles of a text column.  Texts with fewer
+    than ``n`` tokens yield an EMPTY array — the guard matters because
+    ``F.sequence(1, 0)`` is the DESCENDING sequence ``[1, 0]`` in Spark
+    (it would emit a bogus shingle and a slice-at-0 crash)."""
     toks = tokens(col)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(sh))
 
 
@@ -103,22 +109,30 @@ def hashed_word_shingles(col: Column | str, n: int = 3) -> Column:
                 acc = (acc * F.lit(31) + F.get(tis, i + F.lit(j) - 1)) % F.lit(SHINGLE_MOD)
             return acc
 
-        sh = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tis) - F.lit(n - 1), F.lit(0))),
-            shingle_at,
-        )
+        # guard: F.sequence(1, 0) is the DESCENDING [1, 0] in Spark — without
+        # it a <n-token text fabricates shingles from out-of-range gets
+        sh = F.when(
+            F.size(tis) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(tis) - F.lit(n - 1)), shingle_at),
+        ).otherwise(F.array().cast("array<bigint>"))
         return F.array_sort(F.array_distinct(sh))
 
     return let_(token_hashes, build)
 
 
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
-    """Distinct sorted character n-grams."""
+    """Distinct sorted character n-grams.  Texts shorter than ``n`` yield an
+    EMPTY array (matching SQL ``generate_series(1, 0)`` = empty); without
+    the guard Spark's ``F.sequence(1, 0)`` — which is the DESCENDING
+    ``[1, 0]`` — would fabricate a truncated gram for short texts."""
     c = F.col(col) if isinstance(col, str) else col
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.substring(c, i, n),
-    )
+    grams = F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+            lambda i: F.substring(c, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(grams))
 
 
@@ -505,9 +519,20 @@ def set_similarity_join(
     shuffles) plus a verify join.  Either path alone is correct; the router
     exists purely for constant factors."""
     blocks = list(block_cols)
-    base = sets.select(
-        *blocks, F.col(id_col), F.col(set_col).alias("_set")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if not blocks:
+        # no user blocking: a constant internal block keeps every join below
+        # a non-empty equi-join (PySpark rejects on=[]), and the whole input
+        # is one block — exactly the unblocked semantics
+        sets = sets.withColumn("_blk", F.lit(1))
+        blocks = ["_blk"]
+        block_cols = ("_blk",)
+    base = (
+        sets.select(*blocks, F.col(id_col), F.col(set_col).alias("_set"))
+        # empty sets can never reach a positive threshold, and J(∅,∅) is
+        # 0/0 — which ANSI mode (Spark 4 default) raises on
+        .where(F.size("_set") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     _PERSISTED_SHINGLE_TABLES.append(base)
     t = F.lit(float(threshold))
 

@@ -168,3 +168,47 @@ def test_msgpack_truncation_never_silently_corrupts(vals, cut):
         return  # raised = correct behavior for mid-record cuts
     # no error ⇒ the cut landed exactly on a record boundary: prefix is exact
     assert got == vals[: len(got)]
+
+
+DOCS = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=24),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(texts=DOCS, t=st.sampled_from([0.25, 0.4, 0.6, 0.8]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_set_similarity_join_model(spark, texts, t):
+    """Exactness of the prefix-filter set-similarity join against a pure-
+    Python Jaccard model on adversarially tiny alphabets (maximal gram
+    collisions), through BOTH routing paths."""
+    from ironbeam_spark.operators.dedup import char_ngrams, set_similarity_join
+
+    def grams(s):
+        return {s[i : i + 3] for i in range(max(len(s) - 2, 0))}
+
+    model = {}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i < j and grams(a) and grams(b):
+                inter = len(grams(a) & grams(b))
+                union = len(grams(a) | grams(b))
+                sim = inter / union
+                if sim >= t:
+                    model[(i, j)] = sim
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", char_ngrams("text", 3).alias("grams"))
+    for cap in (0, 512):
+        got = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in set_similarity_join(
+                df, "doc_id", "grams", t, small_block_cap=cap
+            ).collect()
+        }
+        assert got.keys() == model.keys(), (cap, t, texts)
+        for k in got:
+            assert abs(got[k] - model[k]) < 1e-12
