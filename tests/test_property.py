@@ -212,3 +212,54 @@ def test_set_similarity_join_model(spark, texts, t):
         assert got.keys() == model.keys(), (cap, t, texts)
         for k in got:
             assert abs(got[k] - model[k]) < 1e-12
+
+
+ASOF_LEFT = st.lists(st.integers(0, 20), min_size=0, max_size=10)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 5)), min_size=0, max_size=10
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT,
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_model(spark, left, right, direction):
+    """asof_join vs a pure-Python model across all directions, with
+    duplicate timestamps on both sides and left==right tie times.  Tie
+    rules: equal right_ts → largest value struct; nearest distance tie →
+    backward match."""
+    from ironbeam_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [("k", i, t) for i, t in enumerate(left)], "k string, lid long, lt long"
+    )
+    rdf = spark.createDataFrame(
+        [("k", t, v) for t, v in right], "k string, rt long, val long"
+    )
+
+    def model(lt):
+        back = [(t, v) for t, v in right if t <= lt]
+        fwd = [(t, v) for t, v in right if t >= lt]
+        b = max(back, key=lambda x: (x[0], x[1])) if back else None
+        f = min(fwd, key=lambda x: (x[0], -x[1])) if fwd else None
+        if direction == "backward":
+            return b
+        if direction == "forward":
+            return f
+        if b is None:
+            return f
+        if f is None:
+            return b
+        return f if (f[0] - lt) < (lt - b[0]) else b
+
+    out = asof_join(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+        value_cols=["val"], direction=direction,
+    )
+    got = {r.lid: (r.matched_ts, r.val) for r in out.collect()}
+    want = {i: (model(t) or (None, None)) for i, t in enumerate(left)}
+    want = {i: (m if m != (None, None) else (None, None)) for i, m in want.items()}
+    assert got == {i: tuple(m) if m else (None, None) for i, m in want.items()}, (
+        direction, left, right,
+    )
