@@ -5,7 +5,8 @@ then compares: row count, column names, and order-insensitive exact values
 (columns sorted by name, rows sorted, floats compared bit-exact with a
 loose-tolerance diagnostic on failure).
 
-Usage: python tools/check.py [sf_dir] [query_name ...]
+Usage: python tools/check.py [--bare] [sf_dir] [query_name ...]
+(--bare = faithful driver-sim: bare SparkSession, no get_spark confs)
 """
 
 from __future__ import annotations
@@ -50,10 +51,24 @@ def close_enough(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(QUERIES)
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or list(QUERIES)
 
-    spark = get_spark("ironbeam-check")
+    if bare:
+        # faithful driver-sim: the external gate builds a BARE session (none
+        # of get_spark's confs); queries must self-defend (read_table pins
+        # UTC/nanosAsLong at read time).  Use before shipping each round.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("ironbeam-check")
     con = duckdb.connect()
     for t in TPCH_TABLES:
         con.execute(
