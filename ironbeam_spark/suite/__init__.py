@@ -15,6 +15,7 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
     temporal,
     llmops,
     reshape,
+    timeseries,
 )
 
 
