@@ -263,3 +263,41 @@ def test_asof_join_model(spark, left, right, direction):
     assert got == {i: tuple(m) if m else (None, None) for i, m in want.items()}, (
         direction, left, right,
     )
+
+
+POINTS = st.lists(st.integers(0, 50), min_size=0, max_size=12)
+INTERVALS = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 15)), min_size=0, max_size=8
+)
+
+
+@given(points=POINTS, intervals=INTERVALS, bw=st.sampled_from([1, 3, 7, 100]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_model(spark, points, intervals, bw):
+    """interval_join vs the pure-Python containment model (end-exclusive,
+    [start, start+span)), across bucket widths including one larger than
+    the whole domain — width must never change results."""
+    from ironbeam_spark.operators.temporal import interval_join
+
+    pdf = spark.createDataFrame(
+        [("k", i, t) for i, t in enumerate(points)], "k string, pid long, pt long"
+    )
+    idf = spark.createDataFrame(
+        [("k", j, s, s + span) for j, (s, span) in enumerate(intervals)],
+        "k string, iid long, st long, en long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            pdf, idf, on=["k"], point_ts="pt", start_ts="st", end_ts="en",
+            bucket_width=bw,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (s, span) in enumerate(intervals)
+        if s <= t < s + span
+    )
+    assert got == want, (bw, points, intervals)
