@@ -49,6 +49,7 @@ __all__ = [
     "jaccard",
     "prefix_filter_candidates",
     "set_similarity_join",
+    "set_similarity_search",
 ]
 
 
@@ -567,3 +568,87 @@ def set_similarity_join(
         .select("id_a", "id_b", sim_col)
     )
     return small_out.unionByName(large_out)
+
+
+def set_similarity_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    set_col: str,
+    block_cols: tuple[str, ...] = (),
+    sim_col: str = "jaccard_sim",
+) -> DataFrame:
+    """Exact R-S set-similarity SEARCH (not self-join): every
+    ``(query_id, corpus_id)`` pair with Jaccard ≥ ``threshold`` and equal
+    ``block_cols`` — the asymmetric sibling of :func:`set_similarity_join`
+    (public algorithm family: prefix-filtered similarity search/join,
+    Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06).
+
+    The two-sided prefix guarantee: under ANY total order shared by both
+    sides, a pair with overlap ≥ α shares an element within the first
+    ``n − α + 1`` elements of EACH side's sorted set; with
+    α = ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|side|⌉ the posting-list equi-join over both
+    prefixes misses nothing.  The shared order is rarest-first over the
+    UNION of both sides (per block), so hot tokens sort last and the
+    posting lists stay short.
+
+    Plan: union + freq agg + per-doc prefix rank + side₀×side₁ posting
+    equi-join + verify — all linear shuffles, never |Q|·|C|.
+    """
+    from pyspark.sql import Window as W
+
+    blocks = list(block_cols)
+    if not blocks:
+        queries = queries.withColumn("_blk", F.lit(1))
+        corpus = corpus.withColumn("_blk", F.lit(1))
+        blocks = ["_blk"]
+
+    q = queries.select(
+        *blocks, F.col(id_col).alias("_qid"), F.col(set_col).alias("_set"),
+        F.lit(0).alias("_side"),
+    ).where(F.size("_set") > 0)
+    c = corpus.select(
+        *blocks, F.col(id_col).alias("_qid"), F.col(set_col).alias("_set"),
+        F.lit(1).alias("_side"),
+    ).where(F.size("_set") > 0)
+    both = q.unionByName(c).withColumn("_n", F.size("_set")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED_SHINGLE_TABLES.append(both)
+
+    tok = both.select(*blocks, "_qid", "_side", "_n", F.explode("_set").alias("_tok"))
+    freq = tok.groupBy(*blocks, "_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(freq, on=[*blocks, "_tok"])
+    w = W.partitionBy(*blocks, "_side", "_qid").orderBy("_df", "_tok")
+    alpha = F.ceil(F.lit(float(threshold)) * F.col("_n") - F.lit(1e-9)).cast("long")
+    pref = (
+        ranked.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_n") - alpha + F.lit(1))
+        .select(*blocks, "_qid", "_side", "_n", "_tok")
+    )
+    a = pref.where(F.col("_side") == 0).alias("a")
+    b = pref.where(F.col("_side") == 1).alias("b")
+    na, nb = F.col("a._n"), F.col("b._n")
+    cands = (
+        a.join(b, on=[*blocks, "_tok"])
+        .where(F.least(na, nb) >= F.lit(float(threshold)) * F.greatest(na, nb) - F.lit(1e-9))
+        .select(
+            F.col("a._qid").alias("query_id"),
+            F.col("b._qid").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    qs = both.where(F.col("_side") == 0).select(
+        F.col("_qid").alias("query_id"), F.col("_set").alias("_sa")
+    )
+    cs = both.where(F.col("_side") == 1).select(
+        F.col("_qid").alias("corpus_id"), F.col("_set").alias("_sb")
+    )
+    return (
+        cands.join(qs, on="query_id")
+        .join(cs, on="corpus_id")
+        .withColumn(sim_col, jaccard(F.col("_sa"), F.col("_sb")))
+        .where(F.col(sim_col) >= F.lit(float(threshold)))
+        .select("query_id", "corpus_id", sim_col)
+    )

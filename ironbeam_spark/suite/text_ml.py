@@ -587,3 +587,41 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "q_setsim_search",
+    """
+    WITH g AS (SELECT doc_id, lang, source,
+                 list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(length(text)-3, 0)),
+                   i -> substr(text, i, 4)))) AS grams
+               FROM documents),
+    q AS (SELECT * FROM g WHERE doc_id < 25 AND len(grams) > 0),
+    c AS (SELECT * FROM g WHERE doc_id >= 25 AND len(grams) > 0)
+    SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+           len(list_intersect(q.grams, c.grams))::DOUBLE
+             / (len(q.grams) + len(c.grams) - len(list_intersect(q.grams, c.grams)))::DOUBLE
+             AS jaccard_sim
+    FROM q JOIN c ON q.lang = c.lang AND q.source = c.source
+    WHERE len(list_intersect(q.grams, c.grams))::DOUBLE
+            / (len(q.grams) + len(c.grams) - len(list_intersect(q.grams, c.grams)))::DOUBLE >= 0.35
+    ORDER BY query_id, corpus_id
+    """,
+    doc="asymmetric set-similarity SEARCH (queries vs corpus, not self-join): exact two-sided prefix filter — rarest-first shared order over the union, posting equi-join across sides, exact Jaccard verify; oracle is the quadratic R-S join (operators/dedup.set_similarity_search)",
+)
+def q_setsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.dedup import set_similarity_search
+    from ironbeam_spark.scale import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents").df)
+    g = docs.select("doc_id", "lang", "source", char_ngrams("text", 4).alias("grams"))
+    out = set_similarity_search(
+        g.where(F.col("doc_id") < 25),
+        g.where(F.col("doc_id") >= 25),
+        0.35,
+        "doc_id",
+        "grams",
+        block_cols=("lang", "source"),
+    )
+    return out.orderBy("query_id", "corpus_id")

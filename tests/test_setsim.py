@@ -257,3 +257,37 @@ def test_global_running_sum_plan_has_no_global_window(spark):
     )[0]
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_setsim_search_equals_rs_join(spark):
+    """set_similarity_search == the quadratic queries×corpus join, pair for
+    pair (two-sided prefix guarantee), including with no blocking."""
+    g = _docs_with_grams(spark)
+    from ironbeam_spark.operators.dedup import set_similarity_search
+
+    q = g.where(F.col("doc_id") < 30)
+    c = g.where(F.col("doc_id") >= 30)
+    for blocks in (("lang", "source"), ()):
+        cond = [F.col("a.lang") == F.col("b.lang"), F.col("a.source") == F.col("b.source")] if blocks else []
+        a, b = q.alias("a"), c.alias("b")
+        ref_join = a.join(b, cond) if cond else a.crossJoin(b)
+        slow = {
+            (r.query_id, r.corpus_id): r.jaccard_sim
+            for r in ref_join.select(
+                F.col("a.doc_id").alias("query_id"),
+                F.col("b.doc_id").alias("corpus_id"),
+                jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard_sim"),
+            )
+            .where((F.size("a.grams") > 0) & (F.size("b.grams") > 0))
+            .where(F.col("jaccard_sim") >= 0.3)
+            .collect()
+        }
+        fast = {
+            (r.query_id, r.corpus_id): r.jaccard_sim
+            for r in set_similarity_search(
+                q, c, 0.3, "doc_id", "grams", block_cols=blocks
+            ).collect()
+        }
+        assert fast.keys() == slow.keys(), (blocks, slow.keys() - fast.keys())
+        for k in fast:
+            assert abs(fast[k] - slow[k]) < 1e-12
