@@ -59,6 +59,14 @@ def global_running_sum(
     Ties in ``order_cols`` get an arbitrary but fixed relative order within
     their slice; make the order total (include a unique key) when exact
     per-row attribution matters."""
+    dt = df.schema[value_col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        # float accumulation would make results depend on partition
+        # boundaries (addition isn't associative in FP) — the exactness
+        # contract only holds for integral values
+        raise TypeError(
+            f"global_running_sum requires an integral value column, got {dt}"
+        )
     parted = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)

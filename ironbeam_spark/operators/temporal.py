@@ -161,6 +161,11 @@ def interval_join(
     keys = list(on)
     bw = F.lit(bucket_width).cast("long")
     p = points.withColumn("_bucket", (F.col(point_ts).cast("long") / bw).cast("long") * bw)
+    # malformed intervals (end < start) contain nothing — drop them rather
+    # than let F.sequence raise on a descending bucket range
+    intervals = intervals.where(
+        F.col(end_ts).cast("long") >= F.col(start_ts).cast("long")
+    )
     iv = intervals.withColumn(
         "_bucket",
         F.explode(

@@ -267,8 +267,8 @@ def test_asof_join_model(spark, left, right, direction):
 
 POINTS = st.lists(st.integers(0, 50), min_size=0, max_size=12)
 INTERVALS = st.lists(
-    st.tuples(st.integers(0, 50), st.integers(0, 15)), min_size=0, max_size=8
-)
+    st.tuples(st.integers(0, 50), st.integers(-5, 15)), min_size=0, max_size=8
+)  # negative spans = malformed intervals: must match nothing, not error
 
 
 @given(points=POINTS, intervals=INTERVALS, bw=st.sampled_from([1, 3, 7, 100]))
