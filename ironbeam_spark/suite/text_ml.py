@@ -625,3 +625,53 @@ def q_setsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("lang", "source"),
     )
     return out.orderBy("query_id", "corpus_id")
+
+
+@query(
+    "q_corpus_clean",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    r(n, m) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n),
+    -- drop every near-dup-group member except the min-doc_id winner
+    losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="end-to-end corpus cleaning (the canonical LLM-dedup product): MinHash-LSH near-dup pairs → connected components → keep the min-id winner per group → per-source kept/removed/token stats; every stage reuses the library's bucketed, driver-free operators (north-star dedup composite)",
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.dedup import dedup_components
+
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+    )
+    labels = dedup_components(pairs)
+    losers = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("_loser")
+    )
+    return (
+        docs.select("doc_id", "source", token_count("text").alias("_nt"))
+        .join(losers, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("_loser"), F.lit(0))).cast("long").alias("n_removed"),
+        )
+        .orderBy("source")
+    )
