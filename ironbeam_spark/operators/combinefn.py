@@ -70,18 +70,26 @@ def combine_per_key(
     return df.groupBy(*keys).applyInPandas(apply, out_schema)
 
 
-def combine_globally(df: DataFrame, fn: CombineFn, out_schema: str) -> DataFrame:
+def combine_globally(
+    df: DataFrame, fn: CombineFn, out_schema: str, merge_fanout: int = 32
+) -> DataFrame:
     """Global combine (reference ``combine_globally``,
-    ``src/helpers/combine_global.rs:50``).  Two-phase like the reference's
-    partial+final, entirely inside the DAG (the result stays a lazy
-    DataFrame, composable mid-pipeline):
+    ``src/helpers/combine_global.rs:50``).  Three-phase tree aggregation —
+    the reference's O(log n) Rayon reduction (``src/runner.rs:802-810``)
+    re-expressed as a two-level merge, entirely inside the DAG (the result
+    stays a lazy DataFrame, composable mid-pipeline):
 
     1. per-partition partial accumulators via ``mapInPandas`` (parallel, no
        shuffle) — one pickled accumulator row per partition;
-    2. ``repartition(1)`` moves only those tiny rows (this is exactly
+    2. intermediate merge: ``repartition(merge_fanout)`` spreads the partial
+       rows over ``merge_fanout`` tasks, each merging its share into ONE
+       accumulator — so with P scan partitions no single task ever sees more
+       than ~P/merge_fanout accumulators (at ~800k scan partitions the old
+       single ``repartition(1)`` merge saw all 800k rows in one task);
+    3. ``repartition(1)`` moves the ≤ merge_fanout survivors (this is exactly
        ``treeAggregate``'s final exchange; ``coalesce(1)`` would instead
-       collapse stage-1's parallelism upstream), then a second
-       ``mapInPandas`` merges and extracts.
+       collapse upstream parallelism), then a final ``mapInPandas`` merges
+       and extracts.
 
     Emits the identity accumulator's output on empty input, matching the
     reference."""
@@ -94,6 +102,14 @@ def combine_globally(df: DataFrame, fn: CombineFn, out_schema: str) -> DataFrame
             acc = fn.add_batch(acc, pdf)
         yield pd.DataFrame({"acc": [pickle.dumps(acc)]})
 
+    def merge_level(batches):
+        accs = []
+        for pdf in batches:
+            accs.extend(pickle.loads(b) for b in pdf["acc"])
+        if accs:  # empty partitions contribute nothing at this level
+            merged = accs[0] if len(accs) == 1 else fn.merge_accumulators(accs)
+            yield pd.DataFrame({"acc": [pickle.dumps(merged)]})
+
     def final(batches):
         accs = []
         for pdf in batches:
@@ -104,4 +120,7 @@ def combine_globally(df: DataFrame, fn: CombineFn, out_schema: str) -> DataFrame
         yield pd.DataFrame([out])
 
     partials = df.mapInPandas(partial, "acc binary")
-    return partials.repartition(1).mapInPandas(final, out_schema)
+    intermediate = partials.repartition(merge_fanout).mapInPandas(
+        merge_level, "acc binary"
+    )
+    return intermediate.repartition(1).mapInPandas(final, out_schema)

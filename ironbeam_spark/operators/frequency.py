@@ -12,8 +12,9 @@ summary** (Agarwal et al., "Mergeable Summaries", PODS'12) with capacity
   (m+1)-th largest count from all and dropping the non-positive — the
   classic MG step, with the subtracted offsets accumulated as the summary's
   error bound;
-- merge: same sum+trim over the per-partition summaries after a
-  ``repartition(1)`` of ≤ partitions·(m+1) tiny rows (the
+- merge: same sum+trim over the per-partition summaries, as a two-level
+  tree — an intermediate ``repartition(merge_fanout)`` merge round, then a
+  final ``repartition(1)`` over ≤ merge_fanout·(m+1) tiny rows (the
   ``combine_globally`` shape — the result stays a lazy DataFrame).
 
 Error transport is batch-safe: each summary emits its accumulated offset on
@@ -46,12 +47,23 @@ def _trim(counts: dict, m: int) -> tuple[dict, int]:
     return {k: v - pivot for k, v in counts.items() if v > pivot}, pivot
 
 
-def approx_heavy_hitters(df: DataFrame, item_col: str, m: int = 256) -> DataFrame:
+def approx_heavy_hitters(
+    df: DataFrame, item_col: str, m: int = 256, merge_fanout: int = 32
+) -> DataFrame:
     """Frequent-items summary of ``item_col``: ≤ m rows ``(item, est, err)``
     with ``est ≤ true_count ≤ est + err`` for present items and every item
     of ``true_count > err`` guaranteed present.  Memory is O(m) per task and
     the shuffle moves ≤ partitions·(m+1) summary rows — never one row per
-    distinct item."""
+    distinct item.
+
+    The merge is a two-level tree (the reference's O(log n) Rayon reduction,
+    ``src/runner.rs:802-810``): an intermediate ``repartition(merge_fanout)``
+    merge round so no single task ever sees more than ~P/merge_fanout
+    summaries, then the final single-partition merge over ≤
+    merge_fanout·(m+1) rows.  MG summaries are mergeable at any fan-in
+    (sum + trim, offsets accumulate into ``err``), so splitting one
+    partition's summary rows across intermediate mergers preserves the
+    guarantee."""
     import pandas as pd
 
     def summarize(batches: Iterator["pd.DataFrame"], is_merge: bool) -> Iterator["pd.DataFrame"]:
@@ -87,7 +99,8 @@ def approx_heavy_hitters(df: DataFrame, item_col: str, m: int = 256) -> DataFram
     item_type = df.schema[item_col].dataType.simpleString()
     schema = f"item {item_type}, est long, err long"
     partials = df.select(item_col).mapInPandas(partial, schema)
-    merged = partials.repartition(1).mapInPandas(merge, schema)
+    intermediate = partials.repartition(merge_fanout).mapInPandas(merge, schema)
+    merged = intermediate.repartition(1).mapInPandas(merge, schema)
     # publish the total bound on every item row; drop the sentinel (the
     # window is over the ≤ m+1 merged rows — trivial, not a data shuffle)
     total_err = F.max(F.col("err")).over(Window.partitionBy())

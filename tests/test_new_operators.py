@@ -65,6 +65,47 @@ def test_combinefn_globally_composes_lazily(spark):
     assert rows == {"a": 1 / 6, "b": 2 / 6, "c": 3 / 6}
 
 
+def _final_plan(df) -> str:
+    """Executed plan string, final-plan section only (AQE's toString repeats
+    every node under '== Initial Plan ==')."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
+def test_combinefn_globally_tree_merge_stages(spark):
+    """The global combine is a two-level tree: partial -> intermediate merge
+    (repartition(merge_fanout)) -> final merge.  The executed plan must show
+    three MapInPandas stages and two exchanges, so no single merge task ever
+    sees all P partial accumulators."""
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long").repartition(8)
+    out = combine_globally(df, _sum_count(), "total long, n long", merge_fanout=4)
+    row = out.collect()[0]
+    assert (row.total, row.n) == (sum(range(100)), 100)
+    plan = _final_plan(out)
+    assert plan.count("MapInPandas") == 3, plan
+    assert plan.count("RoundRobinPartitioning(4)") == 1, plan  # intermediate
+    assert plan.count("Exchange SinglePartition") == 1, plan  # final
+
+
+def test_heavy_hitters_tree_merge_stages(spark):
+    """approx_heavy_hitters merges summaries in a two-level tree: partial
+    summaries -> repartition(merge_fanout) intermediate merge -> final
+    single-partition merge.  Guarantee must survive the extra level."""
+    from ironbeam_spark.operators.frequency import approx_heavy_hitters
+
+    rows = [("hot",)] * 60 + [(f"cold{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    out = approx_heavy_hitters(df, "item", m=8, merge_fanout=4)
+    got = {r.item: (r.est, r.err) for r in out.collect()}
+    assert "hot" in got
+    est, err = got["hot"]
+    assert est <= 60 <= est + err  # MG guarantee across both merge levels
+    plan = _final_plan(out)
+    assert plan.count("MapInPandas") == 3, plan
+    assert plan.count("RoundRobinPartitioning(4)") == 1, plan  # intermediate
+    assert plan.count("Exchange SinglePartition") == 1, plan  # final
+
+
 def test_side_inputs(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, v string")
     mapped = with_side_map(df, {1: "one", 2: "two"}, "id", "name")
