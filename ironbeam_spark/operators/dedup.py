@@ -224,13 +224,24 @@ def release_shingle_caches() -> int:
     return n
 
 
-def jaccard(set_a: Column, set_b: Column) -> Column:
-    """Exact Jaccard of two distinct-element arrays.
+def jaccard(set_a: Column, set_b: Column, assume_distinct: bool = True) -> Column:
+    """Exact Jaccard similarity of two arrays.
 
-    One hash-set pass: |A∪B| = |A| + |B| − |A∩B| (valid because inputs are
-    distinct arrays — every producer in this module emits array_distinct
-    output), so array_union's second O(|A|+|B|) scan never runs.  Measured
-    ~2× on the all-pairs verify stage of set_similarity_join."""
+    .. warning:: **PRECONDITION (default path): both arrays must contain
+       distinct elements.**  With ``assume_distinct=True`` the union size is
+       computed as |A| + |B| − |A∩B|, which silently over-counts the union
+       (deflating the similarity) if either input is a bag with repeats.
+       Every producer in this module emits ``array_distinct`` output, so the
+       default is safe internally; external callers passing arrays that may
+       contain duplicates must pass ``assume_distinct=False``, which applies
+       ``array_distinct`` to both sides first.
+
+    The distinct-input formulation is one hash-set pass — array_union's
+    second O(|A|+|B|) scan never runs; measured ~2× on the all-pairs verify
+    stage of set_similarity_join."""
+    if not assume_distinct:
+        set_a = F.array_distinct(set_a)
+        set_b = F.array_distinct(set_b)
     inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
     union = (F.size(set_a) + F.size(set_b)).cast("double") - inter
     return inter / union
@@ -458,6 +469,11 @@ def prefix_filter_candidates(
     ``block_cols``: optional hard blocking keys (pairs must agree on them);
     the rarest-first order is computed per block, which is consistent for
     every compared pair since pairs never cross blocks.
+
+    Output: ``(*block_cols, id_a, id_b)`` — the block columns are carried
+    through so the verify stage can join candidates back to their sets on
+    ``[*block_cols, id]``; ids therefore only need to be unique WITHIN a
+    block, not globally.
     """
     from pyspark.sql import Window as W
 
@@ -487,6 +503,7 @@ def prefix_filter_candidates(
         # length filter: J ≥ t needs min(n_a,n_b) ≥ t·max(n_a,n_b)
         .where(F.least(na, nb) >= F.lit(float(threshold)) * F.greatest(na, nb) - F.lit(1e-9))
         .select(
+            *blocks,  # join cols are merged by the list-on equi-join
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
@@ -556,13 +573,16 @@ def set_similarity_join(
         .where(F.col(sim_col) >= t)
     )
 
-    # large blocks: prefix-filter candidates + verify join
-    cands = prefix_filter_candidates(large, id_col, "_set", threshold, block_cols)
-    sa = large.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
-    sb = large.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    # large blocks: prefix-filter candidates + verify join.  The verify
+    # joins on [*blocks, id] — ids need only be unique within a block; a
+    # join on id alone would cross-match rows from other blocks when ids
+    # repeat across blocks.
+    cands = prefix_filter_candidates(large, id_col, "_set", threshold, tuple(blocks))
+    sa = large.select(*blocks, F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = large.select(*blocks, F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
     large_out = (
-        cands.join(sa, on="id_a")
-        .join(sb, on="id_b")
+        cands.join(sa, on=[*blocks, "id_a"])
+        .join(sb, on=[*blocks, "id_b"])
         .withColumn(sim_col, jaccard(F.col("_sa"), F.col("_sb")))
         .where(F.col(sim_col) >= t)
         .select("id_a", "id_b", sim_col)
@@ -634,20 +654,22 @@ def set_similarity_search(
         a.join(b, on=[*blocks, "_tok"])
         .where(F.least(na, nb) >= F.lit(float(threshold)) * F.greatest(na, nb) - F.lit(1e-9))
         .select(
+            *blocks,  # carried so verify joins on [*blocks, id] — ids need
+            # only be unique within a block, not globally
             F.col("a._qid").alias("query_id"),
             F.col("b._qid").alias("corpus_id"),
         )
         .distinct()
     )
     qs = both.where(F.col("_side") == 0).select(
-        F.col("_qid").alias("query_id"), F.col("_set").alias("_sa")
+        *blocks, F.col("_qid").alias("query_id"), F.col("_set").alias("_sa")
     )
     cs = both.where(F.col("_side") == 1).select(
-        F.col("_qid").alias("corpus_id"), F.col("_set").alias("_sb")
+        *blocks, F.col("_qid").alias("corpus_id"), F.col("_set").alias("_sb")
     )
     return (
-        cands.join(qs, on="query_id")
-        .join(cs, on="corpus_id")
+        cands.join(qs, on=[*blocks, "query_id"])
+        .join(cs, on=[*blocks, "corpus_id"])
         .withColumn(sim_col, jaccard(F.col("_sa"), F.col("_sb")))
         .where(F.col(sim_col) >= F.lit(float(threshold)))
         .select("query_id", "corpus_id", sim_col)

@@ -332,16 +332,18 @@ def lsh_near_dup_pairs(
         a.join(b, on=[*blocks, "band", "band_bits"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
+            *blocks,  # carried so verify joins on [*blocks, id] — ids need
+            # only be unique within a block, not globally
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = df.select(*blocks, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(*blocks, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cands.join(va, on="id_a")
-        .join(vb, on="id_b")
+        cands.join(va, on=[*blocks, "id_a"])
+        .join(vb, on=[*blocks, "id_b"])
         .withColumn(sim_col, cosine(F.col("_va"), F.col("_vb")))
         .where(F.col(sim_col) >= F.lit(float(threshold)))
         .select("id_a", "id_b", sim_col)

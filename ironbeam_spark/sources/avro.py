@@ -34,6 +34,7 @@ import os
 import struct
 import zlib
 from collections.abc import Iterator
+from datetime import timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -350,7 +351,12 @@ def write_avro_py(df: Any, path: str, mode: str = "overwrite") -> int:
                 for c in names:
                     v = rec[c]
                     if c in ts_cols and v is not None:
-                        # datetime → micros (naive values are session-UTC)
+                        # datetime → ABSOLUTE epoch micros (avro
+                        # timestamp-micros is UTC-instant by spec): tz-aware
+                        # values (Arrow carries the session tz) convert via
+                        # UTC; naive values are assumed already-UTC
+                        if v.tzinfo is not None:
+                            v = v.astimezone(timezone.utc).replace(tzinfo=None)
                         ts = pa.scalar(v, type=pa.timestamp("us")).cast(pa.int64())
                         v = ts.as_py()
                     row.append(v)
@@ -400,7 +406,11 @@ def read_avro_py(spark: SparkSession, path: str, schema: StructType | str | None
                 rows = [[rec.get(n) for n in names] for rec in recs]
                 out = pd.DataFrame(rows, columns=names)
                 for c in ts_cols:
-                    out[c] = pd.to_datetime(out[c], unit="us")
+                    # tz-AWARE UTC: stored micros are absolute instants, and
+                    # an aware series keeps Spark from reinterpreting naive
+                    # values in the session timezone (round-trips under any
+                    # session tz, not just UTC)
+                    out[c] = pd.to_datetime(out[c], unit="us", utc=True)
                 yield out
 
     return files.mapInPandas(decode, struct_schema)

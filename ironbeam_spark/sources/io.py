@@ -109,31 +109,59 @@ def write_jsonl(df: DataFrame | PCollection, path: str, mode: str = "overwrite",
     w.json(path)
 
 
+_AVRO_NATIVE: bool | None = None
+
+
+def _avro_native_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro jar is on the classpath.  Probed ONCE per
+    process (classpath cannot change mid-session) so the pure-Python
+    fallback is selected only for a genuinely missing jar — real read/write
+    failures (corrupt file, disk full, schema mismatch) propagate instead of
+    being silently retried through the fallback codec."""
+    global _AVRO_NATIVE
+    if _AVRO_NATIVE is None:
+        try:
+            # Spark's own provider lookup — the authoritative check (a bare
+            # Class.forName can see shaded avro classes even when the
+            # data source module is not deployed)
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+            )
+            _AVRO_NATIVE = True
+        except Exception:
+            _AVRO_NATIVE = False
+    return _AVRO_NATIVE
+
+
 def read_avro(spark: SparkSession, path: str, schema=None) -> PCollection:
     """Reference ``read_avro`` (``src/helpers/avro.rs:109``).  Uses the
     native spark-avro reader when its jar is on the classpath (fastest);
     otherwise falls back to the dependency-free pure-Python OCF codec
     (``sources/avro.py`` — implemented from the public Avro spec,
-    Java-interop-tested), the same strategy as the msgpack source."""
-    try:
+    Java-interop-tested), the same strategy as the msgpack source.  The
+    jar probe happens once up front, so errors raised while reading are
+    genuine and propagate."""
+    if _avro_native_available(spark):
         return PCollection(spark.read.format("avro").load(path))
-    except Exception:  # no spark-avro jar — environment-dependent
-        from ironbeam_spark.sources.avro import read_avro_py
+    from ironbeam_spark.sources.avro import read_avro_py
 
-        return PCollection(read_avro_py(spark, path, schema))
+    return PCollection(read_avro_py(spark, path, schema))
 
 
 def write_avro(df: DataFrame | PCollection, path: str, mode: str = "overwrite") -> None:
     """Reference ``write_avro`` (``src/helpers/avro.rs:200``).  Native
-    spark-avro writer when available, else the partition-parallel
-    pure-Python OCF sink (one self-contained shard per partition)."""
+    spark-avro writer when available (probed once, see
+    :func:`_avro_native_available`), else the partition-parallel pure-Python
+    OCF sink (one self-contained shard per partition).  Write errors from
+    the selected path propagate — no cross-codec retry that could mix
+    partial native output with fallback shards in append mode."""
     d = df.df if isinstance(df, PCollection) else df
-    try:
+    if _avro_native_available(d.sparkSession):
         d.write.mode(mode).format("avro").save(path)
-    except Exception:  # no spark-avro jar
-        from ironbeam_spark.sources.avro import write_avro_py
+        return
+    from ironbeam_spark.sources.avro import write_avro_py
 
-        write_avro_py(d, path, mode)
+    write_avro_py(d, path, mode)
 
 
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> PCollection:

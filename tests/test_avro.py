@@ -67,6 +67,30 @@ def test_roundtrip_arrays_and_timestamps(spark, tmp_path):
     assert _sorted(back2) == _sorted(ev)
 
 
+def test_timestamp_roundtrip_non_utc_session(spark, tmp_path):
+    """Avro timestamp-micros is an absolute UTC instant; the round-trip must
+    preserve instants under a NON-UTC session timezone too (ADVICE r3: the
+    reader's naive datetimes used to be reinterpreted in the session tz)."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id", "ts").limit(50)
+    want = _sorted(ev)  # collected under the default (UTC) session
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        p = str(tmp_path / "tz")
+        write_avro_py(ev, p)
+        back = read_avro_py(spark, p).select("event_id", "ts")
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        assert _sorted(back) == want
+        # and writing under UTC then reading under non-UTC also agrees
+        p2 = str(tmp_path / "tz2")
+        write_avro_py(ev, p2)
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        back2 = read_avro_py(spark, p2).select("event_id", "ts")
+        assert _sorted(back2) == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_write_modes(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "x long").coalesce(1)
     p = str(tmp_path / "modes")

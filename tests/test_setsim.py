@@ -88,6 +88,43 @@ def test_prefix_filter_prunes_skewed_block(spark):
     assert expected <= found, expected - found
 
 
+def test_setsim_ids_unique_only_within_block(spark):
+    """ids repeating across blocks must not cross-match in the verify stage:
+    the verify join carries the block columns (ADVICE r3).  Fixture: the
+    SAME ids (1, 2) in two blocks, with cross-block set combinations that
+    ALSO clear the threshold — a verify join on id alone would emit those
+    phantom cross-combinations (e.g. J(x's set 1, y's set 2) = 0.714 here).
+    Truth is the per-block all-pairs multiset of (id_a, id_b, sim)."""
+    rows = [
+        ("x", 1, [1, 2, 3, 4, 5, 6]),
+        ("x", 2, [1, 2, 3, 4, 5, 6]),          # J = 1.0 within x
+        ("y", 1, [1, 2, 3, 4, 5, 7]),          # vs x's id2: J = 5/7 ≈ .714
+        ("y", 2, [1, 2, 3, 4, 8, 9]),          # J = 4/8 = 0.5 within y
+    ]
+    df = spark.createDataFrame(rows, "blk string, id long, s array<long>")
+    want = sorted([(1, 2, 0.5), (1, 2, 1.0)])
+    for cap in (0, 512):  # both the prefix-filter and the direct path
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard_sim, 9))
+            for r in set_similarity_join(
+                df, "id", "s", 0.5, block_cols=("blk",), small_block_cap=cap
+            ).collect()
+        )
+        assert got == want, (cap, got)
+    # asymmetric search: same leak shape (queries×corpus across blocks)
+    from ironbeam_spark.operators.dedup import set_similarity_search
+
+    q = df.where(F.col("id") == 1)
+    c = df.where(F.col("id") == 2)
+    got = sorted(
+        (r.query_id, r.corpus_id, round(r.jaccard_sim, 9))
+        for r in set_similarity_search(
+            q, c, 0.5, "id", "s", block_cols=("blk",)
+        ).collect()
+    )
+    assert got == want, got
+
+
 def test_setsim_plan_has_no_quadratic_join(spark):
     """Executed plan shape: every join in the prefix-filter pipeline is a
     hash/sort-merge equi-join — no CartesianProduct, no BNLJ."""
