@@ -482,8 +482,13 @@ def prefix_filter_candidates(
         *blocks, F.col(id_col), F.col(set_col).alias("_set"), F.size(set_col).alias("_n")
     ).where(F.col("_n") > 0)
     tok = base.select(*blocks, id_col, "_n", F.explode("_set").alias("_tok"))
-    freq = tok.groupBy(*blocks, "_tok").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = tok.join(freq, on=[*blocks, "_tok"])
+    # document frequency via a window over the token partition: elements are
+    # distinct within a set, so the row count IS the df.  One shuffle of the
+    # token table instead of the agg+join formulation's two (freq aggregate
+    # plus a second full-width shuffle to join it back on).
+    ranked = tok.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy(*blocks, "_tok"))
+    )
     w = W.partitionBy(*blocks, id_col).orderBy("_df", "_tok")
     # required overlap α = ⌈t·n⌉; prefix keeps the first n − α + 1 elements.
     # The 1e-9 nudge guards FP error in t·n the SAFE way: it can only LOWER
@@ -638,8 +643,12 @@ def set_similarity_search(
     _PERSISTED_SHINGLE_TABLES.append(both)
 
     tok = both.select(*blocks, "_qid", "_side", "_n", F.explode("_set").alias("_tok"))
-    freq = tok.groupBy(*blocks, "_tok").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = tok.join(freq, on=[*blocks, "_tok"])
+    # df via window over (block, token) — elements are distinct per set, so
+    # row count = document frequency over BOTH sides (the shared total
+    # order); saves the agg+join's second full-width shuffle
+    ranked = tok.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy(*blocks, "_tok"))
+    )
     w = W.partitionBy(*blocks, "_side", "_qid").orderBy("_df", "_tok")
     alpha = F.ceil(F.lit(float(threshold)) * F.col("_n") - F.lit(1e-9)).cast("long")
     pref = (

@@ -387,6 +387,7 @@ QUERIES["q_crossshard_dedup"].oracle = _cs_oracle()
 @query(
     "q_token_packing",
     None,  # assembled below — needs the shared tokenizer SQL
+    bench=True,
     doc="cross-document token-stream packing (north-star training prep): concatenate the corpus token stream in doc_id order, slice into fixed 2048-token training windows; each doc's pack id + offset come from a DISTRIBUTED two-pass prefix sum (operators/scan.py), never a single-partition global window",
 )
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -608,7 +608,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (len(q.grams) + len(c.grams) - len(list_intersect(q.grams, c.grams)))::DOUBLE >= 0.35
     ORDER BY query_id, corpus_id
     """,
-    doc="asymmetric set-similarity SEARCH (queries vs corpus, not self-join): exact two-sided prefix filter — rarest-first shared order over the union, posting equi-join across sides, exact Jaccard verify; oracle is the quadratic R-S join (operators/dedup.set_similarity_search)",
+    bench=True,
+    doc="asymmetric set-similarity SEARCH (queries vs corpus, not self-join): exact two-sided prefix filter — rarest-first shared order over the union, posting equi-join across sides, exact Jaccard verify; oracle is the quadratic R-S join (operators/dedup.set_similarity_search); ~2.5s warm at sf0.1 — cost is the corpus-wide token df/prefix computation (3 full-width shuffles), inherent to the exact two-sided guarantee",
 )
 def q_setsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.dedup import set_similarity_search
@@ -651,7 +652,8 @@ def q_setsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.source
     ORDER BY d.source
     """,
-    doc="end-to-end corpus cleaning (the canonical LLM-dedup product): MinHash-LSH near-dup pairs → connected components → keep the min-id winner per group → per-source kept/removed/token stats; every stage reuses the library's bucketed, driver-free operators (north-star dedup composite)",
+    bench=True,
+    doc="end-to-end corpus cleaning (the canonical LLM-dedup product): MinHash-LSH near-dup pairs → connected components → keep the min-id winner per group → per-source kept/removed/token stats; every stage reuses the library's bucketed, driver-free operators (north-star dedup composite); ~2.4s warm at sf0.1 — connected components is inherently R rounds of joins (R = max group diameter)",
 )
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.dedup import dedup_components
