@@ -144,13 +144,50 @@ def brute_force_topk(
     )
 
 
+def _side_array(side_df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
+    """Collapse a small plane/centroid DataFrame into ONE id-sorted array row
+    — the broadcastable carrier for the all-DataFrame ANN path.  Nothing is
+    collected to the driver; the single row rides a broadcast join."""
+    return side_df.select(
+        F.struct(
+            F.col(id_col).cast("int").alias("pid"), F.col(vec_col).alias("vec")
+        ).alias("p")
+    ).agg(F.array_sort(F.collect_list("p")).alias(out))
+
+
 def hyperplane_buckets(
     df: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | DataFrame,
     vec_col: str = "embedding",
     out_col: str = "bucket",
+    plane_id_col: str = "plane_id",
+    plane_vec_col: str = "plane",
 ) -> DataFrame:
-    """Sign-of-dot-product LSH bucket id: bit i = 1 iff dot(v, plane_i) > 0."""
+    """Sign-of-dot-product LSH bucket id: bit i = 1 iff dot(v, plane_i) > 0.
+
+    ``planes`` may be a driver-side list (literal codegen expressions — fine
+    for ≤ a few dozen planes) or a **DataFrame** ``(plane_id, plane)`` — the
+    no-collect path: planes are folded into one array row and broadcast, and
+    the bucket is an ``F.aggregate`` over that array.  Same bit semantics
+    (bit index = plane_id), so both paths produce identical buckets."""
+    if isinstance(planes, DataFrame):
+        arr = _side_array(planes, plane_id_col, plane_vec_col, "_planes")
+        bucket = F.aggregate(
+            F.col("_planes"),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(
+                dot(F.col(vec_col), p["vec"]) > 0,
+                # SQL shiftleft takes a column bit-count (the Python wrapper
+                # F.shiftleft only accepts a literal int)
+                F.call_function("shiftleft", F.lit(1).cast("long"), p["pid"]),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return (
+            df.crossJoin(F.broadcast(arr))  # 1-row side: a broadcast, not a blowup
+            .withColumn(out_col, bucket)
+            .drop("_planes")
+        )
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -162,23 +199,42 @@ def hyperplane_buckets(
 
 def ivf_assign_cells(
     df: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    cell_id_col: str = "cell",
+    centroid_col: str = "centroid",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its ``n_probe`` nearest
     centroids by cosine (deterministic ties: lower centroid id wins).  Output
     ``(id, vec, cell, cell_rank)`` — one row per probed cell.
 
-    Centroids are a driver-side list (k-means output or, here, vectors chosen
-    by id — deterministic, oracle-friendly); the per-row argmax is a codegen
-    expression over a literal array, no join, no shuffle."""
-    scored = [
-        (cid, cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
-        for cid, c in centroids
-    ]
-    cells = F.array(*[F.struct(s.alias("sim"), F.lit(cid).alias("cell")) for cid, s in scored])
+    ``centroids`` may be a driver-side list (k-means output or vectors chosen
+    by id — the per-row argmax is then a codegen expression over a literal
+    array, no join, no shuffle) or a **DataFrame** ``(cell, centroid)`` — the
+    no-collect path: centroids fold into one broadcast array row and the
+    scoring runs as ``F.transform`` over it.  Identical assignment either
+    way."""
+    if isinstance(centroids, DataFrame):
+        arr = _side_array(centroids, cell_id_col, centroid_col, "_cents")
+        cells = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["vec"]).alias("sim"),
+                c["pid"].alias("cell"),
+            ),
+        )
+        base = df.crossJoin(F.broadcast(arr))  # 1-row side
+    else:
+        scored = [
+            (cid, cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+            for cid, c in centroids
+        ]
+        cells = F.array(
+            *[F.struct(s.alias("sim"), F.lit(cid).alias("cell")) for cid, s in scored]
+        )
+        base = df
     # sort by (-sim, cell): nearest first, deterministic on ties
     ranked = F.slice(
         F.array_sort(
@@ -187,7 +243,7 @@ def ivf_assign_cells(
         1,
         n_probe,
     )
-    out = df.select(
+    out = base.select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(ranked).alias("cell_rank", "cell_struct"),
@@ -200,7 +256,7 @@ def ivf_assign_cells(
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -238,7 +294,7 @@ def ivf_ann_topk(
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -275,7 +331,7 @@ def lsh_ann_topk(
 
 def lsh_near_dup_pairs(
     df: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -76,3 +76,75 @@ def test_kmeans_distributed_recall(spark):
         for r in ivf_ann_topk(emb, queries, cents, k=5, n_probe=4).collect()
     }
     assert _recall(exact, approx) >= 0.7
+
+
+def test_lsh_ann_dataframe_planes_no_collect_and_equal(spark, monkeypatch):
+    """The all-DataFrame ANN path (VERDICT r3 #3): planes supplied as a
+    DataFrame, a 10^4-row distributed query side, and NO DataFrame.collect
+    anywhere in the operator (asserted by monkeypatch).  Results must equal
+    the literal-planes path bit for bit."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame
+
+    from ironbeam_spark.operators.similarity import lsh_ann_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    planes_df = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("plane_id"),
+        F.col("embedding").alias("plane"),
+    )
+    planes_lit = [list(r.plane) for r in planes_df.orderBy("plane_id").collect()]
+
+    # 10^4 synthetic queries, generated distributed (never on the driver)
+    q = spark.range(10_000).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (((F.col("id") % 97 + i * 31) % 101) - 50).cast("float") / 50,
+        ).alias("embedding"),
+    )
+
+    def _no_collect(self, *a, **kw):
+        raise AssertionError("collect() inside the no-collect ANN path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    out = lsh_ann_topk(emb, q, planes_df, k=3)
+    n_df = out.count()  # full execution with the ban still in place
+    monkeypatch.undo()
+
+    lit = lsh_ann_topk(emb, q, planes_lit, k=3)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, lit.collect()))
+    assert n_df == len(want) and n_df > 0
+    assert got == want
+
+
+def test_ivf_ann_dataframe_centroids_no_collect_and_equal(spark, monkeypatch):
+    """Same contract for IVF: centroids as a (cell, centroid) DataFrame,
+    no driver collect, identical output to the literal-centroids path."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    cents_lit = [
+        (int(r.cell), list(r.centroid)) for r in cents_df.orderBy("cell").collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 10)
+
+    def _no_collect(self, *a, **kw):
+        raise AssertionError("collect() inside the no-collect ANN path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    out = ivf_ann_topk(emb, queries, cents_df, k=5, n_probe=2)
+    n_df = out.count()
+    monkeypatch.undo()
+
+    lit = ivf_ann_topk(emb, queries, cents_lit, k=5, n_probe=2)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, lit.collect()))
+    assert n_df == len(want) and n_df > 0
+    assert got == want
