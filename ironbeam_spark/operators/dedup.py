@@ -300,6 +300,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_policy=None,
 ) -> DataFrame:
     """Duplicate *groups* from near-dup pairs: connected components by
     iterative min-label propagation.  Output: ``(node, component)`` where
@@ -308,31 +309,34 @@ def dedup_components(
     contract as :func:`dedup_exact`).
 
     The loop is the standard Spark iterative-algorithm shape: each round is
-    one shuffle (join + min-agg), ``localCheckpoint`` truncates lineage so
-    plan size stays O(1) across rounds, and convergence is detected with a
-    cheap changed-count action.  Rounds needed = graph diameter (near-dup
-    components are shallow; ``max_iter`` is a safety bound)."""
-    edges = (
+    one shuffle (join + min-agg), lineage is truncated per
+    ``checkpoint_policy`` (an :class:`~ironbeam_spark.operators.checkpoint.
+    CheckpointPolicy`; default = AfterEveryBarrier, the reference default,
+    ``src/checkpoint.rs:88``, keeping plan size O(1) across rounds), and
+    convergence is detected with a cheap changed-count action.  Rounds
+    needed = graph diameter (near-dup components are shallow; ``max_iter``
+    is a safety bound)."""
+    from ironbeam_spark.operators.checkpoint import CheckpointPolicy
+
+    policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
+    edges = policy.checkpoint(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = policy.checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate labels: my own + the label of every neighbor
-        propagated = (
+        propagated = policy.checkpoint(
             edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
             .select(F.col("src").alias("node"), "component")
             .union(labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
         changed = (
             propagated.alias("n")
