@@ -4,15 +4,19 @@ payload sources, ``src/helpers/stdlib.rs:160``).
 
 Convention: a modality column is an opaque ``binary`` payload plus a typed
 metadata struct built here (``byte_len``, ``sha256``, ``modality``,
-``content_type``).  Real decode libraries (PIL/librosa/ffmpeg) are NOT in
-this container, so decode is split into:
+``content_type``).  Decode is tiered by what this container can host:
 
 - **plumbing (real, tested)**: schema, Arrow batch shape, ``mapInPandas``
-  signature, partitioning — identical to what a real decoder needs;
-- **codec (stubbed)**: ``decode_image``/``decode_audio`` raise
-  ``NotImplementedError`` with the integration point documented;
-  ``fake_decode_features`` is the deterministic stand-in the test suite and
-  oracle use (pure byte arithmetic, reproducible anywhere).
+  signature, partitioning — identical for any decoder;
+- **real codecs (pure Python, from the public format specs)**:
+  :func:`decode_image` parses uncompressed 24-bit **BMP** (BITMAPINFOHEADER,
+  BI_RGB) and **PPM** (P6 binary / P3 ASCII); :func:`decode_audio` parses
+  **PCM WAV** (RIFF/fmt/data).  Compressed formats (JPEG/PNG/MP3/...) need
+  PIL/librosa, absent here — those payloads surface a per-row ``error``
+  column (dead-letter convention, like ``operators/dead_letter.try_map``)
+  rather than failing the job;
+- ``fake_decode_features`` remains the format-free deterministic stand-in
+  (pure byte arithmetic, reproducible in SQL).
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak usage); the
@@ -21,6 +25,7 @@ metadata projection is pure codegen; nothing ever collects to the driver.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -29,6 +34,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "as_blob",
     "blob_metadata",
+    "encode_bmp",
+    "encode_ppm",
+    "encode_wav_pcm16",
+    "decode_image_bytes",
+    "decode_audio_bytes",
     "decode_image",
     "decode_audio",
     "fake_decode_features",
@@ -53,25 +63,241 @@ def blob_metadata(blob: Column, modality: str, content_type: str) -> Column:
     )
 
 
-def decode_image(df: DataFrame, blob_col: str):  # pragma: no cover - stub
-    """STUB — image decode (resize / pixel stats / EXIF).
+# --------------------------------------------------------------- image codecs
+# Implemented from the public format specs (Windows BMP file format docs;
+# netpbm PPM spec).  Scope: the uncompressed interchange formats a training
+# pipeline can host without native libs.  JPEG/PNG stay behind the error
+# column — they require PIL.
 
-    Integration point: a ``mapInPandas`` function whose batch loop opens each
-    payload with PIL (``Image.open(io.BytesIO(b))``), emits
-    ``width/height/mode`` + a feature vector; partitioning and schema
-    handling are exactly :func:`fake_decode_features`.  PIL is not available
-    in this environment."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; wire the codec into the "
-        "fake_decode_features mapInPandas skeleton"
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER, BI_RGB).
+    ``rgb`` is row-major top-down R,G,B triplets.  Exists so tests/oracles
+    can fabricate real files; the decoder is the product surface."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # BMP stores rows bottom-up
+        row = bytearray()
+        for x in range(width):
+            o = (y * width + x) * 3
+            r, g, b = rgb[o], rgb[o + 1], rgb[o + 2]
+            row += bytes((b, g, r))  # BGR on disk
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) writer; ``rgb`` as in :func:`encode_bmp`."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def _ppm_tokens(b: bytes):
+    """netpbm header tokenizer: whitespace-separated, '#' comments to EOL.
+    Yields (token, end_offset)."""
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and b[j : j + 1] not in b" \t\r\n#":
+                j += 1
+            yield b[i:j], j
+            i = j
+
+
+def decode_image_bytes(b: bytes) -> dict:
+    """Decode one image payload: sniff the magic, parse with the matching
+    pure-Python codec.  Returns ``{fmt, width, height, channels, sum_r,
+    sum_g, sum_b}`` (integer channel sums — order-invariant, FP-free, so an
+    external oracle can verify them exactly).  Raises ``ValueError`` on
+    unsupported/corrupt payloads (callers map it to the error column)."""
+    import numpy as np
+
+    if b[:2] == b"BM":
+        if len(b) < 54:
+            raise ValueError("bmp: truncated header")
+        off, hdr_size = struct.unpack_from("<I", b, 10)[0], struct.unpack_from("<I", b, 14)[0]
+        if hdr_size < 40:
+            raise ValueError("bmp: pre-BITMAPINFOHEADER variants unsupported")
+        width, height = struct.unpack_from("<ii", b, 18)
+        planes, bpp = struct.unpack_from("<HH", b, 26)
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"bmp: only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+        top_down = height < 0
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3
+        need = off + stride * height
+        if width <= 0 or height <= 0 or len(b) < need:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=off)
+        px = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        if not top_down:
+            px = px[::-1]
+        sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        # disk order is BGR
+        return {
+            "fmt": "bmp", "width": int(width), "height": int(height), "channels": 3,
+            "sum_r": int(sums[2]), "sum_g": int(sums[1]), "sum_b": int(sums[0]),
+        }
+    if b[:2] in (b"P6", b"P3"):
+        ascii_mode = b[:2] == b"P3"
+        toks = _ppm_tokens(b[2:])
+        try:
+            (w, _), (h, _), (maxval, end) = next(toks), next(toks), next(toks)
+            width, height, maxval = int(w), int(h), int(maxval)
+        except (StopIteration, ValueError) as e:
+            raise ValueError("ppm: bad header") from e
+        if width <= 0 or height <= 0 or not (0 < maxval < 256):
+            raise ValueError("ppm: only 8-bit-per-sample images supported")
+        n = width * height * 3
+        if ascii_mode:
+            vals = []
+            for t, _ in toks:
+                vals.append(int(t))
+                if len(vals) == n:
+                    break
+            if len(vals) != n:
+                raise ValueError("ppm: truncated P3 samples")
+            px = np.array(vals, dtype=np.int64).reshape(-1, 3)
+        else:
+            start = 2 + end + 1  # single whitespace byte after maxval per spec
+            if len(b) < start + n:
+                raise ValueError("ppm: truncated P6 pixel data")
+            px = np.frombuffer(b, dtype=np.uint8, count=n, offset=start).reshape(-1, 3).astype(np.int64)
+        s = px.sum(axis=0)
+        return {
+            "fmt": "ppm", "width": width, "height": height, "channels": 3,
+            "sum_r": int(s[0]), "sum_g": int(s[1]), "sum_b": int(s[2]),
+        }
+    raise ValueError(
+        "unsupported image format (magic %r): only BMP/PPM decode without PIL"
+        % (bytes(b[:2]),)
     )
 
 
-def decode_audio(df: DataFrame, blob_col: str):  # pragma: no cover - stub
-    """STUB — audio decode / frame-sample (librosa/ffmpeg not available)."""
-    raise NotImplementedError(
-        "audio decode requires librosa/ffmpeg; wire the codec into the "
-        "fake_decode_features mapInPandas skeleton"
+_IMAGE_SCHEMA = (
+    "{id} long, fmt string, width long, height long, channels long, "
+    "sum_r long, sum_g long, sum_b long, error string"
+)
+
+
+def decode_image(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL image decode over the multimodal plumbing: Arrow-batched
+    ``mapInPandas``; each payload is parsed with :func:`decode_image_bytes`
+    (BMP / PPM).  Unsupported or corrupt payloads produce a row with null
+    dimensions and the ``error`` message — the dead-letter convention — so
+    one bad file never kills a 100 TB job."""
+    import pandas as pd
+
+    def decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    d = decode_image_bytes(bytes(blob))
+                    rows.append(
+                        (rid, d["fmt"], d["width"], d["height"], d["channels"],
+                         d["sum_r"], d["sum_g"], d["sum_b"], None)
+                    )
+                except ValueError as e:
+                    rows.append((rid, None, None, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "fmt", "width", "height", "channels",
+                         "sum_r", "sum_g", "sum_b", "error"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        decode, _IMAGE_SCHEMA.format(id=id_col)
+    )
+
+
+# --------------------------------------------------------------- audio codec
+
+
+def encode_wav_pcm16(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal PCM16 WAV writer (RIFF/WAVE, fmt + data chunks); ``samples``
+    are interleaved int16 values."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_bytes(b: bytes) -> dict:
+    """Decode one PCM WAV payload (RIFF walk, public WAVE spec): returns
+    ``{fmt, sample_rate, channels, bits, n_frames, sum_abs}`` with integer
+    ``sum_abs`` (order-invariant, oracle-verifiable).  Raises ``ValueError``
+    for non-WAV or compressed audio."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format: only PCM WAV decodes without librosa/ffmpeg")
+    i, n = 12, len(b)
+    fmt = data = None
+    while i + 8 <= n:
+        cid, sz = b[i : i + 4], struct.unpack_from("<I", b, i + 4)[0]
+        body = b[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"wav: only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    frames = len(data) // (channels * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=frames * channels)
+    return {
+        "fmt": "wav", "sample_rate": int(sample_rate), "channels": int(channels),
+        "bits": 16, "n_frames": int(frames),
+        "sum_abs": int(np.abs(samples.astype(np.int64)).sum()),
+    }
+
+
+def decode_audio(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL audio decode (PCM WAV) with the same dead-letter error-column
+    convention as :func:`decode_image`."""
+    import pandas as pd
+
+    def decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    d = decode_audio_bytes(bytes(blob))
+                    rows.append((rid, d["fmt"], d["sample_rate"], d["channels"],
+                                 d["bits"], d["n_frames"], d["sum_abs"], None))
+                except ValueError as e:
+                    rows.append((rid, None, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "fmt", "sample_rate", "channels", "bits",
+                         "n_frames", "sum_abs", "error"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        decode,
+        f"{id_col} long, fmt string, sample_rate long, channels long, "
+        "bits long, n_frames long, sum_abs long, error string",
     )
 
 

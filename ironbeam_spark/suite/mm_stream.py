@@ -63,6 +63,61 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_image_decode",
+    # Exact oracle: payloads are generated from a closed-form pixel formula
+    # (rgb[i] = (seed + i) % 256), REALLY encoded to BMP (even ids) / PPM
+    # (odd ids) bytes and REALLY parsed back by the pure-Python codecs; the
+    # oracle computes the channel sums analytically from the same formula —
+    # any header/stride/channel-order bug in encoder or decoder breaks the
+    # match.
+    """
+    WITH params AS (
+      SELECT doc_id, doc_id % 251 AS seed,
+             1 + doc_id % 8 AS w, 1 + doc_id % 6 AS h
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+      CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      CAST(3 AS BIGINT) AS channels,
+      CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+           p -> (seed + 3*p) % 256)) AS BIGINT) AS sum_r,
+      CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+           p -> (seed + 3*p + 1) % 256)) AS BIGINT) AS sum_g,
+      CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+           p -> (seed + 3*p + 2) % 256)) AS BIGINT) AS sum_b
+    FROM params ORDER BY doc_id
+    """,
+    doc="REAL image decode: deterministic pixel data encoded to actual BMP/PPM files (pure-Python writers), parsed back by the pure-Python decoders (operators/multimodal.decode_image), channel sums verified against the closed-form oracle (north-star multimodal, real codec tier)",
+)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.multimodal import decode_image
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, w, h = did % 251, 1 + did % 8, 1 + did % 6
+                rgb = bytes((seed + i) % 256 for i in range(w * h * 3))
+                payload = encode_bmp(w, h, rgb) if did % 2 == 0 else encode_ppm(w, h, rgb)
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+    out = decode_image(blobs, "doc_id", "payload")
+    return out.select(
+        "doc_id", "fmt", "width", "height", "channels", "sum_r", "sum_g", "sum_b"
+    ).orderBy("doc_id")
+
+
+@query(
     "q_stream_tumble",
     # Trigger.AvailableNow over a bounded source is batch-equivalent, so the
     # batch tumbling SQL is an exact oracle (equivalence also pytest-asserted)

@@ -155,10 +155,45 @@ def test_fake_decode_features_byte_exact(spark):
         assert got[i].head_u32 == (int.from_bytes(b[:4], "little") if len(b) >= 4 else -1)
 
 
-def test_decode_stub_raises(spark):
-    df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
-    with pytest.raises(NotImplementedError):
-        decode_image(df, "payload")
+def test_decode_image_real_codecs_and_error_column(spark):
+    """decode_image really parses BMP and PPM payloads (pure-Python codecs)
+    and routes unsupported formats (PNG magic here) to the error column
+    instead of failing the job."""
+    from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
+
+    w, h = 5, 3
+    rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+    sums = [sum(rgb[i] for i in range(c, w * h * 3, 3)) for c in range(3)]
+    rows = [
+        (1, encode_bmp(w, h, rgb)),
+        (2, encode_ppm(w, h, rgb)),
+        (3, b"\x89PNG\r\n\x1a\nxxxx"),  # needs PIL -> error column
+        (4, b"BM\x00\x01"),  # truncated BMP -> error column
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in decode_image(df, "id", "payload").collect()}
+    for rid, fmt in ((1, "bmp"), (2, "ppm")):
+        r = got[rid]
+        assert (r.fmt, r.width, r.height, r.channels) == (fmt, w, h, 3)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums)
+        assert r.error is None
+    assert got[3].fmt is None and "unsupported image format" in got[3].error
+    assert got[4].fmt is None and got[4].error  # truncated -> error, not crash
+
+
+def test_decode_audio_wav_pcm(spark):
+    """decode_audio parses PCM16 WAV (RIFF walk) and errors on non-WAV."""
+    from ironbeam_spark.operators.multimodal import decode_audio, encode_wav_pcm16
+
+    samples = [(-1) ** i * (i * 13 % 1000) for i in range(200)]
+    rows = [(1, encode_wav_pcm16(8000, 2, samples)), (2, b"ID3\x03mp3data")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in decode_audio(df, "id", "payload").collect()}
+    r = got[1]
+    assert (r.fmt, r.sample_rate, r.channels, r.bits, r.n_frames) == ("wav", 8000, 2, 16, 100)
+    assert r.sum_abs == sum(abs(s) for s in samples)
+    assert r.error is None
+    assert got[2].fmt is None and "only PCM WAV" in got[2].error
 
 
 def test_stream_tumble_matches_batch(spark):
