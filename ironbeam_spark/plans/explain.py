@@ -19,7 +19,28 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-__all__ = ["PlanReport", "plan_report", "explain_formatted"]
+__all__ = [
+    "CostEstimate",
+    "PlanReport",
+    "plan_report",
+    "cost_estimates",
+    "explain_formatted",
+]
+
+
+@dataclass
+class CostEstimate:
+    """Catalyst statistics for one plan node (the reference's
+    ``CostEstimate`` analogue, ``src/planner.rs:304-786``): estimated output
+    bytes always, estimated rows when the estimator can derive them."""
+
+    node: str
+    size_bytes: int
+    rows: int | None
+
+    def render(self) -> str:
+        rows = f"~{self.rows} rows" if self.rows is not None else "rows unknown"
+        return f"{self.node}: ~{self.size_bytes} B, {rows}"
 
 
 @dataclass
@@ -38,10 +59,12 @@ class PlanReport:
     scans: int = 0
     take_ordered: bool = False
     aqe: bool = False
+    output_estimate: CostEstimate | None = None
+    leaf_estimates: list[CostEstimate] = field(default_factory=list)
 
     def narrative(self) -> str:
         """Human-readable optimization story (the reference's
-        ``OptimizationDecision`` list analogue)."""
+        ``OptimizationDecision`` list + ``CostEstimate`` analogue)."""
         lines = [
             f"scans={self.scans} (pushed filter groups: {len(self.pushed_filters)})",
             f"joins: broadcast={self.broadcast_joins} sortmerge={self.sortmerge_joins} "
@@ -53,6 +76,10 @@ class PlanReport:
         ]
         if self.take_ordered:
             lines.append("top-k via TakeOrderedAndProject (no global sort)")
+        if self.output_estimate is not None:
+            lines.append(f"cost estimate (output): {self.output_estimate.render()}")
+        for est in self.leaf_estimates:
+            lines.append(f"cost estimate (scan): {est.render()}")
         return "\n".join(lines)
 
 
@@ -61,6 +88,37 @@ def explain_formatted(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def _node_estimate(jplan) -> CostEstimate:
+    stats = jplan.stats()
+    # py4j auto-converts scala BigInt-backed values to Python ints when they
+    # fit; fall back to toString for the arbitrary-precision case
+    size = stats.sizeInBytes()
+    if not isinstance(size, int):
+        size = int(size.toString())
+    rows = None
+    if stats.rowCount().isDefined():
+        rows = stats.rowCount().get()
+        if not isinstance(rows, int):
+            rows = int(rows.toString())
+    return CostEstimate(node=jplan.nodeName(), size_bytes=size, rows=rows)
+
+
+def cost_estimates(df: DataFrame) -> tuple[CostEstimate, list[CostEstimate]]:
+    """Catalyst's size/row statistics from the OPTIMIZED logical plan —
+    (root output estimate, one estimate per leaf scan).  Sizes come from the
+    file-source statistics and Catalyst's per-operator propagation; row
+    counts appear when derivable (e.g. after CBO column stats or a local
+    relation).  This is the reference ``ExecutionExplanation.cost`` surface
+    (``src/planner.rs:304-786``) mapped onto Spark's native estimator."""
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    root = _node_estimate(jplan)
+    leaves_seq = jplan.collectLeaves()
+    leaves = [
+        _node_estimate(leaves_seq.apply(i)) for i in range(leaves_seq.size())
+    ]
+    return root, leaves
 
 
 def plan_report(df: DataFrame, execute: bool = False) -> PlanReport:
@@ -87,6 +145,7 @@ def plan_report(df: DataFrame, execute: bool = False) -> PlanReport:
     rep.scans = len(re.findall(r"Scan parquet|Scan ExistingRDD|Scan In-memory", text))
     rep.take_ordered = "TakeOrderedAndProject" in text
     rep.aqe = "AdaptiveSparkPlan" in text
+    rep.output_estimate, rep.leaf_estimates = cost_estimates(df)
     if execute:
         # collect() (not count()) — count wraps the frame in a NEW query
         # execution, leaving this one's adaptive plan unfinalized

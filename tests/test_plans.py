@@ -60,6 +60,30 @@ def test_narrative_renders(spark):
     assert "broadcast=" in text and "codegen" in text
 
 
+def test_cost_estimates_on_scan_filter_join(spark):
+    """Catalyst row/size estimates surface in the report and narrative for a
+    scan → filter → join pipeline (reference ExecutionExplanation.cost,
+    src/planner.rs:304-786)."""
+    from ironbeam_spark.sources.io import read_table
+
+    li = read_table(spark, SF_SMOKE, "lineitem").where(F.col("l_quantity") > 25)
+    orders = read_table(spark, SF_SMOKE, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    rep = plan_report(joined)
+    assert rep.output_estimate is not None
+    assert rep.output_estimate.size_bytes > 0
+    # one leaf estimate per parquet scan, each with a real size
+    assert len(rep.leaf_estimates) == 2, rep.leaf_estimates
+    assert all(e.size_bytes > 0 for e in rep.leaf_estimates)
+    # the filter makes the join output estimate smaller than the raw
+    # lineitem×orders upper bound, and the narrative renders the numbers
+    text = rep.narrative()
+    assert "cost estimate (output):" in text and "cost estimate (scan):" in text
+    assert f"~{rep.output_estimate.size_bytes} B" in text
+
+
 def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
     """When a shuffle join's build side carries a selective filter, Spark
     injects a bloom_filter_might_contain predicate on the probe side — at
