@@ -265,7 +265,6 @@ def minhash_dedup_pairs(
             F.col(id_col),
             hashed_word_shingles(text_col, shingle_words).alias("shingles"),
         )
-        .where(F.size("shingles") > 0)
         # consumed 3× (signature pass + both sides of the verify join): persist
         # once instead of re-shingling — the analog of the reference's
         # dominator-CSE cache (src/runner.rs:257-337).  MEMORY_AND_DISK spills
@@ -280,6 +279,14 @@ def minhash_dedup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _PERSISTED_SHINGLE_TABLES.append(base)
+    # The empty-set filter sits ABOVE the persist on purpose: shingling is an
+    # interpreted higher-order expression (transform/array_distinct lambdas
+    # never enter whole-stage codegen), and a size() filter placed below the
+    # cache gets predicate-pushed beneath the parallelizing Exchange into the
+    # scan stage, re-evaluating the whole shingle expression per row in as
+    # few tasks as the source has splits.  Above the persist it tests the
+    # already-materialized array — one cached-column read, zero recompute.
+    base = base.where(F.size("shingles") > 0)
     signed = base.select(
         F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
     )
@@ -553,14 +560,17 @@ def set_similarity_join(
         sets = sets.withColumn("_blk", F.lit(1))
         blocks = ["_blk"]
         block_cols = ("_blk",)
-    base = (
-        sets.select(*blocks, F.col(id_col), F.col(set_col).alias("_set"))
-        # empty sets can never reach a positive threshold, and J(∅,∅) is
-        # 0/0 — which ANSI mode (Spark 4 default) raises on
-        .where(F.size("_set") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    base = sets.select(
+        *blocks, F.col(id_col), F.col(set_col).alias("_set")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED_SHINGLE_TABLES.append(base)
+    # empty sets can never reach a positive threshold, and J(∅,∅) is 0/0 —
+    # which ANSI mode (Spark 4 default) raises on.  The filter sits ABOVE
+    # the persist so it tests the materialized array; below the cache it
+    # would be predicate-pushed beneath the parallelizing Exchange and
+    # re-evaluate the interpreted set-building expression serially in the
+    # scan stage (see minhash_dedup_pairs).
+    base = base.where(F.size("_set") > 0)
     t = F.lit(float(threshold))
 
     sizes = base.groupBy(*blocks).agg(F.count(F.lit(1)).alias("_bn"))
@@ -607,12 +617,35 @@ def set_similarity_search(
     set_col: str,
     block_cols: tuple[str, ...] = (),
     sim_col: str = "jaccard_sim",
+    strategy: str = "auto",
+    broadcast_token_cap: int = 2_000_000,
 ) -> DataFrame:
     """Exact R-S set-similarity SEARCH (not self-join): every
     ``(query_id, corpus_id)`` pair with Jaccard ≥ ``threshold`` and equal
     ``block_cols`` — the asymmetric sibling of :func:`set_similarity_join`
     (public algorithm family: prefix-filtered similarity search/join,
-    Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06).
+    Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06).  Set elements must be
+    distinct within each row (the shingle/ngram producers here guarantee it).
+
+    Size-routed like :func:`set_similarity_join`, because the two exact
+    plans have opposite sweet spots:
+
+    - ``broadcast`` (small query side — the contamination-check / benchmark-
+      decontamination shape): explode the QUERY postings only, broadcast
+      them, hash-join the exploded corpus tokens against them (no shuffle —
+      most corpus tokens miss and die map-side), then one groupBy on
+      ``(pair)`` whose row count IS ``|A∩B|`` exactly (elements are distinct
+      per set), so Jaccard falls out arithmetically — no df computation, no
+      windows, no verify join.  Corpus-side cost: one scan + one agg shuffle
+      of the surviving token matches.  This is the plan that survives a
+      100 TB corpus when |Q| is bounded.
+    - ``prefix`` (both sides large): two-sided prefix filter under a shared
+      rarest-first order — linear shuffles, never |Q|·|C| (details below).
+
+    ``strategy='auto'`` probes the query side's total token count (one
+    cheap job over the small side only) and routes to ``broadcast`` iff it
+    is ≤ ``broadcast_token_cap`` (~tens of MB broadcast).  Both paths prune
+    only pairs that provably cannot reach ``threshold``: identical output.
 
     The two-sided prefix guarantee: under ANY total order shared by both
     sides, a pair with overlap ≥ α shares an element within the first
@@ -622,10 +655,13 @@ def set_similarity_search(
     UNION of both sides (per block), so hot tokens sort last and the
     posting lists stay short.
 
-    Plan: union + freq agg + per-doc prefix rank + side₀×side₁ posting
-    equi-join + verify — all linear shuffles, never |Q|·|C|.
+    Prefix plan: union + freq agg + per-doc prefix rank + side₀×side₁
+    posting equi-join + verify — all linear shuffles, never |Q|·|C|.
     """
     from pyspark.sql import Window as W
+
+    if strategy not in ("auto", "broadcast", "prefix"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     blocks = list(block_cols)
     if not blocks:
@@ -633,18 +669,76 @@ def set_similarity_search(
         corpus = corpus.withColumn("_blk", F.lit(1))
         blocks = ["_blk"]
 
+    if strategy == "auto":
+        qtoks = queries.select(
+            F.coalesce(F.sum(F.size(set_col)), F.lit(0)).alias("n")
+        ).first()["n"]
+        strategy = "broadcast" if qtoks <= broadcast_token_cap else "prefix"
+    if strategy == "broadcast":
+        t = F.lit(float(threshold))
+        # Persist both set tables.  Beyond the (small) reuse, the cache is a
+        # PREDICATE-PUSHDOWN BARRIER: the explode below infers size()>0 /
+        # isnotnull() filters over the set expression, and without the
+        # barrier those get pushed beneath the caller's parallelizing
+        # Exchange into the scan stage — serially re-evaluating the
+        # interpreted (non-codegen) set-building lambdas once per inferred
+        # filter.  With the cache, the expression runs exactly once, in the
+        # parallel post-Exchange stage (see minhash_dedup_pairs).
+        qbase = queries.select(
+            *blocks, F.col(id_col).alias("query_id"), F.col(set_col).alias("_set")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cbase = corpus.select(
+            *blocks, F.col(id_col).alias("corpus_id"), F.col(set_col).alias("_set")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_SHINGLE_TABLES.extend((qbase, cbase))
+        # no explicit empty-set filter: explode() of an empty array emits no
+        # rows, so empty sets can never reach the aggregate
+        qtok = qbase.select(
+            *blocks,
+            "query_id",
+            F.size("_set").alias("_nq"),
+            F.explode("_set").alias("_tok"),
+        )
+        ctok = cbase.select(
+            *blocks,
+            "corpus_id",
+            F.size("_set").alias("_nc"),
+            F.explode("_set").alias("_tok"),
+        )
+        na, nc = F.col("_nq"), F.col("_nc")
+        return (
+            ctok.join(F.broadcast(qtok), on=[*blocks, "_tok"])
+            # length filter: J ≥ t needs min sizes within ratio t of max
+            .where(F.least(na, nc) >= F.lit(float(threshold)) * F.greatest(na, nc) - F.lit(1e-9))
+            # pair identity is (block, query_id, corpus_id); _nq/_nc are
+            # functionally dependent on the ids, carried for the arithmetic
+            .groupBy(*blocks, "query_id", "corpus_id", "_nq", "_nc")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+            .withColumn(
+                sim_col,
+                F.col("_inter").cast("double")
+                / (na + nc - F.col("_inter")).cast("double"),
+            )
+            .where(F.col(sim_col) >= t)
+            .select("query_id", "corpus_id", sim_col)
+        )
+
     q = queries.select(
         *blocks, F.col(id_col).alias("_qid"), F.col(set_col).alias("_set"),
         F.lit(0).alias("_side"),
-    ).where(F.size("_set") > 0)
+    )
     c = corpus.select(
         *blocks, F.col(id_col).alias("_qid"), F.col(set_col).alias("_set"),
         F.lit(1).alias("_side"),
-    ).where(F.size("_set") > 0)
+    )
     both = q.unionByName(c).withColumn("_n", F.size("_set")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     _PERSISTED_SHINGLE_TABLES.append(both)
+    # empty-set filter above the persist: below the cache it would be
+    # predicate-pushed beneath the parallelizing Exchange, serially
+    # re-evaluating the interpreted set expression (see minhash_dedup_pairs)
+    both = both.where(F.col("_n") > 0)
 
     tok = both.select(*blocks, "_qid", "_side", "_n", F.explode("_set").alias("_tok"))
     # df via window over (block, token) — elements are distinct per set, so

@@ -609,7 +609,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, corpus_id
     """,
     bench=True,
-    doc="asymmetric set-similarity SEARCH (queries vs corpus, not self-join): exact two-sided prefix filter — rarest-first shared order over the union, posting equi-join across sides, exact Jaccard verify; oracle is the quadratic R-S join (operators/dedup.set_similarity_search); ~2.5s warm at sf0.1 — cost is the corpus-wide token df/prefix computation (3 full-width shuffles), inherent to the exact two-sided guarantee",
+    doc="asymmetric set-similarity SEARCH (queries vs corpus, not self-join): size-routed exact plan — small query side broadcasts its posting list and |A∩B| falls out of one groupBy count (no df/window/verify stages); large query sides take the two-sided prefix filter; oracle is the quadratic R-S join (operators/dedup.set_similarity_search)",
 )
 def q_setsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.dedup import set_similarity_search

@@ -319,12 +319,15 @@ def test_setsim_search_equals_rs_join(spark):
             .where(F.col("jaccard_sim") >= 0.3)
             .collect()
         }
-        fast = {
-            (r.query_id, r.corpus_id): r.jaccard_sim
-            for r in set_similarity_search(
-                q, c, 0.3, "doc_id", "grams", block_cols=blocks
-            ).collect()
-        }
-        assert fast.keys() == slow.keys(), (blocks, slow.keys() - fast.keys())
-        for k in fast:
-            assert abs(fast[k] - slow[k]) < 1e-12
+        for strategy in ("broadcast", "prefix"):
+            fast = {
+                (r.query_id, r.corpus_id): r.jaccard_sim
+                for r in set_similarity_search(
+                    q, c, 0.3, "doc_id", "grams", block_cols=blocks,
+                    strategy=strategy,
+                ).collect()
+            }
+            assert fast.keys() == slow.keys(), (
+                strategy, blocks, slow.keys() ^ fast.keys())
+            for k in fast:
+                assert abs(fast[k] - slow[k]) < 1e-12
