@@ -55,19 +55,66 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "cold_queries": cold,
-                "cold_value": round(sum(cold.values()), 3),
-                "sf": sf,
-            }
+    payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "cold_queries": cold,
+        "cold_value": round(sum(cold.values()), 3),
+        "sf": sf,
+    }
+
+    # --- scale ladder: the most expensive queries at 10× the data --------
+    # Answers the question correctness can't: does the cost curve stay
+    # linear at the next scale step (AQE re-plan, skew, shuffle sizing)?
+    # scale_ratio = t_sf1 / (factor × t_sf0.1); 1.0 = perfectly linear
+    # scaling, < 1 = sublinear (fixed costs amortizing), > 1.2 = super-
+    # linear and worth a look.  Generated corpus is cached in .bench_sf1/
+    # (deterministic key-shifted replicas; tools/scale_corpus.py).
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+        from tools.scale_corpus import ensure_scaled
+
+        factor = 10
+        ladder = [
+            "q21_suppliers_kept_waiting",
+            "q9_product_profit",
+            "q5_local_supplier_volume",
+            "q_dedup_minhash",
+            "q_training_pipeline",
+            "q_setsim_search",
+            "q_corpus_clean",
+            "q_ann_bruteforce",
+        ]
+        sf1_dir = ensure_scaled(
+            spark, sf_dir, factor, str(Path(_REPO) / ".bench_sf1")
         )
-    )
+        times1: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        for name in ladder:  # warm-up pass
+            QUERIES[name].fn(spark, sf1_dir).count()
+        for name in ladder:
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = QUERIES[name].fn(spark, sf1_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times1[name] = round(best, 3)
+            ratios[name] = round(best / (factor * times[name]), 3)
+            print(
+                f"# sf1 {name}: {best:.3f}s ({n} rows, "
+                f"{ratios[name]:.2f}x linear)",
+                file=sys.stderr,
+            )
+        payload["sf1"] = {
+            "factor": factor,
+            "value": round(sum(times1.values()), 3),
+            "queries": times1,
+            "scale_ratio": ratios,
+        }
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
