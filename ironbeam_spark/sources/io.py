@@ -73,9 +73,34 @@ def write_parquet(df: DataFrame | PCollection, path: str, mode: str = "overwrite
     w.parquet(path)
 
 
+# codecs Spark's text sources decode natively; anything else that IS in the
+# codec registry (``sources/compression.py`` — .xz out of the box, plus user
+# registrations) routes through the registry read/write path transparently
+_SPARK_NATIVE_TEXT_CODECS = {
+    "gz", "gzip", "bz2", "bzip2", "deflate", "lz4", "snappy", "zstd", "zst",
+}
+
+
+def _registry_codec(name_or_path: str):
+    """The registered codec for a path/name, or None when Spark's native
+    codec handling should take it (native wins — JVM-side, no Python hop)."""
+    from ironbeam_spark.sources.compression import codec_for
+
+    c = codec_for(name_or_path)
+    if c is not None and c.extension not in _SPARK_NATIVE_TEXT_CODECS and c.name != "none":
+        return c
+    return None
+
+
 def read_csv(spark: SparkSession, path: str, has_headers: bool = True, schema: Any = None) -> PCollection:
     """Reference ``read_csv`` (``src/helpers/csv.rs:133``); explicit header
-    flag mirrored. Schema strongly recommended (inference = extra scan)."""
+    flag mirrored. Schema strongly recommended (inference = extra scan).
+    Paths ending in a registry-only codec extension (e.g. ``.xz``) decode
+    through the pluggable codec registry."""
+    if _registry_codec(path) is not None:
+        from ironbeam_spark.sources.compression import read_csv_compressed
+
+        return PCollection(read_csv_compressed(spark, path, has_headers, schema))
     reader = spark.read.option("header", str(has_headers).lower())
     if schema is not None:
         reader = reader.schema(schema)
@@ -84,15 +109,34 @@ def read_csv(spark: SparkSession, path: str, has_headers: bool = True, schema: A
     return PCollection(reader.csv(path))
 
 
-def write_csv(df: DataFrame | PCollection, path: str, mode: str = "overwrite", header: bool = True) -> None:
+def write_csv(
+    df: DataFrame | PCollection,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+) -> None:
     d = df.df if isinstance(df, PCollection) else df
-    d.write.mode(mode).option("header", str(header).lower()).csv(path)
+    if compression and _registry_codec(compression) is not None:
+        from ironbeam_spark.sources.compression import write_csv_compressed
+
+        write_csv_compressed(d, path, compression, header=header, mode=mode)
+        return
+    w = d.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: Any = None) -> PCollection:
     """Reference ``read_jsonl(_streaming)`` (``src/helpers/jsonl.rs:140,209``).
     Spark's JSON source is line-delimited by default and skips blank lines,
-    matching the reference's empty-line skip."""
+    matching the reference's empty-line skip.  Registry-only codec
+    extensions (e.g. ``.xz``) decode through the pluggable registry."""
+    if _registry_codec(path) is not None:
+        from ironbeam_spark.sources.compression import read_jsonl_compressed
+
+        return PCollection(read_jsonl_compressed(spark, path, schema))
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -101,8 +145,15 @@ def read_jsonl(spark: SparkSession, path: str, schema: Any = None) -> PCollectio
 
 def write_jsonl(df: DataFrame | PCollection, path: str, mode: str = "overwrite", compression: str | None = None) -> None:
     """Reference ``write_jsonl_par`` (``src/helpers/jsonl.rs:243``): one shard
-    per partition, written in parallel — Spark's native behavior."""
+    per partition, written in parallel — Spark's native behavior.  A
+    registry-only ``compression`` (e.g. ``"xz"`` or a user-registered codec)
+    routes through the partition-parallel registry sink."""
     d = df.df if isinstance(df, PCollection) else df
+    if compression and _registry_codec(compression) is not None:
+        from ironbeam_spark.sources.compression import write_jsonl_compressed
+
+        write_jsonl_compressed(d, path, compression, mode=mode)
+        return
     w = d.write.mode(mode)
     if compression:
         w = w.option("compression", compression)

@@ -1,0 +1,125 @@
+"""Codec-registry tests: .xz text round-trips, user-registered codecs, and
+shard parallelism of the registry sink (reference parity:
+``register_codec``, ``src/io/compression.rs:152-320``)."""
+
+from __future__ import annotations
+
+import lzma
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ironbeam_spark.sources.compression import (
+    codec_for,
+    read_jsonl_compressed,
+    read_lines,
+    register_codec,
+    registered_codecs,
+    write_jsonl_compressed,
+    write_lines,
+)
+from ironbeam_spark.sources.io import read_csv, read_jsonl, write_csv, write_jsonl
+
+
+def _rows(n=50):
+    return [Row(id=i, name=f"n{i}", note=f'va"l,{i}') for i in range(n)]
+
+
+def test_codec_resolution():
+    assert codec_for("xz").name == "xz"
+    assert codec_for("/a/b/data.jsonl.xz").name == "xz"
+    assert codec_for("/a/b/data.unknownext") is None
+    assert {"gzip", "bz2", "xz", "none"} <= set(registered_codecs())
+
+
+def test_jsonl_xz_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "docs.jsonl.xz")
+    df = spark.createDataFrame(_rows()).repartition(4)
+    write_jsonl(df, out, compression="xz")
+    shards = [f for f in os.listdir(out) if f.endswith(".xz")]
+    assert 1 <= len(shards) <= 4
+    # the payload really is xz: stdlib lzma can open a shard directly
+    with open(os.path.join(out, shards[0]), "rb") as f:
+        assert lzma.decompress(f.read()).decode().startswith("{")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema=schema).df
+    assert sorted((r.id, r.name, r.note) for r in back.collect()) == sorted(
+        (r.id, r.name, r.note) for r in _rows()
+    )
+
+
+def test_jsonl_xz_schema_inference(spark, tmp_path):
+    out = str(tmp_path / "docs.jsonl.xz")
+    write_jsonl(spark.createDataFrame(_rows(10)), out, compression="xz")
+    back = read_jsonl(spark, out).df  # no schema -> inference path
+    assert back.count() == 10
+    assert set(back.columns) == {"id", "name", "note"}
+
+
+def test_csv_xz_roundtrip_with_quoting(spark, tmp_path):
+    out = str(tmp_path / "t.csv.xz")
+    df = spark.createDataFrame(_rows()).repartition(3)
+    write_csv(df, out, compression="xz")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    back = read_csv(spark, out, has_headers=True, schema=schema).df
+    got = sorted((r.id, r.name, r.note) for r in back.collect())
+    assert got == sorted((r.id, r.name, r.note) for r in _rows())
+
+
+def test_csv_xz_inference(spark, tmp_path):
+    out = str(tmp_path / "t.csv.xz")
+    write_csv(spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")]), out, compression="xz")
+    back = read_csv(spark, out).df
+    assert sorted((r.a, r.b) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_register_custom_codec_roundtrip(spark, tmp_path):
+    # a toy reversible codec: xor every byte with 0x5A
+    def enc(b: bytes) -> bytes:
+        return bytes(x ^ 0x5A for x in b)
+
+    register_codec("xor5a", "x5a", enc, enc)
+    out = str(tmp_path / "lines.x5a")
+    df = spark.range(100).select(F.concat(F.lit("line-"), F.col("id")).alias("value"))
+    n_shards = write_lines(df.repartition(5), out, "xor5a")
+    assert n_shards >= 1
+    back = read_lines(spark, out, "xor5a")
+    assert sorted(r.value for r in back.collect()) == sorted(
+        f"line-{i}" for i in range(100)
+    )
+    # raw shard bytes are NOT plaintext
+    shard = next(f for f in os.listdir(out) if f.endswith(".x5a"))
+    with open(os.path.join(out, shard), "rb") as f:
+        assert b"line-" not in f.read()
+
+
+def test_write_modes(spark, tmp_path):
+    out = str(tmp_path / "m.jsonl.xz")
+    df = spark.createDataFrame(_rows(10)).coalesce(1)
+    write_jsonl_compressed(df, out, "xz")
+    with pytest.raises(FileExistsError):
+        write_jsonl_compressed(df, out, "xz", mode="error")
+    write_jsonl_compressed(df, out, "xz", mode="append")
+    schema = "id long, name string, note string"
+    assert read_jsonl_compressed(spark, out, schema=schema).count() == 20
+    write_jsonl_compressed(df, out, "xz", mode="overwrite")
+    assert read_jsonl_compressed(spark, out, schema=schema).count() == 10
+
+
+def test_unknown_codec_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="codec"):
+        read_lines(spark, str(tmp_path / "x.nosuch"))
