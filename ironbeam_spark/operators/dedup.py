@@ -337,22 +337,33 @@ def dedup_components(
         .withColumn("component", F.col("node"))
     )
     for _ in range(max_iter):
-        # candidate labels: my own + the label of every neighbor
-        propagated = policy.checkpoint(
+        # candidate labels: my own + the label of every neighbor.  The self
+        # row is TAGGED so the aggregate recovers the old label alongside
+        # the new minimum — change detection then reads the aggregate's own
+        # output instead of a join back against the previous labels, and the
+        # round's single action (the changed count) both materializes the
+        # lazily-checkpointed aggregate and decides convergence: ONE Spark
+        # job per round instead of three (eager checkpoint + join + count).
+        neighbor = (
             edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
             .select(F.col("src").alias("node"), "component")
-            .union(labels)
+            .withColumn("_self", F.lit(None).cast("long"))
+        )
+        mine = labels.withColumn("_self", F.col("component"))
+        propagated = policy.checkpoint(
+            neighbor.unionByName(mine)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                # exactly one non-null _self per node (its own labels row)
+                F.min("_self").alias("_old"),
+            ),
+            eager=False,
         )
-        changed = (
-            propagated.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = propagated
+        # full count (not limit-1): materializes EVERY partition, so the
+        # lazy checkpoint is complete and later rounds never recompute
+        changed = propagated.where(F.col("component") != F.col("_old")).count()
+        labels = propagated.select("node", "component")
         if changed == 0:
             break
     return labels
@@ -509,7 +520,13 @@ def prefix_filter_candidates(
         ranked.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.col("_n") - alpha + F.lit(1))
         .select(*blocks, id_col, "_n", "_tok")
+        # both sides of the posting self-join consume pref; without the
+        # persist the whole explode→df-window→rank-window pipeline is
+        # planned (and at runtime executed) once per side — AQE's stage
+        # reuse does not unify them (measured: 2× the window passes)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED_SHINGLE_TABLES.append(pref)
     a = pref.alias("a")
     b = pref.alias("b")
     na, nb = F.col("a._n"), F.col("b._n")
@@ -575,8 +592,22 @@ def set_similarity_join(
 
     sizes = base.groupBy(*blocks).agg(F.count(F.lit(1)).alias("_bn"))
     tagged = base.join(F.broadcast(sizes), on=blocks)
-    small = tagged.where(F.col("_bn") <= small_block_cap).drop("_bn")
-    large = tagged.where(F.col("_bn") > small_block_cap).drop("_bn")
+    # small feeds both sides of its self-join; large feeds the candidate
+    # pipeline plus both verify sides.  Persisted (disjoint split of base,
+    # so combined storage ≈ one more copy of base) because AQE does not
+    # reuse the cache-scan→broadcast-join→filter pipeline across those
+    # consumers — each was re-planned and re-executed (measured 5×).
+    small = (
+        tagged.where(F.col("_bn") <= small_block_cap)
+        .drop("_bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    large = (
+        tagged.where(F.col("_bn") > small_block_cap)
+        .drop("_bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED_SHINGLE_TABLES.extend((small, large))
 
     # small blocks: direct all-pairs verify (equi-join on block cols)
     a = small.alias("a")
@@ -753,7 +784,11 @@ def set_similarity_search(
         ranked.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.col("_n") - alpha + F.lit(1))
         .select(*blocks, "_qid", "_side", "_n", "_tok")
+        # consumed by both posting-join sides (side filters differ, so the
+        # shared explode→df-window→rank pipeline would otherwise run twice)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED_SHINGLE_TABLES.append(pref)
     a = pref.where(F.col("_side") == 0).alias("a")
     b = pref.where(F.col("_side") == 1).alias("b")
     na, nb = F.col("a._n"), F.col("b._n")
