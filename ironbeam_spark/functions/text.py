@@ -26,6 +26,7 @@ __all__ = [
     "scrub_pii",
     "PII_PATTERNS",
     "rolling_fingerprint",
+    "winnow_fingerprints",
     "token_int",
     "STOPWORDS",
 ]
@@ -161,6 +162,51 @@ def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(31) + token_int(t)) % F.lit(mod),
     )
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm; public).  Hash every character
+    ``k``-gram, slide a window of ``w`` consecutive gram hashes, keep the
+    minimum of each window, return the sorted distinct kept values.
+
+    Guarantee (value form): any substring shared by two documents of length
+    ≥ ``w + k − 1`` covers at least one full window in each, and both
+    windows select the same minimum hash — so the documents share a
+    fingerprint.  Selecting VALUES (not positions) keeps the guarantee
+    while making ties irrelevant, and the expected density is 2/(w+1) of
+    the gram count — a tunable, content-defined sample of the document.
+
+    Short inputs: fewer than ``w`` grams (but ≥ 1) yield the single global
+    minimum; fewer than ``k`` characters yield an empty array (consistent
+    with the shingle producers' short-text guard).
+
+    All-codegen-free arithmetic (md5 + slice + array_min) mirrored exactly
+    in DuckDB SQL — see ``q_winnow_fingerprints``."""
+    from ironbeam_spark.functions.hof import let_
+
+    c = F.col(col) if isinstance(col, str) else col
+    gram_hashes = F.when(
+        F.length(c) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(k - 1)),
+            lambda i: token_int(F.substring(c, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    def build(hs: Column) -> Column:
+        g = F.size(hs)
+        window_mins = F.transform(
+            F.sequence(F.lit(1), g - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+        return F.when(g >= w, F.array_sort(F.array_distinct(window_mins))).otherwise(
+            F.when(g > 0, F.array(F.array_min(hs))).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        )
+
+    return let_(gram_hashes, build)
 
 
 # PII patterns kept to constructs with identical Java-regex/RE2 semantics so

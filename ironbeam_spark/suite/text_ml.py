@@ -159,6 +159,36 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "q_winnow_fingerprints",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8 THEN
+               list_transform(generate_series(1, length(text)-7),
+                              i -> {_TI_SQL.format("substr(text, i, 8)")})
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           CASE WHEN len(hs) >= 4 THEN
+             list_sort(list_distinct(list_transform(
+               generate_series(1, len(hs)-3), j -> list_min(hs[j:j+3]))))
+           WHEN len(hs) > 0 THEN [list_min(hs)]
+           ELSE CAST([] AS BIGINT[]) END AS winnow_fp
+    FROM h
+    ORDER BY doc_id
+    """,
+    doc="winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS algorithm): md5-hash every char-8-gram, keep each 4-window's minimum, distinct — a content-defined ~2/(w+1) sample per document with the guaranteed-detection property for shared substrings >= w+k-1 chars; all-expression, no shuffle, oracle mirrors the md5/slice/min arithmetic exactly",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id", winnow_fingerprints("text", k=8, w=4).alias("winnow_fp")
+    ).orderBy("doc_id")
+
+
 # -------------------------------------------------------------------- dedup
 
 
@@ -653,7 +683,7 @@ def q_setsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d.source
     """,
     bench=True,
-    doc="end-to-end corpus cleaning (the canonical LLM-dedup product): MinHash-LSH near-dup pairs → connected components → keep the min-id winner per group → per-source kept/removed/token stats; every stage reuses the library's bucketed, driver-free operators (north-star dedup composite); ~2.4s warm at sf0.1 — connected components is inherently R rounds of joins (R = max group diameter)",
+    doc="end-to-end corpus cleaning (the canonical LLM-dedup product): MinHash-LSH near-dup pairs → connected components → keep the min-id winner per group → per-source kept/removed/token stats; every stage reuses the library's bucketed, driver-free operators (north-star dedup composite); ~2.5s warm at sf0.1 = minhash pipeline (~1.3s) + R one-job label-propagation rounds (R = max group diameter; the changed-count action doubles as the round's materialization) + final stats join",
 )
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.dedup import dedup_components

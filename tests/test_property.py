@@ -301,3 +301,46 @@ def test_interval_join_model(spark, points, intervals, bw):
         if s <= t < s + span
     )
     assert got == want, (bw, points, intervals)
+
+
+def test_winnow_fingerprint_model(spark):
+    """Winnowing (value form) vs a pure-Python model, plus the detection
+    guarantee: docs sharing a substring >= w+k-1 chars share a fingerprint."""
+    import hashlib
+
+    from ironbeam_spark.functions.text import winnow_fingerprints
+
+    k, w = 8, 4
+
+    def model(text: str) -> list[int]:
+        if len(text) < k:
+            return []
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:12], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        if len(hs) < w:
+            return sorted({min(hs)})
+        return sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+
+    shared = "the quick brown fox jumps"
+    texts = [
+        "",  # sub-k
+        "short",  # sub-k
+        "exactly8",  # one gram
+        "nine chars",  # < w grams
+        f"alpha {shared} omega",
+        f"{shared} entirely different tail content here",
+        "unrelated document with no overlap at all whatsoever",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: list(r.fp)
+        for r in df.select("i", winnow_fingerprints("t", k, w).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), (i, t)
+    # detection guarantee: docs 4 and 5 share a 25-char substring (>= w+k-1=11)
+    assert set(got[4]) & set(got[5])
+    # and the unrelated doc shares nothing with doc 4
+    assert not (set(got[4]) & set(got[6]))
