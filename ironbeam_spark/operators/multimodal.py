@@ -37,10 +37,15 @@ __all__ = [
     "encode_bmp",
     "encode_ppm",
     "encode_wav_pcm16",
+    "encode_rvid",
     "decode_image_bytes",
+    "decode_image_pixels",
     "decode_audio_bytes",
+    "decode_rvid",
     "decode_image",
     "decode_audio",
+    "resize_image",
+    "sample_frames",
     "fake_decode_features",
 ]
 
@@ -124,6 +129,20 @@ def decode_image_bytes(b: bytes) -> dict:
     sum_g, sum_b}`` (integer channel sums — order-invariant, FP-free, so an
     external oracle can verify them exactly).  Raises ``ValueError`` on
     unsupported/corrupt payloads (callers map it to the error column)."""
+    fmt, px = decode_image_pixels(b)
+    s = px.reshape(-1, 3).astype("int64").sum(axis=0)
+    return {
+        "fmt": fmt, "width": int(px.shape[1]), "height": int(px.shape[0]),
+        "channels": 3,
+        "sum_r": int(s[0]), "sum_g": int(s[1]), "sum_b": int(s[2]),
+    }
+
+
+def decode_image_pixels(b: bytes):
+    """Parse a BMP/PPM payload to ``(fmt, H×W×3 uint8 RGB ndarray)`` —
+    the shared pixel-level decoder behind :func:`decode_image_bytes`,
+    :func:`resize_image`, and the video frame codec.  Raises ``ValueError``
+    on unsupported/corrupt payloads."""
     import numpy as np
 
     if b[:2] == b"BM":
@@ -147,12 +166,8 @@ def decode_image_bytes(b: bytes) -> dict:
         px = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
         if not top_down:
             px = px[::-1]
-        sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
-        # disk order is BGR
-        return {
-            "fmt": "bmp", "width": int(width), "height": int(height), "channels": 3,
-            "sum_r": int(sums[2]), "sum_g": int(sums[1]), "sum_b": int(sums[0]),
-        }
+        # disk order is BGR; emit RGB
+        return "bmp", np.ascontiguousarray(px[:, :, ::-1])
     if b[:2] in (b"P6", b"P3"):
         ascii_mode = b[:2] == b"P3"
         toks = _ppm_tokens(b[2:])
@@ -172,17 +187,15 @@ def decode_image_bytes(b: bytes) -> dict:
                     break
             if len(vals) != n:
                 raise ValueError("ppm: truncated P3 samples")
-            px = np.array(vals, dtype=np.int64).reshape(-1, 3)
+            px = np.array(vals, dtype=np.uint8).reshape(height, width, 3)
         else:
             start = 2 + end + 1  # single whitespace byte after maxval per spec
             if len(b) < start + n:
                 raise ValueError("ppm: truncated P6 pixel data")
-            px = np.frombuffer(b, dtype=np.uint8, count=n, offset=start).reshape(-1, 3).astype(np.int64)
-        s = px.sum(axis=0)
-        return {
-            "fmt": "ppm", "width": width, "height": height, "channels": 3,
-            "sum_r": int(s[0]), "sum_g": int(s[1]), "sum_b": int(s[2]),
-        }
+            px = np.frombuffer(b, dtype=np.uint8, count=n, offset=start).reshape(
+                height, width, 3
+            ).copy()
+        return "ppm", px
     raise ValueError(
         "unsupported image format (magic %r): only BMP/PPM decode without PIL"
         % (bytes(b[:2]),)
@@ -325,3 +338,147 @@ def fake_decode_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame
         f"{id_col} long, byte_len long, first_byte long, last_byte long, head_u32 long"
     )
     return df.select(id_col, blob_col).mapInPandas(decode, schema)
+
+
+# ------------------------------------------------------------ image resize
+
+
+def resize_rgb_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor resample of an H×W×3 uint8 array to out_h×out_w×3.
+    Source index formula is the floor mapping ``src = (dst · in) // out`` —
+    integer-exact, so an external oracle can mirror it closed-form."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+def resize_image(
+    df: DataFrame, id_col: str, blob_col: str, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL image resize over the multimodal plumbing: decode (BMP/PPM),
+    nearest-neighbor resample, re-encode as PPM, emit the resized payload
+    plus integer channel sums (the oracle-checkable invariant).  Corrupt
+    payloads follow the dead-letter convention (null fields + error)."""
+    import pandas as pd
+
+    def work(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    fmt, px = decode_image_pixels(bytes(blob))
+                    rp = resize_rgb_nearest(px, out_w, out_h)
+                    s = rp.reshape(-1, 3).astype("int64").sum(axis=0)
+                    payload = encode_ppm(out_w, out_h, rp.tobytes())
+                    rows.append(
+                        (rid, fmt, int(px.shape[1]), int(px.shape[0]),
+                         out_w, out_h, int(s[0]), int(s[1]), int(s[2]),
+                         payload, None)
+                    )
+                except ValueError as e:
+                    rows.append((rid, None, None, None, None, None, None,
+                                 None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "src_fmt", "src_width", "src_height",
+                         "width", "height", "sum_r", "sum_g", "sum_b",
+                         "payload", "error"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        work,
+        f"{id_col} long, src_fmt string, src_width long, src_height long, "
+        "width long, height long, sum_r long, sum_g long, sum_b long, "
+        "payload binary, error string",
+    )
+
+
+# ---------------------------------------------------------- raw video codec
+
+
+_RVID_MAGIC = b"RVID"
+
+
+def encode_rvid(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
+    """Minimal raw-video container: ``RVID`` magic + little-endian u32
+    (width, height, fps, n_frames) + concatenated raw RGB frames.  A
+    deliberately simple, fully-specified format (this container cannot host
+    ffmpeg/PyAV) so the frame-sampling PLUMBING — schema, batching, per-
+    frame fan-out — is real and exactly testable; a production deployment
+    swaps the codec body for a real demuxer behind the same operator."""
+    n = width * height * 3
+    for i, f in enumerate(frames):
+        if len(f) != n:
+            raise ValueError(f"rvid: frame {i} has {len(f)} bytes, want {n}")
+    head = _RVID_MAGIC + struct.pack("<IIII", width, height, fps, len(frames))
+    return head + b"".join(frames)
+
+
+def decode_rvid(b: bytes) -> dict:
+    """Parse an RVID payload → ``{width, height, fps, n_frames, frames}``
+    (frames = n×H×W×3 uint8 ndarray).  Raises ``ValueError`` when corrupt."""
+    import numpy as np
+
+    if b[:4] != _RVID_MAGIC:
+        raise ValueError("rvid: bad magic")
+    if len(b) < 20:
+        raise ValueError("rvid: truncated header")
+    width, height, fps, n_frames = struct.unpack_from("<IIII", b, 4)
+    need = 20 + n_frames * width * height * 3
+    if width <= 0 or height <= 0 or len(b) < need:
+        raise ValueError("rvid: truncated frame data")
+    frames = np.frombuffer(
+        b, dtype=np.uint8, count=n_frames * width * height * 3, offset=20
+    ).reshape(n_frames, height, width, 3)
+    return {
+        "width": int(width), "height": int(height), "fps": int(fps),
+        "n_frames": int(n_frames), "frames": frames,
+    }
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, blob_col: str, every_n: int
+) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (indices 0,
+    every_n, 2·every_n, …) with its timestamp and integer channel sums —
+    the fan-out shape a frame-level feature extractor consumes.  Arrow-
+    batched ``mapInPandas``; corrupt payloads yield a single dead-letter
+    row (frame_idx −1 + error) instead of killing the job."""
+    import pandas as pd
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def work(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    v = decode_rvid(bytes(blob))
+                    for idx in range(0, v["n_frames"], every_n):
+                        fr = v["frames"][idx].reshape(-1, 3).astype("int64")
+                        s = fr.sum(axis=0)
+                        ts_ms = idx * 1000 // v["fps"] if v["fps"] else 0
+                        rows.append(
+                            (rid, idx, ts_ms, v["width"], v["height"],
+                             v["n_frames"], int(s[0]), int(s[1]), int(s[2]),
+                             None)
+                        )
+                except ValueError as e:
+                    rows.append((rid, -1, None, None, None, None, None, None,
+                                 None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "ts_ms", "width", "height",
+                         "n_frames", "sum_r", "sum_g", "sum_b", "error"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        work,
+        f"{id_col} long, frame_idx long, ts_ms long, width long, "
+        "height long, n_frames long, sum_r long, sum_g long, sum_b long, "
+        "error string",
+    )

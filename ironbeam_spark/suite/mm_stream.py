@@ -297,3 +297,160 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "window_start", "n")
         .orderBy("event_type", "window_start")
     )
+
+
+@query(
+    "q_stream_dedup",
+    # streaming distinct over a bounded replay is batch DISTINCT exactly:
+    # append-mode dropDuplicates emits each key combination once
+    """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    doc="Structured Streaming exact dedup at ingestion: readStream -> dropDuplicates on the key columns -> append memory sink, Trigger.AvailableNow (streaming/dedup.stream_distinct; state-store-backed, RocksDB-scalable); the watermark-bounded variant dropDuplicatesWithinWatermark is exercised in test_streaming.py where single-batch replay makes it batch-equivalent",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.dedup import stream_distinct
+
+    static = read_table(spark, sf_dir, "events")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream_distinct(sdf, ["user_id", "event_type"])
+    name = "q_stream_dedup_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_dedup_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+@query(
+    "q_image_resize",
+    # Closed-form oracle for REAL decode->resize: payloads are generated
+    # from rgb[p,c] = (seed + 3p + c) % 256, really encoded (BMP/PPM),
+    # really decoded and nearest-neighbor-resampled; the oracle mirrors the
+    # integer floor mapping src = (dst*in)//out analytically, so any
+    # off-by-one in either codec or the resampler breaks the match.
+    """
+    WITH params AS (
+      SELECT doc_id, doc_id % 251 AS seed,
+             1 + doc_id % 8 AS w, 1 + doc_id % 6 AS h
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS src_fmt,
+      CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
+      CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+      CAST(list_sum(list_transform(generate_series(0, 19),
+           q -> (seed + 3*(((q // 5) * h // 4) * w + ((q % 5) * w // 5))) % 256))
+           AS BIGINT) AS sum_r,
+      CAST(list_sum(list_transform(generate_series(0, 19),
+           q -> (seed + 3*(((q // 5) * h // 4) * w + ((q % 5) * w // 5)) + 1) % 256))
+           AS BIGINT) AS sum_g,
+      CAST(list_sum(list_transform(generate_series(0, 19),
+           q -> (seed + 3*(((q // 5) * h // 4) * w + ((q % 5) * w // 5)) + 2) % 256))
+           AS BIGINT) AS sum_b
+    FROM params ORDER BY doc_id
+    """,
+    doc="REAL image resize: deterministic pixels encoded to actual BMP/PPM, decoded, nearest-neighbor resampled to 5x4 (integer floor mapping), channel sums verified against the closed-form oracle (operators/multimodal.resize_image)",
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.multimodal import resize_image
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, w, h = did % 251, 1 + did % 8, 1 + did % 6
+                rgb = bytes((seed + i) % 256 for i in range(w * h * 3))
+                payload = encode_bmp(w, h, rgb) if did % 2 == 0 else encode_ppm(w, h, rgb)
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+    out = resize_image(blobs, "doc_id", "payload", 5, 4)
+    return out.select(
+        "doc_id", "src_fmt", "src_width", "src_height", "width", "height",
+        "sum_r", "sum_g", "sum_b",
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_video_frame_sample",
+    # Closed-form oracle: frames generated from rgb[f,p,c] =
+    # (seed + 11f + 3p + c) % 256, packed into the fully-specified RVID raw
+    # container, really demuxed and sampled every 2nd frame; the oracle
+    # enumerates the kept frames analytically.
+    """
+    WITH params AS (
+      SELECT doc_id, doc_id % 251 AS seed,
+             1 + doc_id % 6 AS w, 1 + doc_id % 4 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 120
+    ),
+    frames AS (
+      SELECT doc_id, seed, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+      FROM params
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * 1000 // 30 AS BIGINT) AS ts_ms,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+                p -> (seed + 11*f + 3*p) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+                p -> (seed + 11*f + 3*p + 1) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+                p -> (seed + 11*f + 3*p + 2) % 256)) AS BIGINT) AS sum_b
+    FROM frames
+    WHERE f % 2 = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="video frame sampling over the RVID raw container (fully-specified pure-Python format standing in for a demuxer): one row per kept frame (every 2nd) with timestamp and channel sums, verified against the closed-form frame-pixel oracle (operators/multimodal.sample_frames)",
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.multimodal import sample_frames
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.multimodal import encode_rvid
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, w, h = did % 251, 1 + did % 6, 1 + did % 4
+                nf = 2 + did % 5
+                frames = [
+                    bytes((seed + 11 * f + i) % 256 for i in range(w * h * 3))
+                    for f in range(nf)
+                ]
+                rows.append((did, encode_rvid(w, h, 30, frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+    out = sample_frames(blobs, "doc_id", "payload", 2)
+    return out.select(
+        "doc_id", "frame_idx", "ts_ms", "width", "height", "n_frames",
+        "sum_r", "sum_g", "sum_b",
+    ).orderBy("doc_id", "frame_idx")

@@ -238,3 +238,40 @@ def test_stream_interval_join_matches_batch(spark):
     expected = {(r.user_id, r.err_id, r.click_id) for r in b_out.collect()}
     assert got == expected
     assert len(expected) > 0  # non-degenerate
+
+
+def test_stream_distinct_and_within_watermark_dedup(spark):
+    """stream_distinct == batch DISTINCT; dropDuplicatesWithinWatermark over
+    a single-batch bounded replay (all rows inside one micro-batch, so every
+    duplicate is within the watermark) == the same distinct key set."""
+    from ironbeam_spark.operators.windowing import to_event_time
+    from ironbeam_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+        stream_distinct,
+    )
+
+    sdf, static = _events_stream(spark)
+    expected = {
+        (r.user_id, r.event_type)
+        for r in static.select("user_id", "event_type").distinct().collect()
+    }
+
+    out = stream_distinct(sdf, ["user_id", "event_type"])
+    _run_to_memory(out, "t_stream_distinct", "append")
+    got = {
+        (r.user_id, r.event_type) for r in spark.table("t_stream_distinct").collect()
+    }
+    assert got == expected
+
+    sdf2, _ = _events_stream(spark)
+    sdf2 = sdf2.withColumn("event_time", to_event_time(sdf2, "ts"))
+    wm = stream_dedup_within_watermark(
+        sdf2.select("user_id", "event_type", "event_time"),
+        ["user_id", "event_type"],
+        "event_time",
+        "10 minutes",
+    )
+    _run_to_memory(wm, "t_stream_wm_dedup", "append")
+    rows = spark.table("t_stream_wm_dedup").collect()
+    assert {(r.user_id, r.event_type) for r in rows} == expected
+    assert len(rows) == len(expected)  # no key emitted twice
