@@ -35,7 +35,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["approx_heavy_hitters"]
+__all__ = ["approx_heavy_hitters", "cms_estimates"]
 
 
 def _trim(counts: dict, m: int) -> tuple[dict, int]:
@@ -108,4 +108,59 @@ def approx_heavy_hitters(
         merged.withColumn("err", total_err)
         .where(F.col("item").isNotNull())
         .select("item", "est", "err")
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    item_col: str,
+    keys: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min Sketch point-count estimates (Cormode & Muthukrishnan '05;
+    public algorithm).  Returns ``(item, est)`` for every row of ``keys``
+    (a one-column DataFrame of items to query), with the CMS guarantee
+    ``true_count ≤ est ≤ true_count + ε·N`` (ε ≈ e/width, prob 1−(1/2)^depth).
+
+    Sketch build is one linear pass + one aggregation whose key space is
+    the FIXED ``depth × width`` grid — never one row per distinct item, the
+    property that survives a 100 TB stream with a billion-key domain:
+
+    - explode each item into ``depth`` (row, bucket) pairs with
+      ``bucket_d = md5_int(d || '|' || item) % width`` (deterministic md5
+      arithmetic — an external engine reproduces the exact same sketch);
+    - ``groupBy(row, bucket).count()`` → the sketch table (≤ depth·width
+      rows, broadcastable);
+    - estimates = query keys hashed the same way, broadcast-joined against
+      the sketch, ``min`` over the depth rows.
+
+    Exactly mirrorable in SQL (same md5 buckets + group-by + min), so the
+    suite query's oracle verifies the SKETCH ITSELF, not just a property.
+    """
+    from ironbeam_spark.functions.text import token_int
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_d")
+    bucket = lambda item: F.pmod(  # noqa: E731
+        token_int(F.concat(F.col("_d").cast("string"), F.lit("|"), item)),
+        F.lit(width),
+    )
+    sketch = (
+        df.select(F.col(item_col).alias("_item"))
+        .select("_item", rows)
+        .select("_d", bucket(F.col("_item")).alias("_b"))
+        .groupBy("_d", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    q = keys.select(F.col(item_col).alias("item")).distinct().select(
+        "item", rows
+    ).select("item", "_d", bucket(F.col("item")).alias("_b"))
+    return (
+        q.join(F.broadcast(sketch), on=["_d", "_b"], how="left")
+        # a bucket no stream item ever hit has count 0, not null
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .groupBy("item")
+        .agg(F.min("_c").cast("long").alias("est"))
     )

@@ -173,3 +173,49 @@ def q_cogroup3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_nationkey", "customer_names", "supplier_names", "rich_customer_names"
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q_cms_counts",
+    # The oracle rebuilds the IDENTICAL sketch (same md5 bucket hashing,
+    # same depth x width grid, same min-over-rows estimate) - it verifies
+    # the sketch itself, not just a property band.
+    """
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+    sketch AS (
+      SELECT d,
+             ('0x'||substr(md5(CAST(d AS VARCHAR)||'|'||w),1,12))::BIGINT % 512 AS b,
+             count(*) AS c
+      FROM words, ds
+      GROUP BY d, b
+    ),
+    keys AS (
+      SELECT DISTINCT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS item
+      FROM documents WHERE doc_id = 0
+    ),
+    kb AS (
+      SELECT item, d,
+             ('0x'||substr(md5(CAST(d AS VARCHAR)||'|'||item),1,12))::BIGINT % 512 AS b
+      FROM keys, ds
+    )
+    SELECT item, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+    FROM kb LEFT JOIN sketch USING (d, b)
+    GROUP BY item
+    ORDER BY item
+    """,
+    doc="Count-Min Sketch word-frequency estimates (Cormode-Muthukrishnan): stream explodes into a FIXED depth x width bucket grid (never a row per distinct item - the billion-key-domain survivor), query keys broadcast-join the sketch and take min over rows; deterministic md5 buckets mean the oracle rebuilds the exact same sketch (operators/frequency.cms_estimates)",
+)
+def q_cms_counts(spark, sf_dir):
+    from ironbeam_spark.functions.text import tokens
+    from ironbeam_spark.operators.frequency import cms_estimates
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("item"))
+    keys = docs.where(F.col("doc_id") == 0).select(
+        F.explode(tokens("text")).alias("item")
+    )
+    return cms_estimates(words, "item", keys, depth=4, width=512).orderBy("item")

@@ -707,3 +707,97 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_bm25_rational",
+    # BM25-shaped relevance scoring with a RATIONAL idf — the classic
+    # formula with idf(t) = ln((N-df+0.5)/(df+0.5)) replaced by the ratio
+    # itself.  Reason: ln() differs by 1 ulp between JVM and DuckDB libm
+    # (measured ~3% of values), so a log-based oracle cannot be bit-exact;
+    # +,*,/ are correctly-rounded IEEE ops in both engines, so the rational
+    # variant is — per-term ranking is identical (monotone transform) and
+    # the multi-term sum is a documented scoring-family choice, not a bug.
+    # Every operation below is written with the same association on both
+    # sides so the doubles match bit for bit.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS dl,
+             len(list_filter(string_split(text,' '), x -> x = 'vector')) AS tf0,
+             len(list_filter(string_split(text,' '), x -> x = 'filter')) AS tf1,
+             len(list_filter(string_split(text,' '), x -> x = 'data')) AS tf2
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+        (((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE)) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+          * ((CAST(tf0 AS DOUBLE) * 2.2)
+             / (CAST(tf0 AS DOUBLE) + (1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))))))
+        + (((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE)) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+          * ((CAST(tf1 AS DOUBLE) * 2.2)
+             / (CAST(tf1 AS DOUBLE) + (1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))))))
+        + (((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE)) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+          * ((CAST(tf2 AS DOUBLE) * 2.2)
+             / (CAST(tf2 AS DOUBLE) + (1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))))))
+        AS score
+      FROM base, stats
+      WHERE tf0 + tf1 + tf2 > 0
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25-shaped retrieval scoring (k1=1.2, b=0.75, rational idf - see oracle comment for the exactness rationale): per-term tf via token filters (codegen), corpus stats (N, avgdl, df) via one aggregate broadcast back, top-20 by score; the query-relevance primitive for retrieval-based quality filtering of training corpora",
+)
+def q_bm25_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import tokens as _tok
+
+    terms = ["vector", "filter", "data"]
+    docs = _t(spark, sf_dir, "documents").df
+    toks = _tok("text")
+    def tf_of(term: str):
+        # single-arg lambda only: PySpark binds 2-arg lambdas as (elem, idx),
+        # so the term must be closed over, never passed as a default arg
+        return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf_of(term).alias(f"tf{i}") for i, term in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("s"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    n, s = F.col("n").cast("double"), F.col("s").cast("double")
+    dl = F.col("dl").cast("double")
+    # association mirrors the SQL text exactly: avgdl = s/n, norm =
+    # 1.2*(0.25 + (0.75*(dl/avgdl)))
+    norm = F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * (dl / (s / n))))
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i}").cast("double"), F.col(f"df{i}").cast("double")
+        term_score = ((n - df) + F.lit(0.5)) / (df + F.lit(0.5)) * (
+            (tf * F.lit(2.2)) / (tf + norm)
+        )
+        score = term_score if score is None else score + term_score
+    out = (
+        j.where((F.col("tf0") + F.col("tf1") + F.col("tf2")) > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+    return out

@@ -696,3 +696,21 @@ def test_rvid_roundtrip_and_frame_sampling(spark):
     assert kept == exp
     bad = [r for r in got if r.doc_id == 2]
     assert len(bad) == 1 and bad[0].frame_idx == -1 and bad[0].error
+
+
+def test_cms_estimates_guarantee(spark):
+    """CMS contract: never underestimates, and with width >> distinct items
+    the estimate is exact for every key."""
+    from ironbeam_spark.operators.frequency import cms_estimates
+
+    rows = [(f"w{i % 40}",) for i in range(4000)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "item string")
+    keys = spark.createDataFrame([(f"w{i}",) for i in range(40)] + [("rare",), ("absent",)], "item string")
+    true = {r.item: r.n for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r.item: r.est for r in cms_estimates(df, "item", keys, depth=4, width=2048).collect()}
+    assert est["absent"] >= 0
+    for k, e in est.items():
+        assert e >= true.get(k, 0), (k, e)
+    # wide sketch, tiny domain: collisions vanishingly unlikely -> exact
+    exact = sum(1 for k, e in est.items() if e == true.get(k, 0))
+    assert exact >= len(est) - 1

@@ -175,6 +175,7 @@ def test_no_scale_killers_in_any_query(spark):
         "q22_global_sales_opportunity",  # scalar subquery (avg acctbal)
         "q11_important_stock",    # scalar subquery (value threshold)
         "q_histogram",            # 1-row min/max bounds broadcast
+        "q_bm25_rational",        # 1-row corpus-stats aggregate broadcast
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():
