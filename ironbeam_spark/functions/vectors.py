@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "norm", "cosine"]
+__all__ = ["dot", "norm", "cosine", "quantize_int8", "int_dot", "cosine_int8"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -35,3 +35,50 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    embedding-compression step for billion-vector ANN (4× smaller than
+    float32, integer dot products downstream).
+
+    ``scale = max|x| / 127``; ``q_i = round(x_i / scale)`` (by construction
+    ``|q_i| ≤ 127``, no clamp needed).  Returns ``struct(q: array<int>,
+    scale: double)``; the all-zero vector quantizes to zeros with scale 0.
+    Deterministic cross-engine: division and round-half-away-from-zero
+    behave identically in Spark and DuckDB, so an oracle reproduces the
+    exact codes."""
+    from ironbeam_spark.functions.hof import let_
+
+    maxabs = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+
+    def build(m: Column) -> Column:
+        scale = m / F.lit(127.0)
+        q = F.transform(a, lambda x: F.round(x.cast("double") / scale).cast("int"))
+        return F.struct(q.alias("q"), scale.alias("scale"))
+
+    zero = F.struct(
+        F.transform(a, lambda x: F.lit(0)).alias("q"),
+        F.lit(0.0).alias("scale"),
+    )
+    return F.when(maxabs > 0, let_(maxabs, build)).otherwise(zero)
+
+
+def int_dot(qa: Column, qb: Column) -> Column:
+    """Exact integer dot product of two quantized code arrays (int64 fold —
+    127²·dim stays far below overflow)."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_int8(qa: Column, qb: Column) -> Column:
+    """Cosine over int8-quantized vectors.  The per-vector scales CANCEL:
+    cos(ŝ_a·qa, ŝ_b·qb) = ⟨qa,qb⟩ / (√⟨qa,qa⟩·√⟨qb,qb⟩) — three exact
+    integer dots, two sqrt, one division: bit-deterministic in any IEEE
+    engine, so quantized ANN results are exact-oracle-checkable."""
+    return int_dot(qa, qb).cast("double") / (
+        F.sqrt(int_dot(qa, qa).cast("double")) * F.sqrt(int_dot(qb, qb).cast("double"))
+    )

@@ -801,3 +801,80 @@ def q_bm25_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+_QZ_SQL = (
+    "list_transform(generate_series(1,64), i -> CAST(round({e}[i]::DOUBLE / "
+    "(list_max(list_transform(generate_series(1,64), j -> abs({e}[j]::DOUBLE))) / 127.0)) AS INTEGER))"
+)
+_IDOT_SQL = "list_sum(list_transform(generate_series(1,64), i -> {a}[i]::BIGINT * {b}[i]::BIGINT))"
+
+
+@query(
+    "q_ann_int8",
+    # int8 scalar quantization (symmetric, scale = max|x|/127) then exact
+    # integer-dot cosine: the per-vector scales CANCEL in cosine, so the
+    # score is three integer dots + two sqrt + one division - every step
+    # bit-deterministic cross-engine, making QUANTIZED ANN exact-oracle-
+    # checkable (the float-cosine variant q_ann_bruteforce is the recall
+    # reference).
+    f"""
+    WITH z AS (
+      SELECT vec_id, {_QZ_SQL.format(e='embedding')} AS q
+      FROM embeddings
+      WHERE list_max(list_transform(generate_series(1,64), j -> abs(embedding[j]::DOUBLE))) > 0
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST({_IDOT_SQL.format(a='a.q', b='b.q')} AS DOUBLE)
+             / (sqrt(CAST({_IDOT_SQL.format(a='a.q', b='a.q')} AS DOUBLE))
+                * sqrt(CAST({_IDOT_SQL.format(a='b.q', b='b.q')} AS DOUBLE))) AS cos_q
+      FROM z a CROSS JOIN z b
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_q,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_q DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_q, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="int8-quantized brute-force ANN: symmetric scalar quantization (4x smaller vectors, integer dot products - the billion-vector compression step), exact integer-arithmetic cosine (scales cancel), top-5 per query; oracle reproduces the identical codes and scores (functions/vectors.quantize_int8/cosine_int8)",
+)
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.vectors import cosine_int8, quantize_int8
+    from ironbeam_spark.scale import ensure_min_parallelism
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    z = emb.select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("z")
+    ).select("vec_id", F.col("z.q").alias("q"), F.col("z.scale").alias("scale")).where(
+        F.col("scale") > 0
+    )
+    qside = z.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    cside = ensure_min_parallelism(z).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb")
+    )
+    scored = (
+        F.broadcast(qside)
+        .crossJoin(cside)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_int8(F.col("qa"), F.col("qb")).alias("cos_q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_q", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -714,3 +714,33 @@ def test_cms_estimates_guarantee(spark):
     # wide sketch, tiny domain: collisions vanishingly unlikely -> exact
     exact = sum(1 for k, e in est.items() if e == true.get(k, 0))
     assert exact >= len(est) - 1
+
+
+def test_quantize_int8_properties(spark):
+    """Quantization invariants: codes bounded by 127, reconstruction error
+    <= scale/2 per element, zero vector -> zeros with scale 0, and int8
+    cosine approximates float cosine."""
+    from ironbeam_spark.functions.vectors import cosine, cosine_int8, quantize_int8
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [3.0, 2.0, -1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1e-6, -2e-6, 3e-6, 4e-6]),
+    ]
+    df = spark.createDataFrame(vecs, "vid long, v array<double>")
+    z = df.select("vid", "v", quantize_int8(F.col("v")).alias("z"))
+    rows = {r.vid: r for r in z.collect()}
+    assert list(rows[3].z.q) == [0, 0, 0, 0] and rows[3].z.scale == 0.0
+    for vid in (1, 2, 4):
+        r = rows[vid]
+        assert max(abs(c) for c in r.z.q) <= 127
+        for orig, code in zip(r.v, r.z.q):
+            assert abs(orig - code * r.z.scale) <= r.z.scale / 2 + 1e-12
+    # int8 cosine within quantization error of float cosine
+    a, b = z.where(F.col("vid") == 1).alias("a"), z.where(F.col("vid") == 2).alias("b")
+    pair = a.crossJoin(b).select(
+        cosine(F.col("a.v"), F.col("b.v")).alias("cf"),
+        cosine_int8(F.col("a.z.q"), F.col("b.z.q")).alias("cq"),
+    ).first()
+    assert abs(pair.cf - pair.cq) < 0.02

@@ -176,6 +176,7 @@ def test_no_scale_killers_in_any_query(spark):
         "q11_important_stock",    # scalar subquery (value threshold)
         "q_histogram",            # 1-row min/max bounds broadcast
         "q_bm25_rational",        # 1-row corpus-stats aggregate broadcast
+        "q_ann_int8",             # declared brute-force baseline (quantized)
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():
