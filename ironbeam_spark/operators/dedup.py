@@ -50,6 +50,7 @@ __all__ = [
     "prefix_filter_candidates",
     "set_similarity_join",
     "set_similarity_search",
+    "winnow_match_pairs",
 ]
 
 
@@ -815,4 +816,55 @@ def set_similarity_search(
         .withColumn(sim_col, jaccard(F.col("_sa"), F.col("_sb")))
         .where(F.col(sim_col) >= F.lit(float(threshold)))
         .select("query_id", "corpus_id", sim_col)
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup / contamination candidates via shared winnowing fingerprints
+    (the MOSS matching step over :func:`~ironbeam_spark.functions.text.
+    winnow_fingerprints`): pairs of documents sharing ≥ ``min_shared``
+    RARE fingerprints, as ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    ``max_df`` is the discriminativeness cap (MOSS's noise-suppression
+    idea): a fingerprint occurring in more than ``max_df`` documents is
+    boilerplate, carries no match signal, and — crucially for 100 TB — is
+    exactly the posting list whose self-join would explode quadratically.
+    With the cap, pair generation is bounded by ``max_df²/2`` per
+    fingerprint, linear overall.  Document frequency comes from one window
+    over the fingerprint partition (fingerprints are distinct per doc, so
+    the row count IS the df — the same one-shuffle trick as
+    :func:`prefix_filter_candidates`)."""
+    from pyspark.sql import Window as W
+
+    from ironbeam_spark.functions.text import winnow_fingerprints
+
+    fps = docs.select(
+        F.col(id_col), F.explode(winnow_fingerprints(text_col, k, w)).alias("fp")
+    )
+    ranked = fps.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("fp")))
+    # persisted: both self-join sides consume the rare-fingerprint postings
+    # (pushdown barrier + single evaluation, see prefix_filter_candidates)
+    rare = (
+        ranked.where(F.col("_df") <= max_df)
+        .select(id_col, "fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED_SHINGLE_TABLES.append(rare)
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(b, on="fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

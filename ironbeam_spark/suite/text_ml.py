@@ -878,3 +878,47 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_q", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "q_winnow_match",
+    # same fingerprint arithmetic as q_winnow_fingerprints; the df <= 50
+    # cap (MOSS noise suppression) is also the scale guard - it bounds the
+    # posting-list self-join at max_df^2/2 pairs per fingerprint
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8 THEN
+               list_transform(generate_series(1, length(text)-7),
+                              i -> {_TI_SQL.format("substr(text, i, 8)")})
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(hs) >= 4 THEN
+               list_sort(list_distinct(list_transform(
+                 generate_series(1, len(hs)-3), j -> list_min(hs[j:j+3]))))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE CAST([] AS BIGINT[]) END) AS f
+      FROM h),
+    rare AS (
+      SELECT doc_id, f FROM (
+        SELECT doc_id, f, count(*) OVER (PARTITION BY f) AS df FROM fp)
+      WHERE df <= 20)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    HAVING count(*) >= 8
+    ORDER BY id_a, id_b
+    """,
+    doc="MOSS-style match detection: pairs of documents sharing >= 8 rare winnowing fingerprints (df <= 20 cap = noise suppression AND the quadratic-blowup guard - boilerplate fingerprints never join); one window for df, one bounded posting self-join, one pair aggregate (operators/dedup.winnow_match_pairs)",
+)
+def q_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.dedup import winnow_match_pairs
+    from ironbeam_spark.scale import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents").df)
+    return winnow_match_pairs(
+        docs, "doc_id", "text", k=8, w=4, min_shared=8, max_df=20
+    ).orderBy("id_a", "id_b")

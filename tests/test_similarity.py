@@ -148,3 +148,20 @@ def test_ivf_ann_dataframe_centroids_no_collect_and_equal(spark, monkeypatch):
     want = sorted(map(tuple, lit.collect()))
     assert n_df == len(want) and n_df > 0
     assert got == want
+
+
+def test_int8_ann_recall_vs_float(spark):
+    """Quantized brute-force top-5 keeps >= 0.8 recall vs the float
+    baseline on the real embeddings table."""
+    from ironbeam_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    f = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_ann_bruteforce"].fn(spark, sf).collect()
+    }
+    q = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_ann_int8"].fn(spark, sf).collect()
+    }
+    assert len(q & f) / len(f) >= 0.8, (len(q & f), len(f))
