@@ -118,24 +118,78 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for each query vector (self-match excluded)."""
+    """Exact cosine top-k neighbors for each query vector (self-match
+    excluded).
+
+    ``impl='arrow'`` (default) scores the joined pairs in an Arrow-batched
+    ``mapInArrow`` using ``np.add.accumulate`` — a SEQUENTIAL fold, so the
+    doubles are bit-identical to the Catalyst ``aggregate`` fold (and the
+    SQL oracle's ``list_sum``) while running vectorized C instead of
+    interpreted higher-order lambdas (~10× on the |Q|·|C| hot loop — the
+    baseline's cost is genuinely linear in |C|, so the constant IS the
+    scale story).  ``impl='expr'`` keeps the pure-expression path.  Both
+    share the same plan shape: broadcast queries × corpus, window top-k."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
+    joined = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+    )
+    if impl == "expr":
+        scored = joined.select(
             "query_id",
             "neighbor_id",
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
-    )
+    else:
+        id_fields = {f.name: f.dataType.simpleString() for f in joined.schema.fields}
+        out_schema = (
+            f"query_id {id_fields['query_id']}, "
+            f"neighbor_id {id_fields['neighbor_id']}, cos_sim double"
+        )
+
+        def score(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            def seq_fold(prod):  # sequential left-fold == F.aggregate order
+                return np.add.accumulate(prod, axis=1)[:, -1]
+
+            def as_matrix(col, n):
+                # zero-copy list flatten (offset-aware) -> (n, dim) float64
+                flat = np.asarray(col.flatten(), dtype=np.float64)
+                if n == 0 or flat.size % n:
+                    return np.array(col.to_pylist(), dtype=np.float64)
+                return flat.reshape(n, flat.size // n)
+
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                qv = as_matrix(rb.column("q_vec"), n)
+                cv = as_matrix(rb.column("c_vec"), n)
+                cos = seq_fold(qv * cv) / (
+                    np.sqrt(seq_fold(qv * qv)) * np.sqrt(seq_fold(cv * cv))
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column("query_id"),
+                        rb.column("neighbor_id"),
+                        pa.array(cos, type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "cos_sim"],
+                )
+
+        scored = joined.select("query_id", "q_vec", "neighbor_id", "c_vec").mapInArrow(
+            score, out_schema
+        )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
