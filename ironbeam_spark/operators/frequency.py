@@ -154,7 +154,9 @@ def cms_estimates(
         .groupBy("_d", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    q = keys.select(F.col(item_col).alias("item")).distinct().select(
+    # keys is "a one-column DataFrame of items" — accept any column name
+    key_col = keys.columns[0]
+    q = keys.select(F.col(key_col).alias("item")).distinct().select(
         "item", rows
     ).select("item", "_d", bucket(F.col("item")).alias("_b"))
     return (

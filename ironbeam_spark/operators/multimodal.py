@@ -182,7 +182,13 @@ def decode_image_pixels(b: bytes):
         if ascii_mode:
             vals = []
             for t, _ in toks:
-                vals.append(int(t))
+                v = int(t)
+                # range-check BEFORE the uint8 cast: numpy would silently
+                # wrap (1.x) or raise a non-ValueError (2.x) that escapes
+                # the dead-letter catch and kills the job
+                if not (0 <= v <= maxval):
+                    raise ValueError(f"ppm: P3 sample {v} outside [0, {maxval}]")
+                vals.append(v)
                 if len(vals) == n:
                     break
             if len(vals) != n:

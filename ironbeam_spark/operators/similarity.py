@@ -158,32 +158,62 @@ def brute_force_topk(
         def score(batches):
             import numpy as np
             import pyarrow as pa
+            import pyarrow.compute as pc
 
             def seq_fold(prod):  # sequential left-fold == F.aggregate order
                 return np.add.accumulate(prod, axis=1)[:, -1]
 
             def as_matrix(col, n):
-                # zero-copy list flatten (offset-aware) -> (n, dim) float64
+                # zero-copy list flatten (offset-aware) -> (n, dim) float64;
+                # None when the column has null or ragged vectors (flatten()
+                # DROPS null lists, so a blind reshape would silently shift
+                # every later row's values)
+                if col.null_count:
+                    return None
+                lens = pc.list_value_length(col)
+                if pc.min(lens).as_py() != pc.max(lens).as_py():
+                    return None
                 flat = np.asarray(col.flatten(), dtype=np.float64)
-                if n == 0 or flat.size % n:
-                    return np.array(col.to_pylist(), dtype=np.float64)
-                return flat.reshape(n, flat.size // n)
+                return flat.reshape(n, -1)
+
+            def row_cos(qv, cv):
+                # degenerate-row fallback, mirroring the expression path:
+                # null vector or length mismatch (zip_with null-pads) -> null
+                if qv is None or cv is None or len(qv) != len(cv) or not qv:
+                    return None
+                a = np.asarray(qv, dtype=np.float64)
+                b = np.asarray(cv, dtype=np.float64)
+                d = np.add.accumulate(a * b)[-1]
+                na = np.sqrt(np.add.accumulate(a * a)[-1])
+                nb = np.sqrt(np.add.accumulate(b * b)[-1])
+                denom = na * nb
+                return float(d / denom) if denom else None
 
             for rb in batches:
                 n = rb.num_rows
                 if n == 0:
                     continue
-                qv = as_matrix(rb.column("q_vec"), n)
-                cv = as_matrix(rb.column("c_vec"), n)
-                cos = seq_fold(qv * cv) / (
-                    np.sqrt(seq_fold(qv * qv)) * np.sqrt(seq_fold(cv * cv))
-                )
+                qm = as_matrix(rb.column("q_vec"), n)
+                cm = as_matrix(rb.column("c_vec"), n)
+                if qm is not None and cm is not None and qm.shape == cm.shape:
+                    cos = pa.array(
+                        seq_fold(qm * cm)
+                        / (np.sqrt(seq_fold(qm * qm)) * np.sqrt(seq_fold(cm * cm))),
+                        type=pa.float64(),
+                    )
+                else:
+                    cos = pa.array(
+                        [
+                            row_cos(qv, cv)
+                            for qv, cv in zip(
+                                rb.column("q_vec").to_pylist(),
+                                rb.column("c_vec").to_pylist(),
+                            )
+                        ],
+                        type=pa.float64(),
+                    )
                 yield pa.RecordBatch.from_arrays(
-                    [
-                        rb.column("query_id"),
-                        rb.column("neighbor_id"),
-                        pa.array(cos, type=pa.float64()),
-                    ],
+                    [rb.column("query_id"), rb.column("neighbor_id"), cos],
                     names=["query_id", "neighbor_id", "cos_sim"],
                 )
 
@@ -411,9 +441,12 @@ def lsh_near_dup_pairs(
     loose thresholds LSH trades recall for the linear plan shape — that
     trade IS the operator.
     """
-    n_bits = len(planes)
+    # band arithmetic needs the PLANE COUNT driver-side; for a DataFrame
+    # plane set that is one count() over a dim-sized table (bounded — the
+    # planes themselves never leave the executors)
+    n_bits = planes.count() if isinstance(planes, DataFrame) else len(planes)
     if n_bits % bands != 0:
-        raise ValueError(f"bands={bands} must divide len(planes)={n_bits}")
+        raise ValueError(f"bands={bands} must divide n_planes={n_bits}")
     width = n_bits // bands
     mask = (1 << width) - 1
     blocks = list(block_cols)

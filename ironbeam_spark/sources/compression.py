@@ -126,26 +126,37 @@ def read_lines(spark: SparkSession, path: str, codec: str | None = None) -> Data
     return files.mapInPandas(decode, "value string")
 
 
-def write_lines(
-    df: DataFrame, path: str, codec: str, mode: str = "overwrite"
-) -> int:
-    """Partition-parallel compressed text sink: one ``part-NNNNN.<ext>``
-    per partition, compressed executor-side.  ``df`` must have exactly one
-    string column.  Returns the number of shards written."""
+def _shard_extensions() -> tuple[str, ...]:
+    return tuple({c.extension for c in _REGISTRY.values()})
+
+
+def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
+    """Shared scaffold for the partition-parallel compressed sinks: mode
+    semantics, stale-shard cleanup, append-token naming, and the
+    per-partition compress-and-write task.  ``render(batches, buf) -> n``
+    serializes a partition's pandas batches into ``buf`` and returns the
+    row count.
+
+    ``overwrite`` removes shards of EVERY registered codec extension, not
+    just the current one — readers decode every file in the directory with
+    one codec, so a leftover shard from a previous codec would silently
+    poison later reads."""
     import uuid
 
     c = codec_for(codec)
     if c is None:
         raise ValueError(f"unknown codec {codec!r}; registered: {sorted(_REGISTRY)}")
-    if len(df.columns) != 1:
-        raise ValueError(f"write_lines wants a single-column frame, got {df.columns}")
-
     modes = {"overwrite", "append", "error", "errorifexists", "ignore"}
     if mode not in modes:
         raise ValueError(f"mode must be one of {sorted(modes)}, got {mode!r}")
     ext = c.extension
     os.makedirs(path, exist_ok=True)
-    existing = [f for f in os.listdir(path) if f.endswith(f".{ext}")]
+    all_exts = _shard_extensions()
+    existing = [
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(tuple(f".{e}" for e in all_exts))
+    ]
     if mode == "overwrite":
         for f in existing:
             os.remove(os.path.join(path, f))
@@ -154,7 +165,6 @@ def write_lines(
     elif mode == "ignore" and existing:
         return 0
     token = f"-{uuid.uuid4().hex[:8]}" if mode == "append" else ""
-    col = df.columns[0]
     out = path
 
     def write_partition(batches: Iterator) -> Iterator:
@@ -163,12 +173,7 @@ def write_lines(
 
         pid = TaskContext.get().partitionId()
         buf = io.StringIO()
-        n = 0
-        for pdf in batches:
-            for line in pdf[col]:
-                buf.write("" if line is None else str(line))
-                buf.write("\n")
-                n += 1
+        n = render(batches, buf)
         if n:
             payload = c.compress(buf.getvalue().encode("utf-8"))
             with open(os.path.join(out, f"part-{pid:05d}{token}.{ext}"), "wb") as f:
@@ -177,6 +182,28 @@ def write_lines(
 
     counts = df.mapInPandas(write_partition, "written long").collect()
     return sum(1 for r in counts if r.written)
+
+
+def write_lines(
+    df: DataFrame, path: str, codec: str, mode: str = "overwrite"
+) -> int:
+    """Partition-parallel compressed text sink: one ``part-NNNNN.<ext>``
+    per partition, compressed executor-side.  ``df`` must have exactly one
+    string column.  Returns the number of shards written."""
+    if len(df.columns) != 1:
+        raise ValueError(f"write_lines wants a single-column frame, got {df.columns}")
+    col = df.columns[0]
+
+    def render(batches, buf) -> int:
+        n = 0
+        for pdf in batches:
+            for line in pdf[col]:
+                buf.write("" if line is None else str(line))
+                buf.write("\n")
+                n += 1
+        return n
+
+    return _shard_sink(df, path, codec, mode, render)
 
 
 def read_jsonl_compressed(
@@ -243,7 +270,10 @@ def read_csv_compressed(
         else:
             ddl = schema
         return lines.select(F.from_csv("value", ddl).alias("c")).select("c.*")
-    # inference path: one header line survives (all shards share it)
+    # inference path needs the decoded lines THREE times (header probe,
+    # inference scan, final parse) — persist so non-splittable shards
+    # decompress once, not per pass
+    lines = lines.persist()
     first_header = lines.select("header").first()
     rdd = lines.select("value").rdd.map(lambda r: r.value)
     if has_headers and first_header is not None:
@@ -259,34 +289,9 @@ def write_csv_compressed(
     """CSV lines built per-partition with pandas ``to_csv`` (proper quoting)
     then compressed shard-parallel; each shard carries the header so shards
     stay independently readable (Spark's own csv writer contract)."""
-    import uuid
-
-    c = codec_for(codec)
-    if c is None:
-        raise ValueError(f"unknown codec {codec!r}")
-    ext = c.extension
-    modes = {"overwrite", "append", "error", "errorifexists", "ignore"}
-    if mode not in modes:
-        raise ValueError(f"mode must be one of {sorted(modes)}, got {mode!r}")
-    os.makedirs(path, exist_ok=True)
-    existing = [f for f in os.listdir(path) if f.endswith(f".{ext}")]
-    if mode == "overwrite":
-        for f in existing:
-            os.remove(os.path.join(path, f))
-    elif mode in ("error", "errorifexists") and existing:
-        raise FileExistsError(f"shards already exist at {path} (mode={mode})")
-    elif mode == "ignore" and existing:
-        return 0
-    token = f"-{uuid.uuid4().hex[:8]}" if mode == "append" else ""
-    out = path
     want_header = header
 
-    def write_partition(batches: Iterator) -> Iterator:
-        import pandas as pd
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        buf = io.StringIO()
+    def render(batches, buf) -> int:
         n = 0
         first = True
         for pdf in batches:
@@ -301,11 +306,6 @@ def write_csv_compressed(
             )
             first = False
             n += len(pdf)
-        if n:
-            payload = c.compress(buf.getvalue().encode("utf-8"))
-            with open(os.path.join(out, f"part-{pid:05d}{token}.{ext}"), "wb") as f:
-                f.write(payload)
-        yield pd.DataFrame({"written": [n]})
+        return n
 
-    counts = df.mapInPandas(write_partition, "written long").collect()
-    return sum(1 for r in counts if r.written)
+    return _shard_sink(df, path, codec, mode, render)

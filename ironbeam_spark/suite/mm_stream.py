@@ -62,6 +62,30 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "byte_len").orderBy("doc_id")
 
 
+def _fake_image_blobs(docs):
+    """Deterministic BMP/PPM payloads for the image queries: pixel formula
+    rgb[p,c] = (seed + 3p + c) % 256 with seed/w/h derived from doc_id.
+    ONE definition shared by q_image_decode and q_image_resize so the
+    generator can never drift from the closed-form oracles that mirror it."""
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, w, h = did % 251, 1 + did % 8, 1 + did % 6
+                rgb = bytes((seed + i) % 256 for i in range(w * h * 3))
+                payload = encode_bmp(w, h, rgb) if did % 2 == 0 else encode_ppm(w, h, rgb)
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+
+
 @query(
     "q_image_decode",
     # Exact oracle: payloads are generated from a closed-form pixel formula
@@ -94,24 +118,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.multimodal import decode_image
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-
-    def make(batches):
-        import pandas as pd
-
-        from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
-
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                seed, w, h = did % 251, 1 + did % 8, 1 + did % 6
-                rgb = bytes((seed + i) % 256 for i in range(w * h * 3))
-                payload = encode_bmp(w, h, rgb) if did % 2 == 0 else encode_ppm(w, h, rgb)
-                rows.append((did, payload))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
-    out = decode_image(blobs, "doc_id", "payload")
+    out = decode_image(_fake_image_blobs(docs), "doc_id", "payload")
     return out.select(
         "doc_id", "fmt", "width", "height", "channels", "sum_r", "sum_g", "sum_b"
     ).orderBy("doc_id")
@@ -368,24 +375,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.multimodal import resize_image
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-
-    def make(batches):
-        import pandas as pd
-
-        from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
-
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                seed, w, h = did % 251, 1 + did % 8, 1 + did % 6
-                rgb = bytes((seed + i) % 256 for i in range(w * h * 3))
-                payload = encode_bmp(w, h, rgb) if did % 2 == 0 else encode_ppm(w, h, rgb)
-                rows.append((did, payload))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
-    out = resize_image(blobs, "doc_id", "payload", 5, 4)
+    out = resize_image(_fake_image_blobs(docs), "doc_id", "payload", 5, 4)
     return out.select(
         "doc_id", "src_fmt", "src_width", "src_height", "width", "height",
         "sum_r", "sum_g", "sum_b",

@@ -123,3 +123,17 @@ def test_write_modes(spark, tmp_path):
 def test_unknown_codec_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="codec"):
         read_lines(spark, str(tmp_path / "x.nosuch"))
+
+
+def test_overwrite_clears_other_codec_shards(spark, tmp_path):
+    """overwrite must remove shards of EVERY registered codec: readers
+    decode the whole directory with one codec, so a stale shard from a
+    previous codec would silently poison the read."""
+    out = str(tmp_path / "mixed")
+    df1 = spark.range(5).select(F.concat(F.lit("old-"), F.col("id")).alias("value"))
+    write_lines(df1.coalesce(1), out, "xz")
+    df2 = spark.range(3).select(F.concat(F.lit("new-"), F.col("id")).alias("value"))
+    write_lines(df2.coalesce(1), out, "gzip", mode="overwrite")
+    assert not [f for f in os.listdir(out) if f.endswith(".xz")]
+    got = sorted(r.value for r in read_lines(spark, out, "gzip").collect())
+    assert got == [f"new-{i}" for i in range(3)]

@@ -705,7 +705,9 @@ def test_cms_estimates_guarantee(spark):
 
     rows = [(f"w{i % 40}",) for i in range(4000)] + [("rare",)] * 3
     df = spark.createDataFrame(rows, "item string")
-    keys = spark.createDataFrame([(f"w{i}",) for i in range(40)] + [("rare",), ("absent",)], "item string")
+    # keys column deliberately NOT named like the stream's item column —
+    # the documented contract is "any one-column DataFrame"
+    keys = spark.createDataFrame([(f"w{i}",) for i in range(40)] + [("rare",), ("absent",)], "k string")
     true = {r.item: r.n for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
     est = {r.item: r.est for r in cms_estimates(df, "item", keys, depth=4, width=2048).collect()}
     assert est["absent"] >= 0
@@ -744,3 +746,35 @@ def test_quantize_int8_properties(spark):
         cosine_int8(F.col("a.z.q"), F.col("b.z.q")).alias("cq"),
     ).first()
     assert abs(pair.cf - pair.cq) < 0.02
+
+
+def test_p3_out_of_range_sample_is_dead_lettered(spark):
+    """A P3 payload with a sample above maxval must produce an error row,
+    never wrap silently or kill the job."""
+    from ironbeam_spark.operators.multimodal import decode_image
+
+    bad = b"P3\n1 1\n255\n300 0 0\n"
+    df = spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
+    row = decode_image(df, "doc_id", "payload").collect()[0]
+    assert row.error and "outside" in row.error and row.width is None
+
+
+def test_brute_force_arrow_handles_null_vectors(spark):
+    """Null embeddings in the corpus must not crash or corrupt the Arrow
+    scoring path (flatten() drops null lists - a blind reshape would shift
+    every later row)."""
+    from ironbeam_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(20)]
+    rows.append((99, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 2)
+    arrow = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in brute_force_topk(emb, q, k=3, impl="arrow").collect()
+    }
+    expr = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in brute_force_topk(emb, q, k=3, impl="expr").collect()
+    }
+    assert arrow == expr and len(arrow) == 6

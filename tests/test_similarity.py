@@ -165,3 +165,27 @@ def test_int8_ann_recall_vs_float(spark):
         for r in QUERIES["q_ann_int8"].fn(spark, sf).collect()
     }
     assert len(q & f) / len(f) >= 0.8, (len(q & f), len(f))
+
+
+def test_lsh_near_dup_pairs_dataframe_planes_equal(spark):
+    """lsh_near_dup_pairs accepts planes as a DataFrame (the advertised
+    signature) and produces the identical pair set as the literal path."""
+    import pyspark.sql.functions as F
+
+    from ironbeam_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    planes_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("plane_id"),
+        F.col("embedding").alias("plane"),
+    )
+    planes_lit = [list(r.plane) for r in planes_df.orderBy("plane_id").collect()]
+    got = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in lsh_near_dup_pairs(emb, planes_df, 0.2, bands=4).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in lsh_near_dup_pairs(emb, planes_lit, 0.2, bands=4).collect()
+    )
+    assert got == want and len(got) > 0
