@@ -116,6 +116,16 @@ def main() -> None:
 
     print(json.dumps(payload))
 
+    # hygiene: the dedup/similarity operators persist intermediate tables
+    # (shingles, posting lists) that CacheManager reuses across the timed
+    # passes; release them at exit so a long-lived driver process doesn't
+    # keep sf0.1 + sf1 cache copies pinned in storage
+    from ironbeam_spark.operators.dedup import release_shingle_caches
+    from ironbeam_spark.operators.scan import release_scan_caches
+
+    release_shingle_caches()
+    release_scan_caches()
+
 
 if __name__ == "__main__":
     main()

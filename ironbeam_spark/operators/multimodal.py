@@ -283,6 +283,10 @@ def decode_audio_bytes(b: bytes) -> dict:
     audio_format, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_format != 1 or bits != 16:
         raise ValueError(f"wav: only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    if channels < 1:
+        # must be ValueError: a declared channels=0 would otherwise raise
+        # ZeroDivisionError below, escaping the dead-letter catch
+        raise ValueError("wav: fmt chunk declares 0 channels")
     frames = len(data) // (channels * 2)
     samples = np.frombuffer(data, dtype="<i2", count=frames * channels)
     return {

@@ -130,7 +130,13 @@ def brute_force_topk(
     interpreted higher-order lambdas (~10× on the |Q|·|C| hot loop — the
     baseline's cost is genuinely linear in |C|, so the constant IS the
     scale story).  ``impl='expr'`` keeps the pure-expression path.  Both
-    share the same plan shape: broadcast queries × corpus, window top-k."""
+    share the same plan shape: broadcast queries × corpus, window top-k.
+
+    Degenerate rows: null vectors / mismatched lengths score null on both
+    paths; zero-norm or empty vectors score IEEE ``NaN`` on the arrow path
+    (matching DuckDB's 0/0), whereas the expression path RAISES under
+    Spark 4's ANSI mode (double DIVIDE_BY_ZERO) — the arrow behavior is
+    the deliberate one for dirty corpora."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -165,29 +171,35 @@ def brute_force_topk(
 
             def as_matrix(col, n):
                 # zero-copy list flatten (offset-aware) -> (n, dim) float64;
-                # None when the column has null or ragged vectors (flatten()
-                # DROPS null lists, so a blind reshape would silently shift
-                # every later row's values)
+                # None when the column has null, ragged, or zero-length
+                # vectors (flatten() DROPS null lists, so a blind reshape
+                # would silently shift every later row's values; dim 0 would
+                # crash the [:, -1] fold)
                 if col.null_count:
                     return None
                 lens = pc.list_value_length(col)
-                if pc.min(lens).as_py() != pc.max(lens).as_py():
+                lo, hi = pc.min(lens).as_py(), pc.max(lens).as_py()
+                if lo != hi or lo == 0:
                     return None
                 flat = np.asarray(col.flatten(), dtype=np.float64)
                 return flat.reshape(n, -1)
 
             def row_cos(qv, cv):
-                # degenerate-row fallback, mirroring the expression path:
-                # null vector or length mismatch (zip_with null-pads) -> null
-                if qv is None or cv is None or len(qv) != len(cv) or not qv:
+                # degenerate-row fallback, matching the expression path
+                # exactly: null vector / length mismatch (zip_with
+                # null-pads) -> null; zero-norm or empty vectors -> the
+                # IEEE 0/0 = NaN the expression's double division produces
+                if qv is None or cv is None or len(qv) != len(cv):
                     return None
+                if not qv:
+                    return float("nan")
                 a = np.asarray(qv, dtype=np.float64)
                 b = np.asarray(cv, dtype=np.float64)
                 d = np.add.accumulate(a * b)[-1]
                 na = np.sqrt(np.add.accumulate(a * a)[-1])
                 nb = np.sqrt(np.add.accumulate(b * b)[-1])
-                denom = na * nb
-                return float(d / denom) if denom else None
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return float(d / (na * nb))
 
             for rb in batches:
                 n = rb.num_rows
@@ -196,11 +208,12 @@ def brute_force_topk(
                 qm = as_matrix(rb.column("q_vec"), n)
                 cm = as_matrix(rb.column("c_vec"), n)
                 if qm is not None and cm is not None and qm.shape == cm.shape:
-                    cos = pa.array(
-                        seq_fold(qm * cm)
-                        / (np.sqrt(seq_fold(qm * qm)) * np.sqrt(seq_fold(cm * cm))),
-                        type=pa.float64(),
-                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = pa.array(
+                            seq_fold(qm * cm)
+                            / (np.sqrt(seq_fold(qm * qm)) * np.sqrt(seq_fold(cm * cm))),
+                            type=pa.float64(),
+                        )
                 else:
                     cos = pa.array(
                         [

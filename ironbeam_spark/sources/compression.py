@@ -246,23 +246,33 @@ def read_csv_compressed(
     files = spark.read.format("binaryFile").load(path).select("content")
     drop_header = has_headers
 
-    def decode(batches: Iterator) -> Iterator:
-        import pandas as pd
+    def make_decode(with_header_col: bool):
+        def decode(batches: Iterator) -> Iterator:
+            import pandas as pd
 
-        for pdf in batches:
-            for blob in pdf["content"]:
-                text = c.decompress(bytes(blob)).decode("utf-8")
-                lines = text.split("\n")
-                if lines and lines[-1] == "":
-                    lines.pop()
-                header = []
-                if drop_header and lines:
-                    header = [lines[0]]
-                    lines = lines[1:]
-                yield pd.DataFrame({"value": lines, "header": header * len(lines) or [""] * len(lines)})
+            for pdf in batches:
+                for blob in pdf["content"]:
+                    text = c.decompress(bytes(blob)).decode("utf-8")
+                    lines = text.split("\n")
+                    if lines and lines[-1] == "":
+                        lines.pop()
+                    header = ""
+                    if drop_header and lines:
+                        header = lines[0]
+                        lines = lines[1:]
+                    if with_header_col:
+                        yield pd.DataFrame(
+                            {"value": lines, "header": [header] * len(lines)}
+                        )
+                    else:
+                        yield pd.DataFrame({"value": lines})
 
-    lines = files.mapInPandas(decode, "value string, header string")
+        return decode
+
     if schema is not None:
+        # schema path never needs the header text — don't replicate it
+        # across every row of the Arrow stream
+        lines = files.mapInPandas(make_decode(False), "value string")
         if hasattr(schema, "fields"):  # StructType -> "name type, ..." DDL
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
@@ -272,8 +282,9 @@ def read_csv_compressed(
         return lines.select(F.from_csv("value", ddl).alias("c")).select("c.*")
     # inference path needs the decoded lines THREE times (header probe,
     # inference scan, final parse) — persist so non-splittable shards
-    # decompress once, not per pass
-    lines = lines.persist()
+    # decompress once, not per pass.  The cache lives as long as the
+    # returned frame's lineage (inference at scale should pass a schema).
+    lines = files.mapInPandas(make_decode(True), "value string, header string").persist()
     first_header = lines.select("header").first()
     rdd = lines.select("value").rdd.map(lambda r: r.value)
     if has_headers and first_header is not None:

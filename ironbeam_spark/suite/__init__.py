@@ -44,6 +44,12 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_simhash_fingerprints (r2 red -> r3 green: regression watch),
 #           q_asof_join and q_interval_join (temporal family not otherwise
 #           represented in 16-50).
+#   r4->r5 (planned, to apply at the START of round 5 once the r4 window
+#           queries have their driver rows): rotate in the 9 round-4
+#           additions — q_winnow_fingerprints, q_winnow_match,
+#           q_stream_dedup, q_image_resize, q_video_frame_sample,
+#           q_cms_counts, q_bm25_rational, q_ann_int8, and any query added
+#           after this comment.
 # tests/test_registry_order.py freezes the current 62-name prefix.
 CANONICAL_ORDER = [
     # -- 1-12: rotated in for r4 — first driver verification pending

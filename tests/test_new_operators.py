@@ -778,3 +778,18 @@ def test_brute_force_arrow_handles_null_vectors(spark):
         for r in brute_force_topk(emb, q, k=3, impl="expr").collect()
     }
     assert arrow == expr and len(arrow) == 6
+
+
+def test_wav_zero_channels_is_dead_lettered(spark):
+    """A fmt chunk declaring 0 channels must produce an error row, not a
+    ZeroDivisionError that escapes the dead-letter catch."""
+    import struct
+
+    from ironbeam_spark.operators.multimodal import decode_audio
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    row = decode_audio(df, "doc_id", "payload").collect()[0]
+    assert row.error and "0 channels" in row.error

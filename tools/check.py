@@ -131,6 +131,13 @@ def main() -> int:
             n_fail += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")
+    # hygiene: dedup/similarity operators persist shingle/posting tables
+    # per invocation; release them so the gate process exits clean
+    from ironbeam_spark.operators.dedup import release_shingle_caches
+    from ironbeam_spark.operators.scan import release_scan_caches
+
+    release_shingle_caches()
+    release_scan_caches()
     return 1 if n_fail else 0
 
 
