@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix"]
+__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split"]
 
 
 def priority(seed: int, key: Column) -> Column:
@@ -101,3 +101,35 @@ def training_mix(
         thr = F.when(F.col(source_col) == src, F.lit(int(w * two48)).cast("long")).otherwise(thr)
     h48 = F.conv(F.substring(priority(seed, F.col(key_col)), 1, 12), 16, 10).cast("long")
     return df.where(h48 < thr)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    seed: int,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the corpus-freeze step of a
+    training pipeline.  Each row's bucket is its stateless md5 priority
+    (same family as :func:`sample_fraction`): reproducible under any
+    partitioning, any re-run, any engine (the SQL oracle applies the same
+    arithmetic), and rows with the same ``key_col`` always land in the same
+    split — which is what prevents leakage when the key is a content hash
+    or document id.  One codegen projection: no shuffle, no state.
+
+    ``train`` and ``val`` are fractions of the 48-bit hash space; the rest
+    is test.  Returns ``df`` plus ``split_col`` ∈ {'train','val','test'}."""
+    if not (0 < train < 1 and 0 <= val < 1 and train + val < 1):
+        raise ValueError(f"invalid split fractions train={train} val={val}")
+    two48 = 1 << 48
+    h48 = F.conv(F.substring(priority(seed, F.col(key_col)), 1, 12), 16, 10).cast("long")
+    t_thr = F.lit(int(train * two48)).cast("long")
+    v_thr = F.lit(int((train + val) * two48)).cast("long")
+    split = (
+        F.when(h48 < t_thr, F.lit("train"))
+        .when(h48 < v_thr, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, split)

@@ -506,3 +506,41 @@ def q_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), sum_money("l_extendedprice", "revenue"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_train_split",
+    # bucket = first 12 md5 hex chars of '23|doc_id' as int48; thresholds at
+    # 0.8 and 0.9 of the hash space - the oracle applies the identical
+    # arithmetic, so the assignment (not just the counts) is verified
+    """
+    WITH b AS (
+      SELECT source, length(text) AS nc,
+             ('0x' || substr(md5('23|' || doc_id::VARCHAR), 1, 12))::BIGINT AS h
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN h < CAST(0.8 * 281474976710656 AS BIGINT) THEN 'train'
+                WHEN h < CAST(0.9 * 281474976710656 AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    doc="deterministic train/val/test corpus split (80/10/10): per-doc md5-bucket assignment - reproducible under any partitioning/re-run, same-key rows always co-assigned (leakage guard); one codegen projection + one aggregate (operators/sampling.train_val_test_split)",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents").df
+    split = train_val_test_split(docs, "doc_id", seed=23, train=0.8, val=0.1)
+    return (
+        split.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
