@@ -122,9 +122,11 @@ def main() -> None:
     # keep sf0.1 + sf1 cache copies pinned in storage
     from ironbeam_spark.operators.dedup import release_shingle_caches
     from ironbeam_spark.operators.scan import release_scan_caches
+    from ironbeam_spark.sources.compression import release_codec_caches
 
     release_shingle_caches()
     release_scan_caches()
+    release_codec_caches()
 
 
 if __name__ == "__main__":

@@ -128,7 +128,12 @@ def train_val_test_split(
     t_thr = F.lit(int(train * two48)).cast("long")
     v_thr = F.lit(int((train + val) * two48)).cast("long")
     split = (
-        F.when(h48 < t_thr, F.lit("train"))
+        # explicit null-key policy: concat_ws would silently hash a null key
+        # as the bare seed (co-assigning ALL null keys to one seed-dependent
+        # split), while the SQL mirror's '||' yields NULL -> CASE falls to
+        # 'test'.  Pin the SQL behavior so both engines agree.
+        F.when(F.col(key_col).isNull(), F.lit("test"))
+        .when(h48 < t_thr, F.lit("train"))
         .when(h48 < v_thr, F.lit("val"))
         .otherwise(F.lit("test"))
     )

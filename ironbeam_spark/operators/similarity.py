@@ -184,22 +184,38 @@ def brute_force_topk(
                 flat = np.asarray(col.flatten(), dtype=np.float64)
                 return flat.reshape(n, -1)
 
-            def row_cos(qv, cv):
-                # degenerate-row fallback, matching the expression path
-                # exactly: null vector / length mismatch (zip_with
-                # null-pads) -> null; zero-norm or empty vectors -> the
-                # IEEE 0/0 = NaN the expression's double division produces
-                if qv is None or cv is None or len(qv) != len(cv):
-                    return None
-                if not qv:
-                    return float("nan")
-                a = np.asarray(qv, dtype=np.float64)
-                b = np.asarray(cv, dtype=np.float64)
-                d = np.add.accumulate(a * b)[-1]
-                na = np.sqrt(np.add.accumulate(a * a)[-1])
-                nb = np.sqrt(np.add.accumulate(b * b)[-1])
+            def fold_cos(qm, cm):
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    return float(d / (na * nb))
+                    return seq_fold(qm * cm) / (
+                        np.sqrt(seq_fold(qm * qm)) * np.sqrt(seq_fold(cm * cm))
+                    )
+
+            def mixed_batch_cos(qlist, clist, n):
+                # degenerate-batch path, matching the expression semantics:
+                # null vector / length mismatch (zip_with null-pads) ->
+                # null; empty pair -> IEEE 0/0 NaN.  The well-formed rows
+                # still score VECTORIZED (grouped by dim) — one bad row
+                # must not drop the whole batch to per-row Python.
+                out = [None] * n
+                ok = [
+                    i
+                    for i in range(n)
+                    if qlist[i] is not None
+                    and clist[i] is not None
+                    and len(qlist[i]) == len(clist[i])
+                ]
+                for d in {len(qlist[i]) for i in ok}:
+                    sel = [i for i in ok if len(qlist[i]) == d]
+                    if d == 0:
+                        for i in sel:
+                            out[i] = float("nan")
+                        continue
+                    qm = np.array([qlist[i] for i in sel], dtype=np.float64)
+                    cm = np.array([clist[i] for i in sel], dtype=np.float64)
+                    cos = fold_cos(qm, cm)
+                    for j, i in enumerate(sel):
+                        out[i] = float(cos[j])
+                return out
 
             for rb in batches:
                 n = rb.num_rows
@@ -208,21 +224,14 @@ def brute_force_topk(
                 qm = as_matrix(rb.column("q_vec"), n)
                 cm = as_matrix(rb.column("c_vec"), n)
                 if qm is not None and cm is not None and qm.shape == cm.shape:
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = pa.array(
-                            seq_fold(qm * cm)
-                            / (np.sqrt(seq_fold(qm * qm)) * np.sqrt(seq_fold(cm * cm))),
-                            type=pa.float64(),
-                        )
+                    cos = pa.array(fold_cos(qm, cm), type=pa.float64())
                 else:
                     cos = pa.array(
-                        [
-                            row_cos(qv, cv)
-                            for qv, cv in zip(
-                                rb.column("q_vec").to_pylist(),
-                                rb.column("c_vec").to_pylist(),
-                            )
-                        ],
+                        mixed_batch_cos(
+                            rb.column("q_vec").to_pylist(),
+                            rb.column("c_vec").to_pylist(),
+                            n,
+                        ),
                         type=pa.float64(),
                     )
                 yield pa.RecordBatch.from_arrays(
@@ -455,9 +464,26 @@ def lsh_near_dup_pairs(
     trade IS the operator.
     """
     # band arithmetic needs the PLANE COUNT driver-side; for a DataFrame
-    # plane set that is one count() over a dim-sized table (bounded — the
-    # planes themselves never leave the executors)
-    n_bits = planes.count() if isinstance(planes, DataFrame) else len(planes)
+    # plane set that is one tiny aggregate over a dim-sized table (bounded —
+    # the planes themselves never leave the executors).  The bit index IS
+    # plane_id (hyperplane_buckets), so ids must be exactly 0..n-1: a gap or
+    # offset would leave whole bands permanently zero and silently degrade
+    # the candidate join toward all-pairs.
+    if isinstance(planes, DataFrame):
+        st = planes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("plane_id").alias("d"),
+            F.min("plane_id").alias("lo"),
+            F.max("plane_id").alias("hi"),
+        ).first()
+        n_bits = int(st["n"])
+        if not (st["d"] == n_bits and st["lo"] == 0 and st["hi"] == n_bits - 1):
+            raise ValueError(
+                f"plane_id must be exactly 0..{n_bits - 1} (bit index = "
+                f"plane_id); got distinct={st['d']}, min={st['lo']}, max={st['hi']}"
+            )
+    else:
+        n_bits = len(planes)
     if n_bits % bands != 0:
         raise ValueError(f"bands={bands} must divide n_planes={n_bits}")
     width = n_bits // bands

@@ -39,6 +39,7 @@ __all__ = [
     "codec_for",
     "registered_codecs",
     "read_lines",
+    "release_codec_caches",
     "write_lines",
     "read_jsonl_compressed",
     "write_jsonl_compressed",
@@ -100,6 +101,21 @@ register_codec("xz", "xz", _lzma.compress, _lzma.decompress)
 register_codec("none", "txt", lambda b: b, lambda b: b)
 
 
+# decoded-line frames persisted by the schema-inference path; drained by
+# release_codec_caches() (same pattern as dedup's shingle-table registry)
+_PERSISTED_LINE_TABLES: list[DataFrame] = []
+
+
+def release_codec_caches() -> int:
+    """Unpersist every decoded-line cache created by the inference readers;
+    returns how many were released.  Call from long-lived drivers after the
+    inferred frames are no longer needed."""
+    n = len(_PERSISTED_LINE_TABLES)
+    while _PERSISTED_LINE_TABLES:
+        _PERSISTED_LINE_TABLES.pop().unpersist()
+    return n
+
+
 def read_lines(spark: SparkSession, path: str, codec: str | None = None) -> DataFrame:
     """Lines of the (possibly compressed) text files at ``path`` as a
     single-column DataFrame ``(value: string)``.  Codec resolved from
@@ -151,11 +167,12 @@ def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
         raise ValueError(f"mode must be one of {sorted(modes)}, got {mode!r}")
     ext = c.extension
     os.makedirs(path, exist_ok=True)
+    # any file with a registered codec extension counts — readers decode
+    # EVERY file binaryFile finds, so a hand-copied data.gz is just as able
+    # to poison an overwrite-then-read as a stale part- shard
     all_exts = _shard_extensions()
     existing = [
-        f
-        for f in os.listdir(path)
-        if f.startswith("part-") and f.endswith(tuple(f".{e}" for e in all_exts))
+        f for f in os.listdir(path) if f.endswith(tuple(f".{e}" for e in all_exts))
     ]
     if mode == "overwrite":
         for f in existing:
@@ -285,6 +302,7 @@ def read_csv_compressed(
     # decompress once, not per pass.  The cache lives as long as the
     # returned frame's lineage (inference at scale should pass a schema).
     lines = files.mapInPandas(make_decode(True), "value string, header string").persist()
+    _PERSISTED_LINE_TABLES.append(lines)
     first_header = lines.select("header").first()
     rdd = lines.select("value").rdd.map(lambda r: r.value)
     if has_headers and first_header is not None:

@@ -40,7 +40,7 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE ('0x' || substr(md5('7|' || o_orderkey::VARCHAR), 1, 12))::BIGINT
-          < CAST(0.05 * 281474976710656 AS BIGINT)
+          < CAST(floor(0.05 * 281474976710656) AS BIGINT)
     ORDER BY o_orderkey
     """,
     doc="deterministic Bernoulli sample: stateless hash filter, the 100TB scale path (ref sample_globally, src/helpers/sampling.rs:90)",
@@ -453,9 +453,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents
     WHERE ('0x' || substr(md5('11|' || doc_id::VARCHAR), 1, 12))::BIGINT
-          < CASE WHEN source IN ('src0','src1','src2') THEN CAST(0.9 * 281474976710656 AS BIGINT)
-                 WHEN source IN ('src3','src4') THEN CAST(0.5 * 281474976710656 AS BIGINT)
-                 ELSE CAST(0.1 * 281474976710656 AS BIGINT) END
+          < CASE WHEN source IN ('src0','src1','src2') THEN CAST(floor(0.9 * 281474976710656) AS BIGINT)
+                 WHEN source IN ('src3','src4') THEN CAST(floor(0.5 * 281474976710656) AS BIGINT)
+                 ELSE CAST(floor(0.1 * 281474976710656) AS BIGINT) END
     GROUP BY source
     ORDER BY source
     """,
@@ -520,8 +520,8 @@ def q_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT source,
-           CASE WHEN h < CAST(0.8 * 281474976710656 AS BIGINT) THEN 'train'
-                WHEN h < CAST(0.9 * 281474976710656 AS BIGINT) THEN 'val'
+           CASE WHEN h < CAST(floor(0.8 * 281474976710656) AS BIGINT) THEN 'train'
+                WHEN h < CAST(floor(0.9 * 281474976710656) AS BIGINT) THEN 'val'
                 ELSE 'test' END AS split,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(nc) AS BIGINT) AS total_chars

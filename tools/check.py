@@ -135,9 +135,11 @@ def main() -> int:
     # per invocation; release them so the gate process exits clean
     from ironbeam_spark.operators.dedup import release_shingle_caches
     from ironbeam_spark.operators.scan import release_scan_caches
+    from ironbeam_spark.sources.compression import release_codec_caches
 
     release_shingle_caches()
     release_scan_caches()
+    release_codec_caches()
     return 1 if n_fail else 0
 
 
