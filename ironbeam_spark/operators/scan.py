@@ -7,17 +7,38 @@ implements the classic two-pass parallel scan instead:
 
 1. ``repartitionByRange`` + ``sortWithinPartitions`` puts each task on a
    contiguous, ordered slice of the total order.
-2. A tiny first pass computes one ``(partition, total)`` row per task;
-   exclusive prefix offsets over those (one row per partition — driver-side
-   by design, like k-means centers) are closed over by the second pass.
-3. The second pass is a shuffle-free Arrow-batched cumulative sum per
-   partition plus the broadcast offset.
+2. The slice id is STAMPED INTO THE DATA (one ``mapInArrow`` appending a
+   ``pid`` column) and the stamped frame is eagerly ``localCheckpoint``-ed.
+   From that point the (row -> slice) assignment is frozen data, not a
+   property of a particular job's physical partitioning — any later
+   recompute replays from the checkpoint blocks, so no pass can ever
+   observe a re-sampled RangePartitioner pairing offsets with different
+   row ranges.
+3. Per-slice totals come from a plain ``groupBy("pid")`` (one row per
+   slice); the exclusive prefix over that tiny frame is a single-partition
+   window (bounded: #partitions rows, same driver-size class as k-means
+   centers), and the offsets reach the data through a **broadcast join on
+   the stamped ``pid``** — never a closure-captured dict (at 10^5-10^6
+   slices that dict would ship with every task) and never
+   ``TaskContext.partitionId()`` (which is a per-job accident, not data).
+4. The final pass is a shuffle-free Arrow-batched cumulative sum per
+   slice plus the joined offset.  ``sortWithinPartitions`` after the
+   broadcast join removes any reliance on join order preservation — it is
+   an in-partition sort, no exchange.
 
-Cost: ONE range shuffle + two streaming passes over the persisted slices.
-Both passes are ``mapInArrow`` (vectorized, no Python-per-row) — the
-"genuinely per-partition imperative logic" tier of the custom-operator
-ladder.  Result values are partition-count-invariant: prefix sums don't
-depend on where the slice boundaries fall, so oracles stay exact.
+Cost: ONE range shuffle + one checkpoint materialization + two streaming
+passes over the checkpointed slices.  Both passes are ``mapInArrow``
+(vectorized, no Python-per-row).  Result values are
+partition-count-invariant AND recompute-invariant: prefix sums don't
+depend on where the slice boundaries fall, and the boundaries themselves
+are frozen by the checkpoint.
+
+On a cluster with executor loss, ``localCheckpoint`` blocks can be lost —
+Spark then FAILS the job loudly (it cannot silently recompute past a
+local checkpoint), which is the correct failure mode here: wrong-but-
+quiet answers were exactly the bug this design removes.  For long-running
+production jobs prefer a reliable ``checkpoint()`` directory via
+``ironbeam_spark.operators.checkpoint``.
 
 No reference counterpart (north-star extension; the reference has no
 global-order operators at all) — this is infrastructure for token-stream
@@ -29,13 +50,14 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StructField, StructType
-from pyspark.storagelevel import StorageLevel
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 __all__ = ["global_running_sum"]
 
-# persisted range-partitioned inputs awaiting caller release (same contract
-# as operators.dedup._PERSISTED_SHINGLE_TABLES)
+# checkpointed intermediates awaiting caller release (same contract as
+# operators.dedup._PERSISTED_SHINGLE_TABLES; dropping the reference lets
+# Spark's ContextCleaner reclaim the checkpoint blocks)
 _PERSISTED_SCAN_TABLES: list[DataFrame] = []
 
 
@@ -54,7 +76,8 @@ def global_running_sum(
 ) -> DataFrame:
     """Append ``out_col`` = inclusive prefix sum of ``value_col`` (int64)
     under the total order ``order_cols``.  Two-pass parallel scan — see the
-    module docstring for why this is never a global single-partition window.
+    module docstring for why this is never a global single-partition window
+    and why the slice assignment is stamped + checkpointed.
 
     Ties in ``order_cols`` get an arbitrary but fixed relative order within
     their slice; make the order total (include a unique key) when exact
@@ -67,55 +90,80 @@ def global_running_sum(
         raise TypeError(
             f"global_running_sum requires an integral value column, got {dt}"
         )
-    parted = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _PERSISTED_SCAN_TABLES.append(parted)
+    if "__scan_pid" in df.columns or "__scan_off" in df.columns:
+        raise ValueError("input must not contain __scan_pid/__scan_off columns")
 
-    def totals(batches: Iterator) -> Iterator:
+    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+
+    stamp_schema = StructType(
+        [*parted.schema.fields, StructField("__scan_pid", IntegerType(), False)]
+    )
+
+    def stamp(batches: Iterator) -> Iterator:
         import pyarrow as pa
-        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        t = 0
         for b in batches:
-            s = pc.sum(b.column(value_col)).as_py()
-            t += int(s or 0)
-        yield pa.RecordBatch.from_pylist(
-            [{"pid": pid, "total": t}],
-            schema=pa.schema([("pid", pa.int32()), ("total", pa.int64())]),
-        )
+            yield b.append_column(
+                "__scan_pid", pa.array([pid] * len(b), type=pa.int32())
+            )
 
-    per_part = {
-        r.pid: r.total
-        for r in parted.mapInArrow(totals, "pid int, total long").collect()
-    }
-    offsets: dict[int, int] = {}
+    # Eager local checkpoint: materializes the stamped slices and truncates
+    # lineage, so every downstream job reads the SAME (row, pid) pairs even
+    # under cache eviction / recompute — the recompute path replays from
+    # checkpoint blocks, never from a re-sampled range shuffle.
+    stamped = parted.mapInArrow(stamp, stamp_schema).localCheckpoint(eager=True)
+    _PERSISTED_SCAN_TABLES.append(stamped)
+
+    # Exclusive prefix offsets over the per-slice totals.  groupBy yields
+    # ONE row per slice (bounded by #partitions — the same driver-size
+    # class as k-means centers), and because it reads the frozen checkpoint
+    # the collected totals are recompute-invariant.  The tiny exclusive
+    # prefix is computed driver-side and returns to the data as a
+    # broadcast-joined DataFrame — never a closure or a global Window.
+    per_slice = (
+        stamped.groupBy("__scan_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("__scan_total"))
+        .collect()
+    )
     acc = 0
-    for pid in sorted(per_part):
-        offsets[pid] = acc
-        acc += per_part[pid]
+    off_rows = []
+    for r in sorted(per_slice, key=lambda r: r["__scan_pid"]):
+        off_rows.append((r["__scan_pid"], acc))
+        acc += r["__scan_total"] or 0
+    offsets = df.sparkSession.createDataFrame(
+        off_rows or [(0, 0)], "__scan_pid int, __scan_off long"
+    )
+
+    # Broadcast join keeps the stream side's physical partitioning (all
+    # rows of a slice stay co-located); the in-partition re-sort removes
+    # any assumption about join output order.
+    joined = stamped.join(F.broadcast(offsets), "__scan_pid").sortWithinPartitions(
+        *order_cols
+    )
 
     out_schema = StructType(
         [*parted.schema.fields, StructField(out_col, LongType(), False)]
     )
+    in_cols = [f.name for f in parted.schema.fields]
 
     def scan(batches: Iterator) -> Iterator:
         import pyarrow as pa
         import pyarrow.compute as pc
-        from pyspark import TaskContext
 
-        run = offsets.get(TaskContext.get().partitionId(), 0)
+        run = None  # initialized from the joined offset column
         for b in batches:
+            if len(b) == 0:
+                continue
+            if run is None:
+                run = b.column("__scan_off")[0].as_py()
             cum = pc.add(
                 pc.cumulative_sum(pc.cast(b.column(value_col), pa.int64())),
                 run,
             )
             if len(cum):
                 run = cum[-1].as_py()
-            yield b.append_column(out_col, cum)
+            yield b.select(in_cols).append_column(out_col, cum)
 
-    return parted.mapInArrow(scan, out_schema)
+    return joined.mapInArrow(scan, out_schema)

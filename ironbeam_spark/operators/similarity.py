@@ -112,6 +112,23 @@ def _train_centroids_kmeans_ml(
     return [(j, [float(x) for x in c]) for j, c in enumerate(centers)]
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k ranking: drop undefined scores (null; or NaN, which
+    Spark sorts ABOVE every double under ``desc()``) so degenerate vectors
+    can never displace real neighbors, then window row_number <= k."""
+    scored = scored.where(
+        F.col("cos_sim").isNotNull() & ~F.isnan(F.col("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,11 +149,16 @@ def brute_force_topk(
     scale story).  ``impl='expr'`` keeps the pure-expression path.  Both
     share the same plan shape: broadcast queries × corpus, window top-k.
 
-    Degenerate rows: null vectors / mismatched lengths score null on both
-    paths; zero-norm or empty vectors score IEEE ``NaN`` on the arrow path
-    (matching DuckDB's 0/0), whereas the expression path RAISES under
-    Spark 4's ANSI mode (double DIVIDE_BY_ZERO) — the arrow behavior is
-    the deliberate one for dirty corpora."""
+    Degenerate rows: null vectors, vectors containing null elements,
+    mismatched lengths, empty vectors, and zero-norm vectors all score
+    NULL on the arrow path (cosine is undefined for them), and undefined
+    scores are dropped before ranking — so a degenerate corpus vector can
+    never displace a real neighbor from the top-k.  (Spark sorts IEEE NaN
+    ABOVE every double under ``desc()``, so emitting 0/0 NaN — the old
+    behavior — silently ranked every degenerate vector #1.)  The
+    expression path yields null for null/mismatched vectors but RAISES
+    under Spark 4's ANSI mode for zero-norm (double DIVIDE_BY_ZERO) — the
+    arrow behavior is the deliberate one for dirty corpora."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -171,31 +193,38 @@ def brute_force_topk(
 
             def as_matrix(col, n):
                 # zero-copy list flatten (offset-aware) -> (n, dim) float64;
-                # None when the column has null, ragged, or zero-length
-                # vectors (flatten() DROPS null lists, so a blind reshape
-                # would silently shift every later row's values; dim 0 would
-                # crash the [:, -1] fold)
+                # None when the column has null, ragged, zero-length, or
+                # null-element vectors (flatten() DROPS null lists, so a
+                # blind reshape would silently shift every later row's
+                # values; dim 0 would crash the [:, -1] fold; inner nulls
+                # would silently convert to NaN)
                 if col.null_count:
+                    return None
+                flat_col = col.flatten()
+                if flat_col.null_count:
                     return None
                 lens = pc.list_value_length(col)
                 lo, hi = pc.min(lens).as_py(), pc.max(lens).as_py()
                 if lo != hi or lo == 0:
                     return None
-                flat = np.asarray(col.flatten(), dtype=np.float64)
+                flat = np.asarray(flat_col, dtype=np.float64)
                 return flat.reshape(n, -1)
 
             def fold_cos(qm, cm):
+                # zero-norm rows -> (cos=0.0 placeholder, valid=False);
+                # callers turn invalid rows into nulls
+                denom = np.sqrt(seq_fold(qm * qm)) * np.sqrt(seq_fold(cm * cm))
+                valid = denom > 0
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    return seq_fold(qm * cm) / (
-                        np.sqrt(seq_fold(qm * qm)) * np.sqrt(seq_fold(cm * cm))
-                    )
+                    cos = seq_fold(qm * cm) / denom
+                return np.where(valid, cos, 0.0), valid
 
             def mixed_batch_cos(qlist, clist, n):
-                # degenerate-batch path, matching the expression semantics:
-                # null vector / length mismatch (zip_with null-pads) ->
-                # null; empty pair -> IEEE 0/0 NaN.  The well-formed rows
-                # still score VECTORIZED (grouped by dim) — one bad row
-                # must not drop the whole batch to per-row Python.
+                # degenerate-batch path: null vector, length mismatch,
+                # empty vector, null element -> null (cosine undefined).
+                # The well-formed rows still score VECTORIZED (grouped by
+                # dim) — one bad row must not drop the whole batch to
+                # per-row Python.
                 out = [None] * n
                 ok = [
                     i
@@ -203,18 +232,17 @@ def brute_force_topk(
                     if qlist[i] is not None
                     and clist[i] is not None
                     and len(qlist[i]) == len(clist[i])
+                    and len(qlist[i]) > 0
+                    and None not in qlist[i]
+                    and None not in clist[i]
                 ]
                 for d in {len(qlist[i]) for i in ok}:
                     sel = [i for i in ok if len(qlist[i]) == d]
-                    if d == 0:
-                        for i in sel:
-                            out[i] = float("nan")
-                        continue
                     qm = np.array([qlist[i] for i in sel], dtype=np.float64)
                     cm = np.array([clist[i] for i in sel], dtype=np.float64)
-                    cos = fold_cos(qm, cm)
+                    cos, valid = fold_cos(qm, cm)
                     for j, i in enumerate(sel):
-                        out[i] = float(cos[j])
+                        out[i] = float(cos[j]) if valid[j] else None
                 return out
 
             for rb in batches:
@@ -224,7 +252,8 @@ def brute_force_topk(
                 qm = as_matrix(rb.column("q_vec"), n)
                 cm = as_matrix(rb.column("c_vec"), n)
                 if qm is not None and cm is not None and qm.shape == cm.shape:
-                    cos = pa.array(fold_cos(qm, cm), type=pa.float64())
+                    vals, valid = fold_cos(qm, cm)
+                    cos = pa.array(vals, type=pa.float64(), mask=~valid)
                 else:
                     cos = pa.array(
                         mixed_batch_cos(
@@ -242,12 +271,7 @@ def brute_force_topk(
         scored = joined.select("query_id", "q_vec", "neighbor_id", "c_vec").mapInArrow(
             score, out_schema
         )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _side_array(side_df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
@@ -389,12 +413,7 @@ def ivf_ann_topk(
         # a (query, neighbor) pair can appear via several probed cells
         .distinct()
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_ann_topk(
@@ -427,12 +446,7 @@ def lsh_ann_topk(
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_near_dup_pairs(

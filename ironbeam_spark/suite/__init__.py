@@ -44,28 +44,36 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_simhash_fingerprints (r2 red -> r3 green: regression watch),
 #           q_asof_join and q_interval_join (temporal family not otherwise
 #           represented in 16-50).
-#   r4->r5 (planned, to apply at the START of round 5 once the r4 window
-#           queries have their driver rows): rotate in the 9 round-4
-#           additions — q_winnow_fingerprints, q_winnow_match,
-#           q_stream_dedup, q_image_resize, q_video_frame_sample,
-#           q_cms_counts, q_bm25_rational, q_ann_int8, and any query added
-#           after this comment.
-# tests/test_registry_order.py freezes the current 62-name prefix.
+#   r4->r5 (APPLIED): the 10 round-4 additions (never driver-sampled;
+#           local-oracle green only) — q_winnow_fingerprints,
+#           q_winnow_match, q_stream_dedup, q_image_decode,
+#           q_image_resize, q_video_frame_sample, q_cms_counts,
+#           q_bm25_rational, q_ann_int8, q_train_split — rotate into
+#           slots 1-10, displacing 10 r4-green queries to slots 51-60.
+#           Slot 11 keeps q_token_packing: its r4 row is RED (the one
+#           driver hash mismatch), so by policy it cannot be displaced and
+#           must stay to earn its green row after the round-5
+#           global_running_sum fix.  Slots 12-15 keep q_avro (format
+#           family), q_simhash_fingerprints (regression watch),
+#           q_asof_join and q_interval_join (temporal family not
+#           otherwise represented in 16-50).
+# tests/test_registry_order.py freezes the current 72-name prefix.
 CANONICAL_ORDER = [
-    # -- 1-12: rotated in for r4 — first driver verification pending
-    "q_setsim_search",
-    "q_corpus_clean",
-    "q_ts_motif",
+    # -- 1-10: rotated in for r5 — first driver verification pending
+    "q_winnow_fingerprints",
+    "q_winnow_match",
+    "q_stream_dedup",
+    "q_image_decode",
+    "q_image_resize",
+    "q_video_frame_sample",
+    "q_cms_counts",
+    "q_bm25_rational",
+    "q_ann_int8",
+    "q_train_split",
+    # -- 11: red r4 row — retained to earn its green row post-fix
     "q_token_packing",
-    "q_crossshard_dedup",
-    "q_quality_pipeline",
-    "q_repetition_filter",
-    "q_asof_forward",
-    "q_asof_nearest",
+    # -- 12-15: retained from the r4 window (format / regression / temporal)
     "q_avro",
-    "q_stream_session",
-    "q_stream_sliding",
-    # -- 13-15: retained from the r3 window (regression watch / temporal)
     "q_simhash_fingerprints",
     "q_asof_join",
     "q_interval_join",
@@ -110,7 +118,18 @@ CANONICAL_ORDER = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # -- 51-62: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # -- 51-60: displaced from the r4 window (all green in CORRECTNESS_r04)
+    "q_setsim_search",
+    "q_corpus_clean",
+    "q_ts_motif",
+    "q_crossshard_dedup",
+    "q_quality_pipeline",
+    "q_repetition_filter",
+    "q_asof_forward",
+    "q_asof_nearest",
+    "q_stream_session",
+    "q_stream_sliding",
+    # -- 61-72: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

@@ -780,6 +780,30 @@ def test_brute_force_arrow_handles_null_vectors(spark):
     assert arrow == expr and len(arrow) == 6
 
 
+def test_brute_force_degenerate_vectors_never_outrank_real(spark):
+    """Zero-norm, empty, and null-element corpus vectors score NULL (not
+    IEEE NaN, which Spark sorts ABOVE every double under desc) and are
+    dropped before ranking — they must never appear in any top-k list.
+    Regression: an all-zero vector used to rank #1 for EVERY query with
+    cos_sim=NaN on the arrow path."""
+    from ironbeam_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(10)]
+    rows += [
+        (90, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (91, []),                    # empty
+        (92, [1.0, None, 2.0, 3.0]), # null element
+        (93, None),                  # null vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 2)
+    out = brute_force_topk(emb, q, k=3, impl="arrow").collect()
+    assert len(out) == 6  # 2 queries x k=3, fully populated by real rows
+    for r in out:
+        assert r.neighbor_id < 90, r
+        assert r.cos_sim is not None and r.cos_sim == r.cos_sim, r
+
+
 def test_wav_zero_channels_is_dead_lettered(spark):
     """A fmt chunk declaring 0 channels must produce an error row, not a
     ZeroDivisionError that escapes the dead-letter catch."""

@@ -13,22 +13,23 @@ move to the block immediately after slot 50.  See the rotation history in
 
 from ironbeam_spark.suite import CANONICAL_ORDER, QUERIES
 
-# Current frozen prefix (r4 rotation applied).
+# Current frozen prefix (r5 rotation applied).
 FROZEN_PREFIX = [
-    # 1-12: rotated in for r4 — first driver verification pending
-    "q_setsim_search",
-    "q_corpus_clean",
-    "q_ts_motif",
+    # 1-10: rotated in for r5 — first driver verification pending
+    "q_winnow_fingerprints",
+    "q_winnow_match",
+    "q_stream_dedup",
+    "q_image_decode",
+    "q_image_resize",
+    "q_video_frame_sample",
+    "q_cms_counts",
+    "q_bm25_rational",
+    "q_ann_int8",
+    "q_train_split",
+    # 11: red r4 row — retained to earn its green row post-fix
     "q_token_packing",
-    "q_crossshard_dedup",
-    "q_quality_pipeline",
-    "q_repetition_filter",
-    "q_asof_forward",
-    "q_asof_nearest",
+    # 12-15: retained from the r4 window
     "q_avro",
-    "q_stream_session",
-    "q_stream_sliding",
-    # 13-15: retained from the r3 window
     "q_simhash_fingerprints",
     "q_asof_join",
     "q_interval_join",
@@ -68,7 +69,18 @@ FROZEN_PREFIX = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # 51-62: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # 51-60: displaced from the r4 window (all green in CORRECTNESS_r04)
+    "q_setsim_search",
+    "q_corpus_clean",
+    "q_ts_motif",
+    "q_crossshard_dedup",
+    "q_quality_pipeline",
+    "q_repetition_filter",
+    "q_asof_forward",
+    "q_asof_nearest",
+    "q_stream_session",
+    "q_stream_sliding",
+    # 61-72: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

@@ -296,6 +296,39 @@ def test_global_running_sum_plan_has_no_global_window(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_global_running_sum_recompute_invariant(spark):
+    """The (row -> slice) assignment is stamped + checkpointed, so results
+    are identical under forced recompute: the source cache is dropped after
+    the result plan is built, and the result is collected twice (two
+    separate jobs).  Before the round-5 fix, a recompute between the totals
+    pass and the scan pass could pair offsets with re-sampled ranges."""
+    from pyspark import StorageLevel
+
+    from ironbeam_spark.operators.scan import global_running_sum, release_scan_caches
+
+    rows = [(i, (i * 53) % 97) for i in range(3000)]
+    src = (
+        spark.createDataFrame(rows, "k long, v long")
+        .repartition(16)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    src.count()
+    out = global_running_sum(src, ["k"], "v")
+    # drop the source cache BEFORE any action on `out`: every downstream
+    # job now replays lineage from scratch — the stamped checkpoint must
+    # make that invisible
+    src.unpersist(blocking=True)
+    first = {r.k: r.running_sum for r in out.collect()}
+    second = {r.k: r.running_sum for r in out.collect()}
+    acc, want = 0, {}
+    for k, v in rows:
+        acc += v
+        want[k] = acc
+    assert first == want
+    assert second == want
+    release_scan_caches()
+
+
 def test_setsim_search_equals_rs_join(spark):
     """set_similarity_search == the quadratic queries×corpus join, pair for
     pair (two-sided prefix guarantee), including with no blocking."""
