@@ -708,21 +708,29 @@ def set_similarity_search(
         strategy = "broadcast" if qtoks <= broadcast_token_cap else "prefix"
     if strategy == "broadcast":
         t = F.lit(float(threshold))
-        # Persist both set tables.  Beyond the (small) reuse, the cache is a
-        # PREDICATE-PUSHDOWN BARRIER: the explode below infers size()>0 /
-        # isnotnull() filters over the set expression, and without the
-        # barrier those get pushed beneath the caller's parallelizing
-        # Exchange into the scan stage — serially re-evaluating the
-        # interpreted (non-codegen) set-building lambdas once per inferred
-        # filter.  With the cache, the expression runs exactly once, in the
-        # parallel post-Exchange stage (see minhash_dedup_pairs).
+        # Persist the QUERY side only (small by the broadcast_token_cap
+        # routing; beyond reuse, the cache is a predicate-pushdown barrier
+        # for its set expression — see minhash_dedup_pairs).  The CORPUS
+        # side is the 100-TB-class input: pinning a corpus-sized cache
+        # copy solely as a pushdown barrier is exactly what this code path
+        # must not do, so it gets the non-materializing barrier instead —
+        # wrapping the set expression in a never-true branch on a
+        # non-deterministic expression keeps the inferred size()>0 /
+        # isnotnull() filters ABOVE the projection (Catalyst never moves a
+        # filter through a non-deterministic projection), so the
+        # interpreted set-building lambdas still evaluate exactly once per
+        # row in the parallel post-Exchange stage, with zero bytes cached.
         qbase = queries.select(
             *blocks, F.col(id_col).alias("query_id"), F.col(set_col).alias("_set")
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        cset_guarded = (
+            F.when(F.monotonically_increasing_id() < F.lit(-1), F.lit(None))
+            .otherwise(F.col(set_col))
+        )
         cbase = corpus.select(
-            *blocks, F.col(id_col).alias("corpus_id"), F.col(set_col).alias("_set")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED_SHINGLE_TABLES.extend((qbase, cbase))
+            *blocks, F.col(id_col).alias("corpus_id"), cset_guarded.alias("_set")
+        )
+        _PERSISTED_SHINGLE_TABLES.append(qbase)
         # no explicit empty-set filter: explode() of an empty array emits no
         # rows, so empty sets can never reach the aggregate
         qtok = qbase.select(

@@ -116,10 +116,26 @@ def release_codec_caches() -> int:
     return n
 
 
+def _split_lines(text: str) -> list[str]:
+    """Split decompressed text on the same terminators Spark's native
+    text/CSV/JSON sources recognize (``\\r\\n``, ``\\r``, ``\\n``) so
+    externally produced CRLF files don't leave a trailing ``\\r`` on every
+    value (which would corrupt the last CSV column and JSON parses).
+    Deliberately NOT ``str.splitlines()`` — that also splits on ``\\v``,
+    ``\\f``, ``\\x85``, ``\\u2028`` etc., which Spark treats as data."""
+    import re
+
+    lines = re.split(r"\r\n|\r|\n", text)
+    if lines and lines[-1] == "":
+        lines.pop()
+    return lines
+
+
 def read_lines(spark: SparkSession, path: str, codec: str | None = None) -> DataFrame:
     """Lines of the (possibly compressed) text files at ``path`` as a
     single-column DataFrame ``(value: string)``.  Codec resolved from
-    ``codec`` (registry name) or the path's extension."""
+    ``codec`` (registry name) or the path's extension.  Line terminators
+    follow Spark's native sources (LF, CRLF, lone CR)."""
     c = codec_for(codec or path)
     if c is None:
         raise ValueError(
@@ -134,10 +150,7 @@ def read_lines(spark: SparkSession, path: str, codec: str | None = None) -> Data
         for pdf in batches:
             for blob in pdf["content"]:
                 text = c.decompress(bytes(blob)).decode("utf-8")
-                lines = text.split("\n")
-                if lines and lines[-1] == "":
-                    lines.pop()
-                yield pd.DataFrame({"value": lines})
+                yield pd.DataFrame({"value": _split_lines(text)})
 
     return files.mapInPandas(decode, "value string")
 
@@ -156,7 +169,13 @@ def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
     ``overwrite`` removes shards of EVERY registered codec extension, not
     just the current one — readers decode every file in the directory with
     one codec, so a leftover shard from a previous codec would silently
-    poison later reads."""
+    poison later reads.
+
+    Shards commit via write-to-hidden-temp + ``os.rename`` (Hadoop's
+    task-commit pattern): a task that dies mid-write, or a speculative
+    duplicate attempt racing the original, can only ever leave a
+    dot-prefixed temp file — which Spark's file index ignores — never a
+    torn shard under its final name."""
     import uuid
 
     c = codec_for(codec)
@@ -175,7 +194,11 @@ def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
         f for f in os.listdir(path) if f.endswith(tuple(f".{e}" for e in all_exts))
     ]
     if mode == "overwrite":
-        for f in existing:
+        # also sweep orphaned in-progress temps from crashed prior attempts
+        for f in existing + [
+            f for f in os.listdir(path)
+            if f.startswith(".") and ".inprogress-" in f
+        ]:
             os.remove(os.path.join(path, f))
     elif mode in ("error", "errorifexists") and existing:
         raise FileExistsError(f"shards already exist at {path} (mode={mode})")
@@ -185,6 +208,8 @@ def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
     out = path
 
     def write_partition(batches: Iterator) -> Iterator:
+        import uuid as _uuid
+
         import pandas as pd
         from pyspark import TaskContext
 
@@ -193,8 +218,17 @@ def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
         n = render(batches, buf)
         if n:
             payload = c.compress(buf.getvalue().encode("utf-8"))
-            with open(os.path.join(out, f"part-{pid:05d}{token}.{ext}"), "wb") as f:
+            final = os.path.join(out, f"part-{pid:05d}{token}.{ext}")
+            # hidden per-attempt temp + atomic rename: a mid-write death
+            # leaves only an ignored dotfile; racing speculative attempts
+            # each rename a COMPLETE payload over the same final name
+            tmp = os.path.join(
+                out,
+                f".part-{pid:05d}{token}.inprogress-{_uuid.uuid4().hex[:8]}",
+            )
+            with open(tmp, "wb") as f:
                 f.write(payload)
+            os.rename(tmp, final)
         yield pd.DataFrame({"written": [n]})
 
     counts = df.mapInPandas(write_partition, "written long").collect()
@@ -232,7 +266,14 @@ def read_jsonl_compressed(
     at 100 TB should pass an explicit schema anyway)."""
     lines = read_lines(spark, path, codec)
     if schema is not None:
-        return lines.select(F.from_json("value", schema).alias("j")).select("j.*")
+        # blank lines are skipped — parity with the no-schema path and the
+        # native read_jsonl (from_json('') would otherwise yield an
+        # all-null row per blank line, silently inflating row counts)
+        return (
+            lines.where(F.length(F.trim("value")) > 0)
+            .select(F.from_json("value", schema).alias("j"))
+            .select("j.*")
+        )
     return spark.read.json(lines.rdd.map(lambda r: r.value))
 
 
@@ -256,7 +297,12 @@ def read_csv_compressed(
 ) -> DataFrame:
     """CSV through the codec registry.  Every shard carries its own header
     (the write-side contract below), so headers are dropped per-file at
-    decompress time, keeping the parse DataFrame-pure."""
+    decompress time, keeping the parse DataFrame-pure.
+
+    Limitation: records are split at line terminators (LF/CRLF/CR) BEFORE
+    parsing, so quoted fields with embedded newlines (Spark's
+    ``multiLine`` option) are not supported by this codec path — external
+    shards using them should go through the native CSV source."""
     c = codec_for(codec or path)
     if c is None:
         raise ValueError(f"no registered codec matches {codec or path!r}")
@@ -270,9 +316,7 @@ def read_csv_compressed(
             for pdf in batches:
                 for blob in pdf["content"]:
                     text = c.decompress(bytes(blob)).decode("utf-8")
-                    lines = text.split("\n")
-                    if lines and lines[-1] == "":
-                        lines.pop()
+                    lines = _split_lines(text)
                     header = ""
                     if drop_header and lines:
                         header = lines[0]

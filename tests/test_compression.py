@@ -137,3 +137,49 @@ def test_overwrite_clears_other_codec_shards(spark, tmp_path):
     assert not [f for f in os.listdir(out) if f.endswith(".xz")]
     got = sorted(r.value for r in read_lines(spark, out, "gzip").collect())
     assert got == [f"new-{i}" for i in range(3)]
+
+
+def test_crlf_external_file(spark, tmp_path):
+    """Externally produced CRLF (and lone-CR) files must parse like
+    Spark's native text source: no trailing '\\r' on values."""
+    import gzip
+
+    d = tmp_path / "crlf"
+    d.mkdir()
+    with open(d / "ext.gz", "wb") as f:
+        f.write(gzip.compress(b"a,1\r\nb,2\r\nc,3\rd,4\n"))
+    got = sorted(r.value for r in read_lines(spark, str(d), "gzip").collect())
+    assert got == ["a,1", "b,2", "c,3", "d,4"]
+
+
+def test_jsonl_schema_skips_blank_lines(spark, tmp_path):
+    """Blank lines in external .xz JSONL must be skipped on the explicit-
+    schema path (parity with the no-schema path and native read_jsonl) —
+    not turned into all-null rows."""
+    d = tmp_path / "blanks"
+    d.mkdir()
+    payload = b'{"id": 1}\n\n{"id": 2}\n   \n{"id": 3}\n\n'
+    with open(d / "ext.xz", "wb") as f:
+        f.write(lzma.compress(payload))
+    schema = StructType([StructField("id", LongType())])
+    with_schema = read_jsonl_compressed(spark, str(d), schema=schema, codec="xz")
+    assert sorted(r.id for r in with_schema.collect()) == [1, 2, 3]
+    inferred = read_jsonl_compressed(spark, str(d), codec="xz")
+    assert with_schema.count() == inferred.count() == 3
+
+
+def test_torn_inprogress_shard_is_invisible(spark, tmp_path):
+    """A crashed task's partial write exists only under a dot-prefixed
+    temp name, which Spark's file index ignores — a torn shard must never
+    be decoded, and overwrite sweeps the orphan."""
+    out = str(tmp_path / "torn")
+    df = spark.range(4).select(F.col("id").cast("string").alias("value"))
+    write_lines(df.coalesce(1), out, "gzip")
+    # simulate a mid-write death: torn (undecodable) payload under a temp name
+    orphan = os.path.join(out, ".part-00099.inprogress-deadbeef")
+    with open(orphan, "wb") as f:
+        f.write(b"\x1f\x8b\x08NOT-A-VALID-GZIP-STREAM")
+    got = sorted(r.value for r in read_lines(spark, out, "gzip").collect())
+    assert got == ["0", "1", "2", "3"]
+    write_lines(df.coalesce(1), out, "gzip", mode="overwrite")
+    assert not os.path.exists(orphan)
