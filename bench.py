@@ -76,16 +76,9 @@ def main() -> None:
         from tools.scale_corpus import ensure_scaled
 
         factor = 10
-        ladder = [
-            "q21_suppliers_kept_waiting",
-            "q9_product_profit",
-            "q5_local_supplier_volume",
-            "q_dedup_minhash",
-            "q_training_pipeline",
-            "q_setsim_search",
-            "q_corpus_clean",
-            "q_ann_bruteforce",
-        ]
+        # full bench set (round-4 verdict ask #5): super-linear drift in
+        # ANY headline query is visible, not just the 8 heaviest
+        ladder = list(names)
         sf1_dir = ensure_scaled(
             spark, sf_dir, factor, str(Path(_REPO) / ".bench_sf1")
         )

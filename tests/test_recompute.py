@@ -1,0 +1,121 @@
+"""Forced-recompute hardening: no operator's CORRECTNESS may depend on a
+persisted intermediate still being resident.
+
+Every operator that persists a multi-consumer intermediate (shingle
+tables, posting lists, decoded line caches, scan slices) is exercised
+twice: once with the cache warm, once after the cache registry has been
+force-released BEFORE the result is collected — so every consumer job
+replays full lineage.  Results must be identical.  This is the
+generalization of the round-5 ``global_running_sum`` fix: caches are a
+performance tool, never a correctness crutch (a recompute that re-samples
+a partitioner or re-evaluates a non-deterministic stage would surface
+here as a diff)."""
+
+from __future__ import annotations
+
+import lzma
+
+from pyspark.sql import functions as F
+
+from ironbeam_spark.operators.dedup import (
+    char_ngrams,
+    dedup_components,
+    minhash_dedup_pairs,
+    release_shingle_caches,
+    set_similarity_join,
+    set_similarity_search,
+)
+from ironbeam_spark.sources.compression import (
+    read_csv_compressed,
+    release_codec_caches,
+)
+
+TEXTS = [
+    (i, f"the quick brown fox {i % 7} jumps over the lazy dog {i % 3} again")
+    for i in range(60)
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, body string").repartition(8)
+
+
+def test_minhash_pairs_survive_cache_release(spark):
+    docs = _docs(spark)
+    ref = sorted(
+        (r.id_a, r.id_b, round(r.jaccard_sim, 12))
+        for r in minhash_dedup_pairs(docs, "doc_id", "body", threshold=0.1).collect()
+    )
+    release_shingle_caches()
+    out = minhash_dedup_pairs(docs, "doc_id", "body", threshold=0.1)
+    release_shingle_caches()  # force: every consumer replays lineage
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard_sim, 12)) for r in out.collect()
+    )
+    assert got == ref and len(ref) > 0
+    release_shingle_caches()
+
+
+def test_set_similarity_join_survives_cache_release(spark):
+    g = _docs(spark).select("doc_id", char_ngrams("body", 4).alias("grams"))
+    ref = sorted(
+        (r.id_a, r.id_b, round(r.jaccard_sim, 12))
+        for r in set_similarity_join(g, "doc_id", "grams", 0.3).collect()
+    )
+    release_shingle_caches()
+    out = set_similarity_join(g, "doc_id", "grams", 0.3)
+    release_shingle_caches()
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard_sim, 12)) for r in out.collect()
+    )
+    assert got == ref and len(ref) > 0
+    release_shingle_caches()
+
+
+def test_set_similarity_search_survives_cache_release(spark):
+    g = _docs(spark).select("doc_id", char_ngrams("body", 4).alias("grams"))
+    q = g.where(F.col("doc_id") < 6)
+    for strategy in ("broadcast", "prefix"):
+        ref = sorted(
+            (r.query_id, r.corpus_id, round(r.jaccard_sim, 12))
+            for r in set_similarity_search(
+                q, g, 0.3, "doc_id", "grams", strategy=strategy
+            ).collect()
+        )
+        release_shingle_caches()
+        out = set_similarity_search(q, g, 0.3, "doc_id", "grams", strategy=strategy)
+        release_shingle_caches()
+        got = sorted(
+            (r.query_id, r.corpus_id, round(r.jaccard_sim, 12))
+            for r in out.collect()
+        )
+        assert got == ref and len(ref) > 0, strategy
+        release_shingle_caches()
+
+
+def test_dedup_components_survive_cache_release(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    ref = sorted(
+        (r.node, r.component) for r in dedup_components(pairs).collect()
+    )
+    out = dedup_components(pairs)
+    release_shingle_caches()
+    got = sorted((r.node, r.component) for r in out.collect())
+    assert got == ref and len(ref) > 0
+
+
+def test_csv_inference_survives_cache_release(spark, tmp_path):
+    d = tmp_path / "csv"
+    d.mkdir()
+    with open(d / "part.xz", "wb") as f:
+        f.write(lzma.compress(b"a,b\n1,x\n2,y\n3,z\n"))
+    ref = sorted((r.a, r.b) for r in read_csv_compressed(spark, str(d), codec="xz").collect())
+    release_codec_caches()
+    out = read_csv_compressed(spark, str(d), codec="xz")
+    release_codec_caches()  # inference path re-decodes per pass — must agree
+    got = sorted((r.a, r.b) for r in out.collect())
+    assert got == ref == [(1, "x"), (2, "y"), (3, "z")]
+    release_codec_caches()
