@@ -163,12 +163,20 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     nation = read_table(spark, sf_dir, "nation")
-    return (
+    # Aggregate BEFORE the dimension joins: the fact shuffle then carries
+    # (custkey, partial sum) instead of dragging c_name/c_acctbal/n_name
+    # strings through it, and the broadcast probes run once per customer-
+    # with-returns, not once per lineitem.  c_name/c_acctbal/n_name are
+    # functionally dependent on c_custkey, so the group set — and every
+    # revenue value — is identical to grouping after the joins.
+    per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy("o_custkey")
         .agg((F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(10000.0)).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)

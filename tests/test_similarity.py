@@ -120,8 +120,9 @@ def test_lsh_ann_dataframe_planes_no_collect_and_equal(spark, monkeypatch):
 
 
 def test_ivf_ann_dataframe_centroids_no_collect_and_equal(spark, monkeypatch):
-    """Same contract for IVF: centroids as a (cell, centroid) DataFrame,
-    no driver collect, identical output to the literal-centroids path."""
+    """Same contract for IVF: centroids as a (cell, centroid) DataFrame, a
+    10^4-row distributed query side, no driver collect, identical output
+    to the literal-centroids path."""
     import pyspark.sql.functions as F
     from pyspark.sql import DataFrame
 
@@ -133,7 +134,14 @@ def test_ivf_ann_dataframe_centroids_no_collect_and_equal(spark, monkeypatch):
     cents_lit = [
         (int(r.cell), list(r.centroid)) for r in cents_df.orderBy("cell").collect()
     ]
-    queries = emb.where(F.col("vec_id") < 10)
+    # 10^4 synthetic queries, generated distributed (never on the driver)
+    queries = spark.range(10_000).select(
+        (F.col("id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (((F.col("id") % 89 + i * 37) % 103) - 51).cast("float") / 51,
+        ).alias("embedding"),
+    )
 
     def _no_collect(self, *a, **kw):
         raise AssertionError("collect() inside the no-collect ANN path")

@@ -275,3 +275,128 @@ def test_stream_distinct_and_within_watermark_dedup(spark):
     rows = spark.table("t_stream_wm_dedup").collect()
     assert {(r.user_id, r.event_type) for r in rows} == expected
     assert len(rows) == len(expected)  # no key emitted twice
+
+
+def test_rocksdb_changelog_batch_equivalence_property(spark):
+    """Property test (VERDICT r4 #7): randomized event streams, split into
+    multiple micro-batches (maxFilesPerTrigger=1), must produce batch-
+    equivalent results under BOTH state-store providers — the default
+    HDFS-backed one and RocksDB with changelog checkpointing.  Covers the
+    two hardest state shapes: cross-batch first-seen dedup and session
+    windows that merge across micro-batches."""
+    import shutil
+    import uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ironbeam_spark.streaming.stateful import rocksdb_state_store
+    from ironbeam_spark.streaming.windows import stream_session_agg
+
+    event = st.tuples(
+        st.integers(min_value=0, max_value=4),      # user_id
+        st.integers(min_value=0, max_value=3600),   # offset seconds
+        st.integers(min_value=0, max_value=10_000), # event_id
+    )
+
+    @given(events=st.lists(event, min_size=1, max_size=60))
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(events):
+        tag = uuid.uuid4().hex[:8]
+        src = tempfile.mkdtemp(prefix=f"ironbeam_prop_src_{tag}_")
+        try:
+            static = spark.createDataFrame(
+                events, "user_id int, off int, event_id int"
+            ).select(
+                "user_id",
+                "event_id",
+                F.timestamp_seconds(F.lit(1_700_000_000) + F.col("off")).alias(
+                    "event_time"
+                ),
+            )
+            # >=3 files -> >=3 micro-batches under maxFilesPerTrigger=1:
+            # state must genuinely carry across commits
+            static.repartition(3).write.mode("overwrite").parquet(src)
+            persisted = spark.read.parquet(src)
+
+            exp_dedup = {
+                r.user_id: r.first_id
+                for r in persisted.groupBy("user_id")
+                .agg(F.min("event_id").alias("first_id"))
+                .collect()
+            }
+            exp_sess = {
+                (r.user_id, r.session_start, r.session_end): r.n
+                for r in stream_session_agg(
+                    persisted, "event_time", 600_000, ["user_id"],
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()
+            }
+            ids_by_user: dict = {}
+            for r in persisted.collect():
+                ids_by_user.setdefault(r.user_id, set()).add(r.event_id)
+            winners: dict = {}
+
+            for provider in ("default", "rocksdb"):
+                def stream():
+                    return (
+                        spark.readStream.schema(persisted.schema)
+                        .option("maxFilesPerTrigger", "1")
+                        .parquet(src)
+                    )
+
+                def check():
+                    d = stream_dedup_first(
+                        stream().select("user_id", "event_id"),
+                        ["user_id"],
+                        "event_id",
+                    )
+                    _run_to_memory(d, f"t_prop_d_{tag}_{provider}", "append")
+                    got_d = {
+                        r.user_id: r.event_id
+                        for r in spark.table(f"t_prop_d_{tag}_{provider}").collect()
+                    }
+                    # first-seen winner = min event_id WITHIN the key's
+                    # first micro-batch, and micro-batch file order is an
+                    # engine detail — so the portable contract is: exactly
+                    # one winner per key, drawn from that key's own ids;
+                    # and since both providers see the same files in the
+                    # same trigger order, the winners must match EXACTLY
+                    # across providers (asserted after the loop)
+                    assert set(got_d) == set(exp_dedup)
+                    for u, eid in got_d.items():
+                        assert eid in ids_by_user[u], (u, eid)
+                    winners[provider] = got_d
+                    s = stream_session_agg(
+                        stream(), "event_time", 600_000, ["user_id"],
+                        F.count(F.lit(1)).alias("n"),
+                        watermark_ms=0,
+                    )
+                    _run_to_memory(s, f"t_prop_s_{tag}_{provider}", "complete")
+                    got_s = {
+                        (r.user_id, r.session_start, r.session_end): r.n
+                        for r in spark.table(f"t_prop_s_{tag}_{provider}").collect()
+                    }
+                    assert got_s == exp_sess, provider
+
+                if provider == "rocksdb":
+                    with rocksdb_state_store(spark):
+                        assert (
+                            spark.conf.get(
+                                "spark.sql.streaming.stateStore.rocksdb."
+                                "changelogCheckpointing.enabled"
+                            )
+                            == "true"
+                        )
+                        check()
+                else:
+                    check()
+            assert winners["default"] == winners["rocksdb"]
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    run()
