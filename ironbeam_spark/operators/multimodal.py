@@ -10,11 +10,13 @@ metadata struct built here (``byte_len``, ``sha256``, ``modality``,
   signature, partitioning — identical for any decoder;
 - **real codecs (pure Python, from the public format specs)**:
   :func:`decode_image` parses uncompressed 24-bit **BMP** (BITMAPINFOHEADER,
-  BI_RGB) and **PPM** (P6 binary / P3 ASCII); :func:`decode_audio` parses
-  **PCM WAV** (RIFF/fmt/data).  Compressed formats (JPEG/PNG/MP3/...) need
-  PIL/librosa, absent here — those payloads surface a per-row ``error``
-  column (dead-letter convention, like ``operators/dead_letter.try_map``)
-  rather than failing the job;
+  BI_RGB), **PPM** (P6 binary / P3 ASCII), and **PNG** (RFC 2083 /
+  ISO 15948: stdlib-zlib IDAT inflate, all five scanline filters incl.
+  Paeth, 8-bit gray / truecolor / palette / alpha color types, chunk CRC
+  verified); :func:`decode_audio` parses **PCM WAV** (RIFF/fmt/data).
+  Formats whose codecs genuinely need native libraries (JPEG/MP3/...)
+  surface a per-row ``error`` column (dead-letter convention, like
+  ``operators/dead_letter.try_map``) rather than failing the job;
 - ``fake_decode_features`` remains the format-free deterministic stand-in
   (pure byte arithmetic, reproducible in SQL).
 
@@ -36,9 +38,11 @@ __all__ = [
     "blob_metadata",
     "encode_bmp",
     "encode_ppm",
+    "encode_png",
     "encode_wav_pcm16",
     "encode_rvid",
     "decode_image_bytes",
+    "decode_png_pixels",
     "decode_image_pixels",
     "decode_audio_bytes",
     "decode_rvid",
@@ -70,9 +74,10 @@ def blob_metadata(blob: Column, modality: str, content_type: str) -> Column:
 
 # --------------------------------------------------------------- image codecs
 # Implemented from the public format specs (Windows BMP file format docs;
-# netpbm PPM spec).  Scope: the uncompressed interchange formats a training
-# pipeline can host without native libs.  JPEG/PNG stay behind the error
-# column — they require PIL.
+# netpbm PPM spec; PNG per RFC 2083 / ISO 15948 — stdlib zlib hosts the
+# inflate).  Scope: every interchange format this container can decode
+# without native libs.  JPEG stays behind the error column — entropy
+# decode + IDCT require a native codec to be anything but a tarpit.
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -123,6 +128,152 @@ def _ppm_tokens(b: bytes):
             i = j
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal PNG writer: 8-bit truecolor (color type 2), filter 0 on
+    every scanline, one zlib IDAT, CRC'd chunks.  ``rgb`` is H·W·3 bytes in
+    row-major RGB order (same contract as :func:`encode_bmp`)."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("encode_png: rgb length != width*height*3")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the PNG scanline filters (spec §6: None/Sub/Up/Average/
+    Paeth).  Filters Up and None are fully vectorized; Sub/Average/Paeth
+    carry a within-row sequential dependency, so they run as a per-byte
+    loop over that row only — encoders in the wild (and ours) emit mostly
+    None/Up rows, so the vectorized path is the hot one."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), np.uint16)
+    zero = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = arr[y, 1:].astype(np.uint16)
+        prev = out[y - 1] if y else zero
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(prev[x])) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    bb = int(prev[x])
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                rec[x] = (int(rec[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown scanline filter {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def decode_png_pixels(b: bytes):
+    """Parse a PNG payload to an ``H×W×3 uint8 RGB`` ndarray.  Supports
+    bit depth 8, color types 0 (gray), 2 (truecolor), 3 (palette),
+    4 (gray+alpha), 6 (RGBA) — alpha is dropped, gray replicates to RGB,
+    palette indices resolve through PLTE.  Non-interlaced only; every
+    chunk CRC is verified; raises ``ValueError`` on anything else (the
+    dead-letter column catches it)."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("png: bad signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 12 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        if pos + 12 + ln > len(b):
+            raise ValueError("png: truncated chunk")
+        data = b[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack_from(">I", b, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in {typ.decode('latin1')} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"png: only 8-bit depth supported (got {depth})")
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlacing unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"png: unknown color type {ctype}")
+    if w <= 0 or h <= 0:
+        raise ValueError("png: bad dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"png: IDAT inflate failed ({e})") from e
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("png: pixel data size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 2:
+        rgb = px
+    elif ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ctype == 6:
+        rgb = px[:, :, :3]
+    else:  # palette
+        if plte is None or len(plte) % 3:
+            raise ValueError("png: palette image without valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("png: palette index out of range")
+        rgb = pal[idx]
+    return np.ascontiguousarray(rgb)
+
+
 def decode_image_bytes(b: bytes) -> dict:
     """Decode one image payload: sniff the magic, parse with the matching
     pure-Python codec.  Returns ``{fmt, width, height, channels, sum_r,
@@ -139,7 +290,7 @@ def decode_image_bytes(b: bytes) -> dict:
 
 
 def decode_image_pixels(b: bytes):
-    """Parse a BMP/PPM payload to ``(fmt, H×W×3 uint8 RGB ndarray)`` —
+    """Parse a BMP/PPM/PNG payload to ``(fmt, H×W×3 uint8 RGB ndarray)`` —
     the shared pixel-level decoder behind :func:`decode_image_bytes`,
     :func:`resize_image`, and the video frame codec.  Raises ``ValueError``
     on unsupported/corrupt payloads."""
@@ -202,8 +353,10 @@ def decode_image_pixels(b: bytes):
                 height, width, 3
             ).copy()
         return "ppm", px
+    if b[:8] == _PNG_MAGIC:
+        return "png", decode_png_pixels(b)
     raise ValueError(
-        "unsupported image format (magic %r): only BMP/PPM decode without PIL"
+        "unsupported image format (magic %r): only BMP/PPM/PNG decode without PIL"
         % (bytes(b[:2]),)
     )
 
@@ -217,7 +370,7 @@ _IMAGE_SCHEMA = (
 def decode_image(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """REAL image decode over the multimodal plumbing: Arrow-batched
     ``mapInPandas``; each payload is parsed with :func:`decode_image_bytes`
-    (BMP / PPM).  Unsupported or corrupt payloads produce a row with null
+    (BMP / PPM / PNG).  Unsupported or corrupt payloads produce a row with null
     dimensions and the ``error`` message — the dead-letter convention — so
     one bad file never kills a 100 TB job."""
     import pandas as pd

@@ -157,8 +157,8 @@ def test_fake_decode_features_byte_exact(spark):
 
 def test_decode_image_real_codecs_and_error_column(spark):
     """decode_image really parses BMP and PPM payloads (pure-Python codecs)
-    and routes unsupported formats (PNG magic here) to the error column
-    instead of failing the job."""
+    and routes corrupt/unsupported formats to the error column instead of
+    failing the job."""
     from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
 
     w, h = 5, 3
@@ -167,7 +167,7 @@ def test_decode_image_real_codecs_and_error_column(spark):
     rows = [
         (1, encode_bmp(w, h, rgb)),
         (2, encode_ppm(w, h, rgb)),
-        (3, b"\x89PNG\r\n\x1a\nxxxx"),  # needs PIL -> error column
+        (3, b"\xff\xd8\xff\xe0JFIF"),  # JPEG needs a native codec -> error
         (4, b"BM\x00\x01"),  # truncated BMP -> error column
     ]
     df = spark.createDataFrame(rows, "id long, payload binary")
@@ -817,3 +817,182 @@ def test_wav_zero_channels_is_dead_lettered(spark):
     df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
     row = decode_audio(df, "doc_id", "payload").collect()[0]
     assert row.error and "0 channels" in row.error
+
+
+def _png_forward_filter(rgb, w, h, ftype_per_row, channels=3):
+    """Forward PNG filtering (spec §6) — the test-side inverse of the
+    decoder's unfilter, so filters Sub/Up/Average/Paeth are exercised with
+    externally-authored scanlines."""
+    bpp = channels
+    stride = w * channels
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride : (y + 1) * stride]
+        f = ftype_per_row[y % len(ftype_per_row)]
+        out.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[x] - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _png_chunks(chunks):
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    for typ, data in chunks:
+        out += (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+    return out
+
+
+def test_png_roundtrip_and_all_filters():
+    """encode_png -> decode round-trips exactly, and hand-filtered payloads
+    (Sub/Up/Average/Paeth on successive rows) reconstruct the same pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ironbeam_spark.operators.multimodal import (
+        decode_image_bytes,
+        decode_image_pixels,
+        encode_png,
+    )
+
+    w, h = 9, 7
+    rgb = bytes(((x * 37 + y * 11 + c * 101) % 256) for y in range(h) for x in range(w) for c in range(3))
+    fmt, px = decode_image_pixels(encode_png(w, h, rgb))
+    assert fmt == "png" and bytes(px.reshape(-1)) == rgb
+    d = decode_image_bytes(encode_png(w, h, rgb))
+    arr = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype("int64")
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(arr.sum(axis=0))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = _png_forward_filter(rgb, w, h, [1, 2, 3, 4, 0])
+    payload = _png_chunks(
+        [(b"IHDR", ihdr), (b"IDAT", zlib.compress(raw)), (b"IEND", b"")]
+    )
+    fmt2, px2 = decode_image_pixels(payload)
+    assert fmt2 == "png" and bytes(px2.reshape(-1)) == rgb
+
+
+def test_png_color_types_gray_palette_alpha():
+    """8-bit gray, gray+alpha, RGBA, and palette color types all decode to
+    the documented RGB projection."""
+    import struct
+    import zlib
+
+    from ironbeam_spark.operators.multimodal import decode_image_pixels
+
+    w, h = 4, 3
+
+    def payload(ctype, channels, raw_px, extra=()):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        stride = w * channels
+        raw = b"".join(
+            b"\x00" + raw_px[y * stride : (y + 1) * stride] for y in range(h)
+        )
+        return _png_chunks(
+            [(b"IHDR", ihdr), *extra, (b"IDAT", zlib.compress(raw)), (b"IEND", b"")]
+        )
+
+    gray = bytes((x * 20 + y * 3) % 256 for y in range(h) for x in range(w))
+    _, px = decode_image_pixels(payload(0, 1, gray))
+    assert [tuple(p) for p in px.reshape(-1, 3)] == [(g, g, g) for g in gray]
+
+    ga = b"".join(bytes((g, 128)) for g in gray)
+    _, px = decode_image_pixels(payload(4, 2, ga))
+    assert [tuple(p) for p in px.reshape(-1, 3)] == [(g, g, g) for g in gray]
+
+    rgba = b"".join(bytes((g, 255 - g, g ^ 33, 7)) for g in gray)
+    _, px = decode_image_pixels(payload(6, 4, rgba))
+    assert [tuple(p) for p in px.reshape(-1, 3)] == [
+        (g, 255 - g, g ^ 33) for g in gray
+    ]
+
+    pal = bytes(range(48))  # 16 palette entries
+    idx = bytes((x + y) % 16 for y in range(h) for x in range(w))
+    _, px = decode_image_pixels(payload(3, 1, idx, extra=[(b"PLTE", pal)]))
+    assert [tuple(p) for p in px.reshape(-1, 3)] == [
+        (3 * i, 3 * i + 1, 3 * i + 2) for i in idx
+    ]
+
+
+def test_png_corrupt_payloads_dead_letter(spark):
+    """CRC damage, interlacing, 16-bit depth, truncation, and bad palette
+    indices all raise ValueError -> the error column, never a crash."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ironbeam_spark.operators.multimodal import (
+        decode_image,
+        decode_image_pixels,
+        encode_png,
+    )
+
+    w, h = 5, 4
+    rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+    good = encode_png(w, h, rgb)
+
+    crc_bad = bytearray(good)
+    crc_bad[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    for bad in (
+        bytes(crc_bad),
+        good[: len(good) // 2],
+        _png_chunks(
+            [
+                (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)),
+                (b"IDAT", zlib.compress(b"\x00" * ((w * 3 + 1) * h))),
+                (b"IEND", b""),
+            ]
+        ),
+        _png_chunks(
+            [
+                (b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)),
+                (b"IDAT", zlib.compress(b"\x00" * ((w * 6 + 1) * h))),
+                (b"IEND", b""),
+            ]
+        ),
+        _png_chunks(
+            [
+                (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)),
+                (b"PLTE", bytes(6)),  # 2 entries; indices go to 255
+                (b"IDAT", zlib.compress(b"".join(b"\x00" + bytes([255] * w) for _ in range(h)))),
+                (b"IEND", b""),
+            ]
+        ),
+    ):
+        with pytest.raises(ValueError):
+            decode_image_pixels(bad)
+
+    df = spark.createDataFrame(
+        [(1, good), (2, bytes(crc_bad))], "doc_id long, blob binary"
+    )
+    rows = {r.doc_id: r for r in decode_image(df, "doc_id", "blob").collect()}
+    assert rows[1].fmt == "png" and rows[1].error is None
+    assert rows[2].fmt is None and "CRC" in rows[2].error
