@@ -40,6 +40,7 @@ __all__ = [
     "encode_ppm",
     "encode_png",
     "encode_wav_pcm16",
+    "encode_wav_g711",
     "encode_rvid",
     "decode_image_bytes",
     "decode_png_pixels",
@@ -412,15 +413,61 @@ def encode_wav_pcm16(sample_rate: int, channels: int, samples: list[int]) -> byt
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(
+    sample_rate: int, channels: int, companded: bytes, law: str = "ulaw"
+) -> bytes:
+    """G.711 WAV writer (format 7 = µ-law, 6 = A-law): ``companded`` is the
+    raw 8-bit companded byte stream.  Exists so tests can fabricate real
+    telephony-coded files; the decoder is the product surface."""
+    code = {"ulaw": 7, "alaw": 6}.get(law)
+    if code is None:
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    fmt = struct.pack("<HHIIHH", code, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(companded)) + companded
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _g711_luts():
+    """256-entry expansion tables for ITU-T G.711 µ-law / A-law, built from
+    the spec's segment/mantissa formulas (the classic telecom reference
+    code): µ-law max magnitude 32124, A-law max 32256."""
+    import numpy as np
+
+    ulaw = np.empty(256, np.int16)
+    for u in range(256):
+        v = ~u & 0xFF
+        t = ((v & 0x0F) << 3) + 0x84
+        t <<= (v & 0x70) >> 4
+        ulaw[u] = (0x84 - t) if (v & 0x80) else (t - 0x84)
+    alaw = np.empty(256, np.int16)
+    for a in range(256):
+        v = a ^ 0x55
+        t = (v & 0x0F) << 4
+        seg = (v & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[a] = t if (v & 0x80) else -t
+    return ulaw, alaw
+
+
 def decode_audio_bytes(b: bytes) -> dict:
-    """Decode one PCM WAV payload (RIFF walk, public WAVE spec): returns
-    ``{fmt, sample_rate, channels, bits, n_frames, sum_abs}`` with integer
-    ``sum_abs`` (order-invariant, oracle-verifiable).  Raises ``ValueError``
-    for non-WAV or compressed audio."""
+    """Decode one WAV payload (RIFF walk, public WAVE spec): 16-bit PCM
+    (format 1), plus ITU-T **G.711 A-law** (format 6) and **µ-law**
+    (format 7) — the 8-bit companded telephony codings, expanded to int16
+    through the spec's segment tables.  Returns ``{fmt, sample_rate,
+    channels, bits, n_frames, sum_abs}`` with integer ``sum_abs``
+    (order-invariant, oracle-verifiable).  Raises ``ValueError`` for
+    non-WAV or compressed audio (MP3/AAC need native codecs)."""
     import numpy as np
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        raise ValueError("unsupported audio format: only PCM WAV decodes without librosa/ffmpeg")
+        raise ValueError("unsupported audio format: only WAV (PCM16/G.711) decodes without librosa/ffmpeg")
     i, n = 12, len(b)
     fmt = data = None
     while i + 8 <= n:
@@ -434,17 +481,28 @@ def decode_audio_bytes(b: bytes) -> dict:
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("wav: missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"wav: only 16-bit PCM supported (format={audio_format}, bits={bits})")
     if channels < 1:
         # must be ValueError: a declared channels=0 would otherwise raise
         # ZeroDivisionError below, escaping the dead-letter catch
         raise ValueError("wav: fmt chunk declares 0 channels")
-    frames = len(data) // (channels * 2)
-    samples = np.frombuffer(data, dtype="<i2", count=frames * channels)
+    if audio_format == 1 and bits == 16:
+        frames = len(data) // (channels * 2)
+        samples = np.frombuffer(data, dtype="<i2", count=frames * channels)
+        wav_fmt, out_bits = "wav", 16
+    elif audio_format in (6, 7) and bits == 8:
+        ulaw, alaw = _g711_luts()
+        lut = ulaw if audio_format == 7 else alaw
+        frames = len(data) // channels
+        raw = np.frombuffer(data, dtype=np.uint8, count=frames * channels)
+        samples = lut[raw]
+        wav_fmt, out_bits = ("wav-ulaw" if audio_format == 7 else "wav-alaw"), 8
+    else:
+        raise ValueError(
+            f"wav: only PCM16 / G.711 supported (format={audio_format}, bits={bits})"
+        )
     return {
-        "fmt": "wav", "sample_rate": int(sample_rate), "channels": int(channels),
-        "bits": 16, "n_frames": int(frames),
+        "fmt": wav_fmt, "sample_rate": int(sample_rate), "channels": int(channels),
+        "bits": out_bits, "n_frames": int(frames),
         "sum_abs": int(np.abs(samples.astype(np.int64)).sum()),
     }
 

@@ -193,7 +193,7 @@ def test_decode_audio_wav_pcm(spark):
     assert (r.fmt, r.sample_rate, r.channels, r.bits, r.n_frames) == ("wav", 8000, 2, 16, 100)
     assert r.sum_abs == sum(abs(s) for s in samples)
     assert r.error is None
-    assert got[2].fmt is None and "only PCM WAV" in got[2].error
+    assert got[2].fmt is None and "only WAV" in got[2].error
 
 
 def test_stream_tumble_matches_batch(spark):
@@ -996,3 +996,37 @@ def test_png_corrupt_payloads_dead_letter(spark):
     rows = {r.doc_id: r for r in decode_image(df, "doc_id", "blob").collect()}
     assert rows[1].fmt == "png" and rows[1].error is None
     assert rows[2].fmt is None and "CRC" in rows[2].error
+
+
+def test_decode_audio_g711_ulaw_alaw(spark):
+    """G.711 µ-law / A-law WAV payloads expand through the spec's segment
+    tables: anchor bytes hit the documented extreme/zero values, and the
+    full 256-byte sweep decodes with the exact spec sum."""
+    from ironbeam_spark.operators.multimodal import (
+        _g711_luts,
+        decode_audio,
+        decode_audio_bytes,
+        encode_wav_g711,
+    )
+
+    ulaw, alaw = _g711_luts()
+    # ITU-T G.711 anchors (classic telecom reference tables)
+    assert ulaw[0x00] == -32124 and ulaw[0x80] == 32124 and ulaw[0xFF] == 0
+    assert alaw[0x2A] == -32256 and alaw[0xAA] == 32256
+    assert alaw[0x55] == -8 and alaw[0xD5] == 8
+
+    sweep = bytes(range(256))
+    d = decode_audio_bytes(encode_wav_g711(8000, 1, sweep, "ulaw"))
+    assert (d["fmt"], d["bits"], d["n_frames"]) == ("wav-ulaw", 8, 256)
+    assert d["sum_abs"] == int(sum(abs(int(v)) for v in ulaw))
+    d = decode_audio_bytes(encode_wav_g711(8000, 2, sweep, "alaw"))
+    assert (d["fmt"], d["bits"], d["n_frames"]) == ("wav-alaw", 8, 128)
+    assert d["sum_abs"] == int(sum(abs(int(v)) for v in alaw))
+
+    df = spark.createDataFrame(
+        [(1, encode_wav_g711(8000, 1, sweep, "ulaw")), (2, b"RIFFxxxxWAVE")],
+        "id long, payload binary",
+    )
+    got = {r.id: r for r in decode_audio(df, "id", "payload").collect()}
+    assert got[1].fmt == "wav-ulaw" and got[1].error is None
+    assert got[2].fmt is None and got[2].error is not None
