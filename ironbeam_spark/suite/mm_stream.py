@@ -449,3 +449,87 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx", "ts_ms", "width", "height", "n_frames",
         "sum_r", "sum_g", "sum_b",
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "q_audio_decode",
+    # Exact oracle: companded G.711 bytes / PCM16 samples are generated
+    # from closed-form integer formulas, REALLY packed into WAV containers
+    # (encode_wav_pcm16 / encode_wav_g711) and REALLY parsed back by the
+    # RIFF walker + ITU-T segment-table expansion; the oracle re-derives
+    # the absolute-sample sums analytically — the G.711 expansion is pure
+    # integer arithmetic (shift/mask/bias), so it is expressible in SQL
+    # and bit-exact cross-engine.  mu-law |sample| = t-132 with
+    # t = ((v%16)*8+132) << seg, v = 255-byte; A-law |sample| = t with the
+    # spec's three-segment form, v = byte XOR 85.
+    """
+    WITH params AS (
+      SELECT doc_id, doc_id % 3 AS mode,
+             8000 + (doc_id % 3) * 4000 AS sr,
+             1 + doc_id % 2 AS ch,
+             30 + doc_id % 20 AS frames
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+      CASE mode WHEN 0 THEN 'wav' WHEN 1 THEN 'wav-ulaw' ELSE 'wav-alaw' END AS fmt,
+      CAST(sr AS BIGINT) AS sample_rate,
+      CAST(ch AS BIGINT) AS channels,
+      CAST(CASE WHEN mode = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+      CAST(frames AS BIGINT) AS n_frames,
+      CAST(CASE mode
+        WHEN 0 THEN list_sum(list_transform(
+          generate_series(0, frames * ch - 1),
+          i -> abs(((doc_id * 31 + i * 17) % 4001) - 2000)))
+        WHEN 1 THEN list_sum(list_transform(
+          generate_series(0, frames * ch - 1),
+          i -> (((255 - ((doc_id * 7 + i * 13) % 256)) % 16) * 8 + 132)
+               * (1 << (((255 - ((doc_id * 7 + i * 13) % 256)) // 16) % 8))
+               - 132))
+        ELSE list_sum(list_transform(
+          generate_series(0, frames * ch - 1),
+          i -> CASE ((xor((doc_id * 7 + i * 13) % 256, 85)) // 16) % 8
+                 WHEN 0 THEN (xor((doc_id * 7 + i * 13) % 256, 85) % 16) * 16 + 8
+                 WHEN 1 THEN (xor((doc_id * 7 + i * 13) % 256, 85) % 16) * 16 + 264
+                 ELSE ((xor((doc_id * 7 + i * 13) % 256, 85) % 16) * 16 + 264)
+                      * (1 << ((((xor((doc_id * 7 + i * 13) % 256, 85)) // 16) % 8) - 1))
+               END))
+      END AS BIGINT) AS sum_abs
+    FROM params ORDER BY doc_id
+    """,
+    doc="REAL audio decode: closed-form samples packed into actual WAV files — PCM16 plus ITU-T G.711 mu-law/A-law companded payloads (doc_id % 3) — parsed back by the pure-Python RIFF walker + segment-table expansion (operators/multimodal.decode_audio), absolute-sample sums verified against the analytical oracle (north-star multimodal, real codec tier)",
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.multimodal import decode_audio
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.multimodal import (
+            encode_wav_g711,
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mode, sr, ch = did % 3, 8000 + (did % 3) * 4000, 1 + did % 2
+                n = (30 + did % 20) * ch
+                if mode == 0:
+                    samples = [((did * 31 + i * 17) % 4001) - 2000 for i in range(n)]
+                    payload = encode_wav_pcm16(sr, ch, samples)
+                else:
+                    data = bytes((did * 7 + i * 13) % 256 for i in range(n))
+                    payload = encode_wav_g711(
+                        sr, ch, data, "ulaw" if mode == 1 else "alaw"
+                    )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+    out = decode_audio(blobs, "doc_id", "payload")
+    return out.select(
+        "doc_id", "fmt", "sample_rate", "channels", "bits", "n_frames", "sum_abs"
+    ).orderBy("doc_id")
