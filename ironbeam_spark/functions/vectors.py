@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "norm", "cosine", "quantize_int8", "int_dot", "cosine_int8"]
+__all__ = ["dot", "norm", "cosine", "cosine_safe", "quantize_int8", "int_dot", "cosine_int8"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -35,6 +35,15 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_safe(a: Column, b: Column) -> Column:
+    """Cosine that yields NULL where the quotient is undefined (zero-norm
+    or empty vectors) instead of raising under Spark 4's ANSI mode —
+    identical doubles to :func:`cosine` wherever both are defined.  The
+    dirty-corpus variant: dedup/similarity operators filter nulls, so a
+    degenerate vector simply never pairs."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def quantize_int8(a: Column) -> Column:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ironbeam_spark.functions.vectors import cosine, dot, norm
+from ironbeam_spark.functions.vectors import cosine, cosine_safe, dot, norm
 from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
@@ -33,6 +33,7 @@ __all__ = [
     "ivf_ann_topk",
     "train_centroids_kmeans",
     "lsh_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -351,14 +352,27 @@ def ivf_assign_cells(
         cells = F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                cosine(F.col(vec_col), c["vec"]).alias("sim"),
+                # cosine_safe + coalesce: a zero-norm/empty vector gets a
+                # defined assignment (lowest cell id at sim -2) instead of
+                # an ANSI DIVIDE_BY_ZERO killing the whole job
+                F.coalesce(
+                    cosine_safe(F.col(vec_col), c["vec"]), F.lit(-2.0)
+                ).alias("sim"),
                 c["pid"].alias("cell"),
             ),
         )
         base = df.crossJoin(F.broadcast(arr))  # 1-row side
     else:
         scored = [
-            (cid, cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+            (
+                cid,
+                F.coalesce(
+                    cosine_safe(
+                        F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                    ),
+                    F.lit(-2.0),
+                ),
+            )
             for cid, c in centroids
         ]
         cells = F.array(
@@ -543,4 +557,73 @@ def lsh_near_dup_pairs(
         .withColumn(sim_col, cosine(F.col("_va"), F.col("_vb")))
         .where(F.col(sim_col) >= F.lit(float(threshold)))
         .select("id_a", "id_b", sim_col)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: "list[tuple[int, list[float]]] | DataFrame",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    checkpoint_policy=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public algorithm family:
+    Abbas et al. 2023, *SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication* — cluster embeddings, prune
+    near-duplicates within each cluster).
+
+    Stages, each a composition of this library's scale-shaped primitives:
+
+    1. **Assign**: every vector goes to its single nearest centroid
+       (:func:`ivf_assign_cells`, deterministic ties) — the clustering
+       that bounds the quadratic.
+    2. **Pair**: within-cell pairwise exact cosine via a cell-partitioned
+       equi self-join — |C|² becomes Σ_cells |cell|², and the join is
+       hash-partitioned on the cell id (hot cells are the knob: more
+       centroids → smaller cells).  Never a global all-pairs.
+    3. **Group**: pairs with ``cos_sim ≥ threshold`` feed
+       :func:`~ironbeam_spark.operators.dedup.dedup_components`
+       (one-shuffle label-propagation rounds, policy-checkpointed).
+    4. **Keep**: the min-id member of each duplicate group survives — the
+       same deterministic-winner contract as ``dedup_exact``.
+
+    Returns ``(id, cell, component, keep)`` — one row per input vector;
+    ``component`` is the group representative (itself for uniques),
+    ``keep`` marks survivors.  Degenerate vectors (undefined cosine)
+    never pair, so they are always kept."""
+    from ironbeam_spark.operators.dedup import dedup_components
+
+    assigned = ivf_assign_cells(df, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec"), "cell"
+    )
+    a = assigned.select(
+        F.col("_sid").alias("id_a"), F.col("_svec").alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col("_sid").alias("id_b"), F.col("_svec").alias("_vb"), "cell"
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_safe(F.col("_va"), F.col("_vb")).alias("cos_sim")
+        )
+        .where(
+            F.col("cos_sim").isNotNull()
+            & ~F.isnan(F.col("cos_sim"))
+            & (F.col("cos_sim") >= F.lit(float(threshold)))
+        )
+    )
+    labels = dedup_components(pairs, checkpoint_policy=checkpoint_policy)
+    return (
+        assigned.join(labels, assigned._sid == labels.node, "left")
+        .select(
+            F.col("_sid").alias(id_col),
+            F.col("cell"),
+            F.coalesce(F.col("component"), F.col("_sid")).alias("component"),
+            (F.coalesce(F.col("component"), F.col("_sid")) == F.col("_sid")).alias(
+                "keep"
+            ),
+        )
     )

@@ -922,3 +922,55 @@ def q_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_match_pairs(
         docs, "doc_id", "text", k=8, w=4, min_shared=8, max_df=20
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_semantic_dedup",
+    # Oracle replicates every stage analytically: nearest-centroid
+    # assignment (argmax cosine, ties -> lower cell id), within-cell
+    # pairwise cosine >= threshold, recursive-CTE connected components,
+    # min-id winner.  Centroids are data vectors chosen by id, so the
+    # whole pipeline is deterministic and the check exact (the cosine SQL
+    # is the established bit-exact fold).
+    f"""
+    WITH RECURSIVE
+    cent AS (SELECT vec_id AS cell, embedding AS cvec
+             FROM embeddings WHERE vec_id < 6),
+    scored AS (SELECT e.vec_id, e.embedding, cent.cell,
+                      {_COS_SQL.format(a='e.embedding', b='cent.cvec')} AS sim
+               FROM embeddings e CROSS JOIN cent),
+    assigned AS (SELECT vec_id, embedding, cell FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY sim DESC, cell) AS rn
+                   FROM scored) WHERE rn = 1),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.35),
+    e AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    r(n, m) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e)
+      UNION
+      SELECT r.n, e.d FROM r JOIN e ON r.m = e.s
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
+    SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+           CAST(coalesce(comp.component, a.vec_id) AS BIGINT) AS component,
+           coalesce(comp.component, a.vec_id) = a.vec_id AS keep
+    FROM assigned a LEFT JOIN comp ON a.vec_id = comp.node
+    ORDER BY a.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (cluster embeddings -> prune within-cell cosine near-dups -> keep min-id representative, Abbas et al. 2023): nearest-centroid assign + cell-partitioned pairwise cosine + connected components, never global all-pairs (north-star dedup composite; operators/similarity.semantic_dedup)",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    cents = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(emb, cents, "vec_id", "embedding", threshold=0.35).orderBy(
+        "vec_id"
+    )

@@ -197,3 +197,64 @@ def test_lsh_near_dup_pairs_dataframe_planes_equal(spark):
         for r in lsh_near_dup_pairs(emb, planes_lit, 0.2, bands=4).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_model(spark):
+    """semantic_dedup == the brute-force model: assign to nearest centroid,
+    union-find over within-cell pairs >= threshold, min-id winner.  A
+    zero-norm vector can never pair, so it is always kept."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    from ironbeam_spark.operators.similarity import semantic_dedup
+
+    # three well-separated direction families + explicit duplicates
+    # (30..39 repeat 0..9), so every pairing/assignment decision sits far
+    # from any FP boundary between the numpy model and the Catalyst fold
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 3] = 10.0
+        v[7] = 0.01 * (i % 30 // 3)
+        return v
+
+    rng = [(i, vec(i)) for i in range(40)]
+    rng.append((99, [0.0] * 8))  # degenerate: undefined cosine
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    cents = [(k, [10.0 if j == k else 0.0 for j in range(8)]) for k in range(3)]
+    out = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(df, cents, threshold=0.999999).collect()
+    }
+    assert len(out) == 41
+    assert sum(1 for _, (_c, _comp, k) in out.items() if not k) >= 10
+    assert out[99][2] is True  # degenerate vector survives
+
+    # brute-force model
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else None
+
+    def assign(v):
+        sims = [(cos(v, c) or -2, cid) for cid, c in cents]
+        return max(sims, key=lambda t: (t[0], -t[1]))[1]
+
+    parent = {i: i for i, _ in rng}
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+    cells = {i: assign(v) for i, v in rng}
+    for i, vi in rng:
+        for j, vj in rng:
+            if i < j and cells[i] == cells[j]:
+                c = cos(vi, vj)
+                if c is not None and c >= 0.999999:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    for i, _ in rng:
+        assert out[i][0] == cells[i], i
+        assert out[i][1] == find(i), i
+        assert out[i][2] == (find(i) == i), i
