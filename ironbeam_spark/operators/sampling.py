@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split"]
+__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split", "dsir_importance_weights"]
 
 
 def priority(seed: int, key: Column) -> Column:
@@ -138,3 +138,119 @@ def train_val_test_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(split_col, split)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 256,
+    ngram: int = 2,
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (public algorithm
+    family: Xie et al. 2023, *Data Selection for Language Models via
+    Importance Resampling* — hashed n-gram features, importance weights =
+    target/raw distribution ratios).
+
+    Features are hashed word ``ngram``\\ s bucketed mod ``buckets``; both
+    distributions use add-one smoothing (``p(f) = (c_f + 1) /
+    (total + buckets)``).  The per-document weight is the **ratio sum**
+    ``Σ_f p_target(f)/p_raw(f)`` over the document's feature occurrences —
+    the rational member of the scoring family (the paper's log-likelihood
+    ratio is the same ranking signal through a monotone per-feature
+    transform; ``ln`` differs by 1 ulp between JVM and DuckDB libm, so the
+    log form cannot be exact-oracled — same documented trade as
+    ``q_bm25_rational``).  The sum folds over the (feature, ratio) pairs in
+    sorted order, so the doubles are bit-reproducible cross-engine.
+
+    Plan shape, built for a 100 TB raw corpus:
+
+    - one scan of raw + target to count features (partial+final agg,
+      shuffle bounded by ``buckets``);
+    - totals ride a constant-key **BroadcastHashJoin** (never a scalar
+      BNLJ), the ≤ ``buckets``-row ratio table broadcasts onto the
+      exploded features;
+    - per-doc aggregation is the only |corpus|-sized shuffle.
+
+    Returns ``(id, n_feats, dsir_weight)`` — one row per raw doc;
+    feature-less docs weigh 0.0."""
+    from ironbeam_spark.functions.text import token_int, tokens
+    from ironbeam_spark.operators.dedup import SHINGLE_MOD
+
+    def feats(df: DataFrame) -> DataFrame:
+        token_hashes = F.transform(tokens(text_col), lambda t: token_int(t))
+
+        def build(tis: Column) -> Column:
+            def at(i: Column) -> Column:
+                acc = F.get(tis, i - 1).cast("long")
+                for j in range(1, ngram):
+                    acc = (acc * F.lit(31) + F.get(tis, i + F.lit(j) - 1)) % F.lit(
+                        SHINGLE_MOD
+                    )
+                return acc % F.lit(buckets)
+
+            return F.when(
+                F.size(tis) >= ngram,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tis) - F.lit(ngram - 1)), at
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        return df.select(
+            F.col(id_col), F.explode(build(token_hashes)).alias("_f")
+        )
+
+    raw_f = feats(docs)
+    tgt_f = feats(target)
+
+    def counts(fdf: DataFrame, name: str) -> DataFrame:
+        return fdf.groupBy("_f").agg(F.count(F.lit(1)).alias(name))
+
+    B = F.lit(float(buckets))
+    raw_c = counts(raw_f, "_cr").withColumn("_k", F.lit(1))
+    tgt_c = counts(tgt_f, "_ct")
+    raw_tot = raw_f.groupBy(F.lit(1).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_tr")
+    )
+    tgt_tot = tgt_f.groupBy(F.lit(1).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_tt")
+    )
+    ratio = (
+        raw_c.join(tgt_c, on="_f", how="left")
+        .join(F.broadcast(raw_tot), on="_k")
+        .join(F.broadcast(tgt_tot), on="_k")
+        .select(
+            "_f",
+            (
+                (
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("_tt") + B)
+                )
+                / (
+                    (F.col("_cr") + F.lit(1)).cast("double") / (F.col("_tr") + B)
+                )
+            ).alias("_ratio"),
+        )
+    )
+    per_doc = (
+        raw_f.join(F.broadcast(ratio), on="_f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_f", "_ratio"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_ratio"],
+            ).alias("dsir_weight"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias("dsir_weight"),
+        )
+    )

@@ -528,3 +528,53 @@ def _rep_oracle() -> str:
 
 
 QUERIES["q_repetition_filter"].oracle = _rep_oracle()
+
+
+def _dsir_sql() -> str:
+    from ironbeam_spark.suite.text_ml import _TI_SQL, _TOKS_SQL
+
+    ti = _TI_SQL.format("t")
+    return f"""
+    WITH tk AS (SELECT doc_id, lang,
+                  list_transform({_TOKS_SQL}, t -> {ti}) AS tis
+                FROM documents),
+    fl AS (SELECT doc_id, lang,
+             CASE WHEN len(tis) >= 2 THEN
+               list_transform(generate_series(1, len(tis) - 1),
+                 i -> ((tis[i] * 31 + tis[i+1]) % 100000000000000003) % 256)
+             ELSE []::BIGINT[] END AS fs
+           FROM tk),
+    rawf AS (SELECT doc_id, unnest(fs) AS f FROM fl),
+    tgtf AS (SELECT doc_id, unnest(fs) AS f FROM fl WHERE lang = 'en'),
+    rc AS (SELECT f, count(*) AS cr FROM rawf GROUP BY f),
+    tc AS (SELECT f, count(*) AS ct FROM tgtf GROUP BY f),
+    tot AS (SELECT (SELECT count(*) FROM rawf) AS tr,
+                   (SELECT count(*) FROM tgtf) AS tt),
+    ratio AS (SELECT rc.f,
+                ((coalesce(tc.ct, 0) + 1)::DOUBLE / (tot.tt + 256.0))
+                  / ((rc.cr + 1)::DOUBLE / (tot.tr + 256.0)) AS r
+              FROM rc LEFT JOIN tc ON rc.f = tc.f CROSS JOIN tot),
+    perdoc AS (SELECT rawf.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_feats,
+                 list_sum(list(ratio.r ORDER BY rawf.f, ratio.r)) AS dsir_weight
+               FROM rawf JOIN ratio ON rawf.f = ratio.f
+               GROUP BY rawf.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+           coalesce(p.dsir_weight, 0.0) AS dsir_weight
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "q_dsir_weights",
+    _dsir_sql(),
+    doc="DSIR-style importance weights for data selection (hashed word-bigram features mod 256, add-one smoothed target/raw distribution ratios, target = lang='en'; Xie et al. 2023): rational ratio-sum scoring folded in sorted feature order so the doubles are bit-exact cross-engine (operators/sampling.dsir_importance_weights; north-star training-data pipeline)",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.sampling import dsir_importance_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_importance_weights(docs, target, "doc_id", "text").orderBy("doc_id")

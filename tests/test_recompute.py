@@ -119,3 +119,58 @@ def test_csv_inference_survives_cache_release(spark, tmp_path):
     got = sorted((r.a, r.b) for r in out.collect())
     assert got == ref == [(1, "x"), (2, "y"), (3, "z")]
     release_codec_caches()
+
+
+def test_dsir_weights_model(spark):
+    """dsir_importance_weights == a direct Python reimplementation of the
+    hashed-bigram / add-one-smoothing / sorted-ratio-sum spec on a tiny
+    corpus (featureless docs weigh 0.0 and still appear)."""
+    import hashlib
+
+    from ironbeam_spark.operators.sampling import dsir_importance_weights
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat", "en"),
+        (2, "el gato se sento", "es"),
+        (3, "one", "en"),          # 1 token -> no bigram features
+        (4, "the dog sat on a log", "en"),
+        (5, "el perro se sento aqui", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: (r.n_feats, r.dsir_weight)
+        for r in dsir_importance_weights(
+            df, df.where("lang = 'en'"), "doc_id", "text", buckets=64
+        ).collect()
+    }
+
+    MOD = 10**17 + 3
+
+    def ti(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+
+    def feats(text):
+        ts = [ti(t) for t in text.split() if t]
+        return [((ts[i] * 31 + ts[i + 1]) % MOD) % 64 for i in range(len(ts) - 1)]
+
+    raw = {i: feats(t) for i, t, _ in rows}
+    tgt = [f for i, t, l in rows if l == "en" for f in raw[i]]
+    allf = [f for fs in raw.values() for f in fs]
+    cr = {f: allf.count(f) for f in set(allf)}
+    ct = {f: tgt.count(f) for f in set(tgt)}
+    tr, tt = len(allf), len(tgt)
+
+    def ratio(f):
+        return ((ct.get(f, 0) + 1) / (tt + 64.0)) / ((cr[f] + 1) / (tr + 64.0))
+
+    for i, _, _ in rows:
+        fs = raw[i]
+        want = 0.0
+        for f, r in sorted((f, ratio(f)) for f in fs):
+            want += r
+        assert out[i][0] == len(fs), i
+        assert abs(out[i][1] - want) < 1e-12, (i, out[i][1], want)
+    assert out[3] == (0, 0.0)
+    # target-language docs should out-weigh off-target docs of similar size
+    assert out[0][1] / out[0][0] > out[2][1] / out[2][0]
