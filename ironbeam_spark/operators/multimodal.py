@@ -13,7 +13,10 @@ metadata struct built here (``byte_len``, ``sha256``, ``modality``,
   BI_RGB), **PPM** (P6 binary / P3 ASCII), and **PNG** (RFC 2083 /
   ISO 15948: stdlib-zlib IDAT inflate, all five scanline filters incl.
   Paeth, 8-bit gray / truecolor / palette / alpha color types, chunk CRC
-  verified); :func:`decode_audio` parses **PCM WAV** (RIFF/fmt/data).
+  verified), and **GIF** (87a/89a: pure-Python variable-width LZW,
+  interlacing, local/global color tables — still-image projection of the
+  first frame); :func:`decode_audio` parses **PCM WAV** (RIFF/fmt/data)
+  plus ITU-T **G.711** µ-law/A-law companded WAV.
   Formats whose codecs genuinely need native libraries (JPEG/MP3/...)
   surface a per-row ``error`` column (dead-letter convention, like
   ``operators/dead_letter.try_map``) rather than failing the job;
@@ -44,6 +47,7 @@ __all__ = [
     "encode_rvid",
     "decode_image_bytes",
     "decode_png_pixels",
+    "decode_gif_pixels",
     "decode_image_pixels",
     "decode_audio_bytes",
     "decode_rvid",
@@ -76,9 +80,10 @@ def blob_metadata(blob: Column, modality: str, content_type: str) -> Column:
 # --------------------------------------------------------------- image codecs
 # Implemented from the public format specs (Windows BMP file format docs;
 # netpbm PPM spec; PNG per RFC 2083 / ISO 15948 — stdlib zlib hosts the
-# inflate).  Scope: every interchange format this container can decode
-# without native libs.  JPEG stays behind the error column — entropy
-# decode + IDCT require a native codec to be anything but a tarpit.
+# inflate; GIF87a/89a with a pure-Python variable-width LZW).  Scope:
+# every interchange format this container can decode without native libs.
+# JPEG stays behind the error column — entropy decode + IDCT require a
+# native codec to be anything but a tarpit.
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -275,6 +280,148 @@ def decode_png_pixels(b: bytes):
     return np.ascontiguousarray(rgb)
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> list[int]:
+    """GIF-variant LZW decode (spec appendix F): LSB-first variable-width
+    codes starting at ``min_code + 1`` bits, CLEAR = ``2^min_code``,
+    END = CLEAR+1, table capped at 4096 entries (width stops at 12)."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    bitpos, total = 0, len(data) * 8
+    while len(out) < expected:
+        if bitpos + width > total:
+            raise ValueError("gif: truncated LZW stream")
+        byte_i, bit_o = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError("gif: invalid first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if entry is None:
+                raise ValueError("gif: invalid LZW code")
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("gif: truncated pixel data")
+    return out[:expected]
+
+
+def decode_gif_pixels(b: bytes):
+    """Parse a GIF87a/GIF89a payload to an ``H×W×3 uint8 RGB`` ndarray:
+    logical-screen canvas filled with the background color, first frame
+    LZW-decoded (pure-Python variable-width LZW), de-interlaced when the
+    Adam4 flag is set, blitted at its (left, top) offset through its
+    (local or global) color table.  Later animation frames are ignored —
+    the still-image projection.  Raises ``ValueError`` on structural
+    damage (the dead-letter column catches it)."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    if len(b) < 13:
+        raise ValueError("gif: truncated header")
+    W, H = struct.unpack_from("<HH", b, 6)
+    flags, bg = b[10], b[11]
+    if W == 0 or H == 0:
+        raise ValueError("gif: bad dimensions")
+    pos, gct = 13, None
+    if flags & 0x80:
+        sz = 2 ** ((flags & 7) + 1)
+        if pos + sz * 3 > len(b):
+            raise ValueError("gif: truncated global color table")
+        gct = np.frombuffer(b, np.uint8, sz * 3, pos).reshape(-1, 3)
+        pos += sz * 3
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("gif: truncated image descriptor")
+            left, top, fw, fh = struct.unpack_from("<HHHH", b, pos + 1)
+            iflags = b[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                sz = 2 ** ((iflags & 7) + 1)
+                if pos + sz * 3 > len(b):
+                    raise ValueError("gif: truncated local color table")
+                pal = np.frombuffer(b, np.uint8, sz * 3, pos).reshape(-1, 3)
+                pos += sz * 3
+            if pal is None:
+                raise ValueError("gif: image without any color table")
+            if fw == 0 or fh == 0 or left + fw > W or top + fh > H:
+                raise ValueError("gif: frame exceeds logical screen")
+            if pos >= len(b):
+                raise ValueError("gif: missing LZW minimum code size")
+            min_code = b[pos]
+            pos += 1
+            if not (2 <= min_code <= 11):
+                raise ValueError(f"gif: bad LZW minimum code size {min_code}")
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                n = b[pos]
+                data += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            if pos >= len(b):
+                raise ValueError("gif: unterminated image data")
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(bytes(data), min_code, fw * fh), np.int32
+            )
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("gif: color index out of palette range")
+            frame = idx.reshape(fh, fw)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                rows = (
+                    list(range(0, fh, 8))
+                    + list(range(4, fh, 8))
+                    + list(range(2, fh, 4))
+                    + list(range(1, fh, 2))
+                )
+                de = np.empty_like(frame)
+                de[rows] = frame
+                frame = de
+            bg_rgb = (
+                gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+            )
+            canvas = np.tile(bg_rgb.astype(np.uint8), (H, W, 1))
+            canvas[top : top + fh, left : left + fw] = pal[frame]
+            return np.ascontiguousarray(canvas)
+        else:
+            raise ValueError(f"gif: unknown block 0x{blk:02x}")
+    raise ValueError("gif: no image data before trailer")
+
+
 def decode_image_bytes(b: bytes) -> dict:
     """Decode one image payload: sniff the magic, parse with the matching
     pure-Python codec.  Returns ``{fmt, width, height, channels, sum_r,
@@ -356,8 +503,10 @@ def decode_image_pixels(b: bytes):
         return "ppm", px
     if b[:8] == _PNG_MAGIC:
         return "png", decode_png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", decode_gif_pixels(b)
     raise ValueError(
-        "unsupported image format (magic %r): only BMP/PPM/PNG decode without PIL"
+        "unsupported image format (magic %r): only BMP/PPM/PNG/GIF decode without PIL"
         % (bytes(b[:2]),)
     )
 

@@ -1030,3 +1030,180 @@ def test_decode_audio_g711_ulaw_alaw(spark):
     got = {r.id: r for r in decode_audio(df, "id", "payload").collect()}
     assert got[1].fmt == "wav-ulaw" and got[1].error is None
     assert got[2].fmt is None and got[2].error is not None
+
+
+def _gif_pack_codes(codes, min_code):
+    """LSB-first variable-width code packer mirroring the decoder's width
+    schedule: width starts at min_code+1 and bumps when the DECODER's table
+    would reach 2^width (one entry per data code after the first following
+    a clear), capping at 12."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    dec_size = end + 1
+    first_after_clear = True
+    acc = bitpos = 0
+    out = bytearray()
+    for code in codes:
+        acc |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+        if code == clear:
+            width, dec_size, first_after_clear = min_code + 1, end + 1, True
+        elif code != end:
+            if first_after_clear:
+                first_after_clear = False
+            else:
+                dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+    if bitpos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices, min_code):
+    """Real GIF LZW compressor (dict growth, width bumps, 4096 reset)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    prev = ()
+    for px in indices:
+        cur = prev + (px,)
+        if cur in table:
+            prev = cur
+            continue
+        codes.append(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+        prev = (px,)
+    if prev:
+        codes.append(table[prev])
+    codes.append(end)
+    return _gif_pack_codes(codes, min_code)
+
+
+def _gif_lzw_encode_flooded(indices, min_code):
+    """Independent second encoder: every pixel as a root code, CLEAR-flooded
+    so the dictionary never grows (the classic 'uncompressed GIF' trick) —
+    a completely different code path through the same decoder."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    room = (1 << (min_code + 1)) - end - 2
+    since = 0
+    for px in indices:
+        if since >= max(room, 1):
+            codes.append(clear)
+            since = 0
+        codes.append(px)
+        since += 1
+    codes.append(end)
+    return _gif_pack_codes(codes, min_code)
+
+
+def _gif_bytes(w, h, palette, indices, lzw, min_code, interlace=False, bg=0):
+    import struct
+
+    gct_bits = max((len(palette) - 1).bit_length(), 1)
+    gct_size = 1 << gct_bits
+    pal = list(palette) + [(0, 0, 0)] * (gct_size - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), bg, 0)
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext (skipped)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    data = lzw(indices, min_code)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_both_encoders_and_interlace():
+    """The GIF LZW decoder inverts BOTH an honest LZW compressor (dict
+    growth + width bumps) and the CLEAR-flooded uncompressed encoding —
+    two independent encodings of the same pixels — with and without
+    interlacing."""
+    from ironbeam_spark.operators.multimodal import decode_image_pixels
+
+    w, h = 19, 13
+    palette = [(i * 16 % 256, 255 - i * 8 % 256, i * 5 % 256) for i in range(16)]
+    indices = [(x * 3 + y * 7) % 16 for y in range(h) for x in range(w)]
+    want = bytes(c for i in indices for c in palette[i])
+
+    for lzw in (_gif_lzw_encode, _gif_lzw_encode_flooded):
+        for interlace in (False, True):
+            if interlace:
+                rows = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                stream = [indices[y * w + x] for y in rows for x in range(w)]
+            else:
+                stream = indices
+            payload = _gif_bytes(w, h, palette, stream, lzw, 4, interlace)
+            fmt, px = decode_image_pixels(payload)
+            assert fmt == "gif"
+            assert bytes(px.reshape(-1)) == want, (lzw.__name__, interlace)
+
+
+def test_gif_large_image_forces_width_growth():
+    """A 64x64 image with 4-bit palette pushes the LZW table through
+    several width bumps; decode must stay exact."""
+    from ironbeam_spark.operators.multimodal import decode_image_pixels
+
+    w = h = 64
+    palette = [(i * 37 % 256, i * 11 % 256, i * 3 % 256) for i in range(16)]
+    indices = [((x * x + y * 3 + (x * y) // 5) % 16) for y in range(h) for x in range(w)]
+    payload = _gif_bytes(w, h, palette, indices, _gif_lzw_encode, 4)
+    fmt, px = decode_image_pixels(payload)
+    assert fmt == "gif"
+    assert bytes(px.reshape(-1)) == bytes(
+        c for i in indices for c in palette[i]
+    )
+
+
+def test_gif_corrupt_payloads_dead_letter(spark):
+    """Truncated streams, bad block tags, and out-of-range color indices
+    raise ValueError into the error column, never a crash."""
+    import pytest
+
+    from ironbeam_spark.operators.multimodal import (
+        decode_image,
+        decode_image_pixels,
+    )
+
+    w, h = 6, 4
+    palette = [(10 * i, 20 * i, 30 * i) for i in range(4)]
+    indices = [(x + y) % 4 for y in range(h) for x in range(w)]
+    good = _gif_bytes(w, h, palette, indices, _gif_lzw_encode, 2)
+
+    for bad in (
+        good[:20],                      # truncated mid-header/color-table
+        good[:-4],                      # unterminated image data
+        good.replace(b"\x2c", b"\x7e", 1),  # unknown block tag
+        b"GIF89a" + b"\x00" * 7,        # zero dimensions
+    ):
+        with pytest.raises(ValueError):
+            decode_image_pixels(bad)
+
+    df = spark.createDataFrame(
+        [(1, good), (2, good[:20])], "doc_id long, blob binary"
+    )
+    rows = {r.doc_id: r for r in decode_image(df, "doc_id", "blob").collect()}
+    assert rows[1].fmt == "gif" and rows[1].error is None
+    assert rows[2].fmt is None and rows[2].error is not None

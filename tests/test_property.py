@@ -344,3 +344,94 @@ def test_winnow_fingerprint_model(spark):
     assert set(got[4]) & set(got[5])
     # and the unrelated doc shares nothing with doc 4
     assert not (set(got[4]) & set(got[6]))
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_unfilter_inverts_any_forward_filtering(w, h, data):
+    """PNG decode is the exact inverse of spec-§6 forward filtering for ANY
+    pixel content and ANY per-row filter choice (no Spark session — pure
+    codec property)."""
+    import struct
+    import zlib
+
+    from ironbeam_spark.operators.multimodal import decode_image_pixels
+
+    n = w * h * 3
+    rgb = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+
+    bpp, stride = 3, w * 3
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride : (y + 1) * stride]
+        f = filters[y]
+        out.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+    fmt, px = decode_image_pixels(png)
+    assert fmt == "png"
+    assert bytes(px.reshape(-1)) == rgb
+
+
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    bits=st.integers(2, 5),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_roundtrip_any_image(w, h, bits, data):
+    """GIF decode inverts the honest LZW compressor for ANY palette size
+    2..5 bits and ANY pixel content (pure codec property, no Spark)."""
+    from ironbeam_spark.operators.multimodal import decode_image_pixels
+    from tests.test_new_operators import _gif_bytes, _gif_lzw_encode
+
+    ncol = 1 << bits
+    palette = [((i * 41) % 256, (i * 19) % 256, (i * 7) % 256) for i in range(ncol)]
+    n = w * h
+    indices = data.draw(
+        st.lists(st.integers(0, ncol - 1), min_size=n, max_size=n)
+    )
+    payload = _gif_bytes(w, h, palette, indices, _gif_lzw_encode, bits)
+    fmt, px = decode_image_pixels(payload)
+    assert fmt == "gif"
+    assert bytes(px.reshape(-1)) == bytes(c for i in indices for c in palette[i])
