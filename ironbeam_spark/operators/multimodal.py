@@ -42,6 +42,7 @@ __all__ = [
     "encode_bmp",
     "encode_ppm",
     "encode_png",
+    "encode_gif",
     "encode_wav_pcm16",
     "encode_wav_g711",
     "encode_rvid",
@@ -278,6 +279,89 @@ def decode_png_pixels(b: bytes):
             raise ValueError("png: palette index out of range")
         rgb = pal[idx]
     return np.ascontiguousarray(rgb)
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal GIF89a writer: palette built from the image's distinct
+    colors (≤256 required), honest variable-width LZW (dict growth, width
+    bumps, 4096 reset), non-interlaced single frame.  ``rgb`` as in
+    :func:`encode_bmp`.  Exists so tests/oracles can fabricate real
+    files; the decoder is the product surface."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("encode_gif: rgb length != width*height*3")
+    colors: dict[tuple, int] = {}
+    indices = []
+    for p in range(width * height):
+        c = (rgb[3 * p], rgb[3 * p + 1], rgb[3 * p + 2])
+        if c not in colors:
+            colors[c] = len(colors)
+        indices.append(colors[c])
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif: {len(colors)} distinct colors > 256")
+    min_code = max((len(colors) - 1).bit_length(), 2)
+    gct_bits = min_code
+    gct_size = 1 << gct_bits
+    pal = list(colors) + [(0, 0, 0)] * (gct_size - len(colors))
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    prev: tuple = ()
+    for px in indices:
+        cur = prev + (px,)
+        if cur in table:
+            prev = cur
+            continue
+        codes.append(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+        prev = (px,)
+    if prev:
+        codes.append(table[prev])
+    codes.append(end)
+
+    # LSB-first packer tracking the decoder's width schedule
+    w_bits = min_code + 1
+    dec_size, first = end + 1, True
+    acc = bitpos = 0
+    packed = bytearray()
+    for code in codes:
+        acc |= code << bitpos
+        bitpos += w_bits
+        while bitpos >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+        if code == clear:
+            w_bits, dec_size, first = min_code + 1, end + 1, True
+        elif code != end:
+            if first:
+                first = False
+            else:
+                dec_size += 1
+            if dec_size == (1 << w_bits) and w_bits < 12:
+                w_bits += 1
+    if bitpos:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (gct_bits - 1), 0, 0)
+    for r, g, b2 in pal:
+        out += bytes((r, g, b2))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(min_code)
+    for i in range(0, len(packed), 255):
+        block = packed[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> list[int]:

@@ -73,18 +73,19 @@ def _fake_image_blobs(docs):
 
         from ironbeam_spark.operators.multimodal import (
             encode_bmp,
+            encode_gif,
             encode_png,
             encode_ppm,
         )
 
-        enc = {0: encode_bmp, 1: encode_ppm, 2: encode_png}
+        enc = {0: encode_bmp, 1: encode_ppm, 2: encode_png, 3: encode_gif}
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 seed, w, h = did % 251, 1 + did % 8, 1 + did % 6
                 rgb = bytes((seed + i) % 256 for i in range(w * h * 3))
-                rows.append((did, enc[did % 3](w, h, rgb)))
+                rows.append((did, enc[did % 4](w, h, rgb)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
@@ -93,9 +94,10 @@ def _fake_image_blobs(docs):
 @query(
     "q_image_decode",
     # Exact oracle: payloads are generated from a closed-form pixel formula
-    # (rgb[i] = (seed + i) % 256), REALLY encoded to BMP / PPM / PNG
-    # (doc_id % 3) bytes and REALLY parsed back by the pure-Python codecs
-    # (incl. the zlib-backed PNG decoder with CRC verification); the
+    # (rgb[i] = (seed + i) % 256), REALLY encoded to BMP / PPM / PNG / GIF
+    # (doc_id % 4) bytes and REALLY parsed back by the pure-Python codecs
+    # (incl. the zlib-backed PNG decoder with CRC verification and the
+    # LZW-backed GIF decoder); the
     # oracle computes the channel sums analytically from the same formula —
     # any header/stride/channel-order bug in encoder or decoder breaks the
     # match.
@@ -106,7 +108,7 @@ def _fake_image_blobs(docs):
       FROM documents WHERE doc_id < 200
     )
     SELECT doc_id,
-      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+      CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
       CAST(3 AS BIGINT) AS channels,
       CAST(list_sum(list_transform(generate_series(0, w*h - 1),
@@ -117,7 +119,7 @@ def _fake_image_blobs(docs):
            p -> (seed + 3*p + 2) % 256)) AS BIGINT) AS sum_b
     FROM params ORDER BY doc_id
     """,
-    doc="REAL image decode: deterministic pixel data encoded to actual BMP/PPM/PNG files (pure-Python writers), parsed back by the pure-Python decoders (operators/multimodal.decode_image), channel sums verified against the closed-form oracle (north-star multimodal, real codec tier)",
+    doc="REAL image decode: deterministic pixel data encoded to actual BMP/PPM/PNG/GIF files (pure-Python writers), parsed back by the pure-Python decoders (operators/multimodal.decode_image), channel sums verified against the closed-form oracle (north-star multimodal, real codec tier)",
 )
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.multimodal import decode_image
@@ -349,7 +351,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_image_resize",
     # Closed-form oracle for REAL decode->resize: payloads are generated
-    # from rgb[p,c] = (seed + 3p + c) % 256, really encoded (BMP/PPM/PNG),
+    # from rgb[p,c] = (seed + 3p + c) % 256, really encoded (BMP/PPM/PNG/GIF),
     # really decoded and nearest-neighbor-resampled; the oracle mirrors the
     # integer floor mapping src = (dst*in)//out analytically, so any
     # off-by-one in either codec or the resampler breaks the match.
@@ -360,7 +362,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 150
     )
     SELECT doc_id,
-      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS src_fmt,
+      CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png' ELSE 'gif' END AS src_fmt,
       CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
       CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
       CAST(list_sum(list_transform(generate_series(0, 19),
@@ -374,7 +376,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS BIGINT) AS sum_b
     FROM params ORDER BY doc_id
     """,
-    doc="REAL image resize: deterministic pixels encoded to actual BMP/PPM/PNG, decoded, nearest-neighbor resampled to 5x4 (integer floor mapping), channel sums verified against the closed-form oracle (operators/multimodal.resize_image)",
+    doc="REAL image resize: deterministic pixels encoded to actual BMP/PPM/PNG/GIF, decoded, nearest-neighbor resampled to 5x4 (integer floor mapping), channel sums verified against the closed-form oracle (operators/multimodal.resize_image)",
 )
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.multimodal import resize_image
