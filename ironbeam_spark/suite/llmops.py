@@ -578,3 +578,23 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     target = docs.where(F.col("lang") == "en")
     return dsir_importance_weights(docs, target, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q_bpe_tokenize",
+    # No SQL oracle: BPE training is inherently iterative (each merge
+    # round's arg-max depends on the previous round's re-tokenized
+    # histogram), which DuckDB SQL cannot replay — the driver records a
+    # rows-only check, and tests/test_bpe.py verifies the trainer merge-
+    # for-merge against a pure-Python reference implementation of the
+    # classic algorithm (Sennrich et al. 2016) plus segment/count
+    # equivalence.
+    None,
+    doc="BPE tokenizer induction + segmentation (Sennrich et al. 2016): word-histogram merge training (one corpus shuffle, then per-round histogram aggregations with a 1-row arg-max action and pure-expression merge folds, policy-checkpointed), Arrow-batched lowest-rank-first segmentation; per-doc word/bpe-token counts + first-word segmentation (operators/bpe; north-star training-data pipeline)",
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    merges = bpe_train(docs, "text", num_merges=24)
+    return bpe_segment(docs, "doc_id", "text", merges).orderBy("doc_id")
