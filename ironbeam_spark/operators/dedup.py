@@ -317,13 +317,17 @@ def dedup_components(
     contract as :func:`dedup_exact`).
 
     The loop is the standard Spark iterative-algorithm shape: each round is
-    one shuffle (join + min-agg), lineage is truncated per
+    a neighbor-min shuffle (join + min-agg) **plus a pointer-jumping
+    self-join** (``component[n] := min(component[n],
+    component[component[n]])`` — path doubling), lineage is truncated per
     ``checkpoint_policy`` (an :class:`~ironbeam_spark.operators.checkpoint.
     CheckpointPolicy`; default = AfterEveryBarrier, the reference default,
     ``src/checkpoint.rs:88``, keeping plan size O(1) across rounds), and
-    convergence is detected with a cheap changed-count action.  Rounds
-    needed = graph diameter (near-dup components are shallow; ``max_iter``
-    is a safety bound)."""
+    convergence is detected with a cheap changed-count action (one job per
+    round — the self-join reuses the aggregate's exchange).  Pointer
+    jumping makes rounds **O(log diameter)** instead of O(diameter): a
+    chain of 1000 near-dups converges in ~10 rounds, not 1000
+    (``max_iter`` is a safety bound)."""
     from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
     policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
@@ -351,20 +355,36 @@ def dedup_components(
             .withColumn("_self", F.lit(None).cast("long"))
         )
         mine = labels.withColumn("_self", F.col("component"))
-        propagated = policy.checkpoint(
+        propagated = (
             neighbor.unionByName(mine)
             .groupBy("node")
             .agg(
                 F.min("component").alias("component"),
                 # exactly one non-null _self per node (its own labels row)
                 F.min("_self").alias("_old"),
+            )
+        )
+        # pointer jumping (path doubling): shortcut each label through its
+        # own label.  The self-join's two aggregate reads share one shuffle
+        # (ReusedExchange), so the round still costs one pass over labels.
+        ptr = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("_jump")
+        )
+        jumped = policy.checkpoint(
+            propagated.join(ptr, on="component", how="left").select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_jump"), F.col("component")),
+                ).alias("component"),
+                "_old",
             ),
             eager=False,
         )
         # full count (not limit-1): materializes EVERY partition, so the
         # lazy checkpoint is complete and later rounds never recompute
-        changed = propagated.where(F.col("component") != F.col("_old")).count()
-        labels = propagated.select("node", "component")
+        changed = jumped.where(F.col("component") != F.col("_old")).count()
+        labels = jumped.select("node", "component")
         if changed == 0:
             break
     return labels
