@@ -570,6 +570,7 @@ def _dsir_sql() -> str:
 @query(
     "q_dsir_weights",
     _dsir_sql(),
+    bench=True,
     doc="DSIR-style importance weights for data selection (hashed word-bigram features mod 256, add-one smoothed target/raw distribution ratios, target = lang='en'; Xie et al. 2023): rational ratio-sum scoring folded in sorted feature order so the doubles are bit-exact cross-engine (operators/sampling.dsir_importance_weights; north-star training-data pipeline)",
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -498,6 +498,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       END AS BIGINT) AS sum_abs
     FROM params ORDER BY doc_id
     """,
+    bench=True,
     doc="REAL audio decode: closed-form samples packed into actual WAV files — PCM16 plus ITU-T G.711 mu-law/A-law companded payloads (doc_id % 3) — parsed back by the pure-Python RIFF walker + segment-table expansion (operators/multimodal.decode_audio), absolute-sample sums verified against the analytical oracle (north-star multimodal, real codec tier)",
 )
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
