@@ -599,3 +599,137 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     merges = bpe_train(docs, "text", num_merges=24)
     return bpe_segment(docs, "doc_id", "text", merges).orderBy("doc_id")
+
+
+def _pretrain_sql() -> str:
+    from ironbeam_spark.suite.text_ml import (
+        _MINHASH_CTES,
+        _TI_SQL,
+        _TOKS_SQL,
+        _lang_case_sql,
+    )
+
+    ti = _TI_SQL.format("t")
+    # the shared minhash chain reads FROM documents; re-root it at the
+    # exact-dedup survivors so the stages compose exactly like the engine
+    minhash = _MINHASH_CTES.replace("FROM documents", "FROM exact")
+    return f"""
+    WITH RECURSIVE scored0 AS (
+      SELECT doc_id, text, source,
+             {_lang_case_sql()} AS lang_pred,
+             CASE WHEN len({_TOKS_SQL}) BETWEEN 10 AND 100000
+                  THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - len({_TOKS_SQL}) + 1)::DOUBLE
+                         / len({_TOKS_SQL})::DOUBLE BETWEEN 2.0 AND 12.0
+                    THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                         / length(text)::DOUBLE <= 0.2
+                    THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS quality
+      FROM documents
+    ),
+    kept AS (SELECT doc_id, text, source FROM scored0
+             WHERE lang_pred = 'en' AND quality >= 0.6),
+    exact AS (
+      SELECT min(doc_id) AS doc_id,
+             arg_min(text, doc_id) AS text,
+             arg_min(source, doc_id) AS source
+      FROM kept GROUP BY md5(lower(trim(text)))
+    ),
+    {minhash},
+    e2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    r(n, m) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e2)
+      UNION
+      SELECT r.n, e2.d FROM r JOIN e2 ON r.m = e2.s
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n),
+    survivors AS (
+      SELECT ex.* FROM exact ex
+      LEFT JOIN (SELECT node FROM comp WHERE node <> component) l
+        ON ex.doc_id = l.node
+      WHERE l.node IS NULL
+    ),
+    tk AS (SELECT doc_id, source,
+             list_transform({_TOKS_SQL}, t -> {ti}) AS tis,
+             len({_TOKS_SQL})::BIGINT AS n_toks
+           FROM survivors),
+    fl AS (SELECT doc_id, source, n_toks,
+             CASE WHEN len(tis) >= 2 THEN
+               list_transform(generate_series(1, len(tis) - 1),
+                 i -> ((tis[i] * 31 + tis[i+1]) % 100000000000000003) % 256)
+             ELSE []::BIGINT[] END AS fs
+           FROM tk),
+    rawf AS (SELECT doc_id, unnest(fs) AS f FROM fl),
+    tgtf AS (SELECT doc_id, unnest(fs) AS f FROM fl WHERE source = 'src1'),
+    rc AS (SELECT f, count(*) AS cr FROM rawf GROUP BY f),
+    tc AS (SELECT f, count(*) AS ct FROM tgtf GROUP BY f),
+    tot AS (SELECT (SELECT count(*) FROM rawf) AS tr,
+                   (SELECT count(*) FROM tgtf) AS tt),
+    ratio AS (SELECT rc.f,
+                ((coalesce(tc.ct, 0) + 1)::DOUBLE / (tot.tt + 256.0))
+                  / ((rc.cr + 1)::DOUBLE / (tot.tr + 256.0)) AS rr
+              FROM rc LEFT JOIN tc ON rc.f = tc.f CROSS JOIN tot),
+    perdoc AS (SELECT rawf.doc_id,
+                 list_sum(list(ratio.rr ORDER BY rawf.f, ratio.rr)) AS w
+               FROM rawf JOIN ratio ON rawf.f = ratio.f
+               GROUP BY rawf.doc_id)
+    SELECT fl.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(fl.n_toks) AS BIGINT) AS total_tokens,
+           list_sum(list(coalesce(perdoc.w, 0.0) ORDER BY fl.doc_id)) AS weight_sum
+    FROM fl LEFT JOIN perdoc ON fl.doc_id = perdoc.doc_id
+    GROUP BY fl.source ORDER BY fl.source
+    """
+
+
+@query(
+    "q_pretrain_pipeline",
+    _pretrain_sql(),
+    doc="flagship end-to-end pretraining-data pipeline composite: language-ID + quality filter -> exact content dedup (min-id winner) -> MinHash-LSH near-dup pairs -> pointer-jumped connected components -> drop group losers -> DSIR importance weights (target = the curated 'src1' slice) -> per-source corpus stats with an order-fixed weight fold; every stage is the library operator the standalone queries verify, and the oracle replays the full chain (recursive-CTE components, sorted-fold weight sums) bit-exactly",
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import lang_id, quality_score, token_count
+    from ironbeam_spark.operators.dedup import (
+        dedup_components,
+        dedup_exact,
+        minhash_dedup_pairs,
+    )
+    from ironbeam_spark.operators.sampling import dsir_importance_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = docs.where(
+        (lang_id("text") == "en") & (quality_score("text") >= 0.6)
+    ).select("doc_id", "text", "source")
+    exact = dedup_exact(
+        kept.withColumn("fp", F.md5(F.lower(F.trim("text")))), ["fp"], "doc_id"
+    ).select("doc_id", "text", "source")
+    pairs = minhash_dedup_pairs(
+        exact, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+    )
+    losers = (
+        dedup_components(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    survivors = exact.join(losers, on="doc_id", how="left_anti")
+    weights = dsir_importance_weights(
+        survivors, survivors.where(F.col("source") == "src1"), "doc_id", "text"
+    )
+    return (
+        survivors.select("doc_id", "source", token_count("text").alias("_nt"))
+        .join(weights.select("doc_id", "dsir_weight"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("dsir_weight")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["dsir_weight"],
+            ).alias("weight_sum"),
+        )
+        .orderBy("source")
+    )
