@@ -219,3 +219,97 @@ def q_cms_counts(spark, sf_dir):
         F.explode(tokens("text")).alias("item")
     )
     return cms_estimates(words, "item", keys, depth=4, width=512).orderBy("item")
+
+
+@query(
+    "q_kmv_setops",
+    # KMV sketch algebra (public estimators: Beyer et al., SIGMOD 2007 —
+    # distinct-value synopses under multiset operations): per-segment
+    # k-min sketches, union sketch = k smallest of the merged k-min sets
+    # (valid because kmin_k(A ∪ B) ⊆ kmin_k(A) ∪ kmin_k(B)), Jaccard
+    # estimator rho = |union-sketch ∩ A-sketch ∩ B-sketch| / |union
+    # sketch|, intersection estimate = rho × union estimate.  All
+    # arithmetic is count ratios + one division — deterministic md5
+    # hashing makes the whole thing exact-oracle-checkable.
+    f"""
+    WITH ha AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,12))::BIGINT AS h
+                FROM lineitem WHERE l_returnflag = 'R'),
+    hb AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,12))::BIGINT AS h
+           FROM lineitem WHERE l_returnflag = 'A'),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT 256),
+    sa AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS r FROM ka),
+    sb AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS r FROM kb),
+    su AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS r FROM ku),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM ku
+          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    est AS (
+      SELECT sa.n AS k_a,
+             CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+                  ELSE (256-1) * {_TWO48}.0 / sa.r END AS est_a,
+             sb.n AS k_b,
+             CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+                  ELSE (256-1) * {_TWO48}.0 / sb.r END AS est_b,
+             su.n AS k_union,
+             CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+                  ELSE (256-1) * {_TWO48}.0 / su.r END AS est_union,
+             m.matches AS matches
+      FROM sa, sb, su, m
+    )
+    SELECT k_a, est_a, k_b, est_b, k_union, est_union,
+           CASE WHEN k_union = 0 THEN 0.0
+                ELSE CAST(matches AS DOUBLE) / k_union END AS jaccard_est,
+           CASE WHEN k_union = 0 THEN 0.0
+                ELSE CAST(matches AS DOUBLE) / k_union * est_union END
+             AS est_intersect
+    FROM est
+    """,
+    doc="KMV sketch set operations (Beyer et al. 2007): per-segment k-min sketches merge into a union sketch (k smallest of the merged sets — the mergeability that makes KMV distributable), Jaccard estimator from sketch membership, intersection estimate = rho x union estimate; deterministic hashing => exact oracle (north-star sketches)",
+)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 256
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def kmin(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(token_int(F.col("l_partkey").cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ka, kb = kmin("R"), kmin("A")
+    ku = ka.union(kb).distinct().orderBy("h").limit(k)
+
+    def stats(df: DataFrame, n_col: str, est_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(float(_TWO48)) / F.max("h"))
+            .alias(est_col),
+        )
+    matches = (
+        ku.join(ka, on="h", how="left_semi")
+        .join(kb, on="h", how="left_semi")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    out = (
+        stats(ka, "k_a", "est_a")
+        .crossJoin(stats(kb, "k_b", "est_b"))
+        .crossJoin(stats(ku, "k_union", "est_union"))
+        .crossJoin(matches)
+    )
+    return out.select(
+        "k_a", "est_a", "k_b", "est_b", "k_union", "est_union",
+        F.when(F.col("k_union") == 0, F.lit(0.0))
+        .otherwise(F.col("matches").cast("double") / F.col("k_union"))
+        .alias("jaccard_est"),
+        F.when(F.col("k_union") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("matches").cast("double") / F.col("k_union") * F.col("est_union")
+        )
+        .alias("est_intersect"),
+    )

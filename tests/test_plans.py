@@ -179,6 +179,7 @@ def test_no_scale_killers_in_any_query(spark):
         "q_ann_int8",             # declared brute-force baseline (quantized)
         "q_dsir_weights",         # 1-row feature-total aggregates broadcast
         "q_pretrain_pipeline",    # embeds q_dsir_weights' total broadcasts
+        "q_kmv_setops",           # 1-row sketch-stat aggregates crossed
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():
