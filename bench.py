@@ -75,6 +75,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
         from tools.scale_corpus import ensure_scaled
 
+        # drop the sf0.1 block's persisted operator intermediates first:
+        # the 10x ladder should measure the sf1 corpus, not compete with
+        # pinned sf0.1 shingle/posting/scan caches for executor memory
+        from ironbeam_spark.operators.dedup import release_shingle_caches
+        from ironbeam_spark.operators.scan import release_scan_caches
+        from ironbeam_spark.sources.compression import release_codec_caches
+
+        release_shingle_caches()
+        release_scan_caches()
+        release_codec_caches()
+
         factor = 10
         # full bench set (round-4 verdict ask #5): super-linear drift in
         # ANY headline query is visible, not just the 8 heaviest
