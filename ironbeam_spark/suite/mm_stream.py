@@ -536,3 +536,71 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "fmt", "sample_rate", "channels", "bits", "n_frames", "sum_abs"
     ).orderBy("doc_id")
+
+
+@query(
+    "q_stream_join",
+    # Trigger.AvailableNow over a bounded source is batch-equivalent
+    # (same contract as q_stream_tumble/q_stream_session; equivalence also
+    # pytest-asserted for stream_interval_join), so the batch interval
+    # join in epoch-micros arithmetic is an exact oracle.
+    """
+    SELECT e.user_id,
+           CAST(e.event_id AS BIGINT) AS err_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS delta_us
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) <  epoch_us(e.ts) + 3600000000
+    WHERE e.user_id < 40 AND c.user_id < 40
+    ORDER BY e.user_id, err_id, click_id
+    """,
+    doc="stream-stream interval join (both sides watermarked readStreams, time-range condition so state evicts): every click within the hour after each error per user, Trigger.AvailableNow -> memory sink; oracle = the batch interval join in epoch-micros (streaming/joins.stream_interval_join; beyond reference scope)",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.joins import stream_interval_join
+
+    static = read_table(spark, sf_dir, "events")
+
+    def side(etype: str, ts_alias: str, id_alias: str) -> DataFrame:
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where((F.col("user_id") < 40) & (F.col("event_type") == etype))
+        )
+        return sdf.select(
+            "user_id",
+            to_event_time(sdf, "ts").alias(ts_alias),
+            F.col("event_id").alias(id_alias),
+        )
+
+    joined = stream_interval_join(
+        side("error", "err_time", "err_id"),
+        side("click", "click_time", "click_id"),
+        on=["user_id"],
+        left_ts="err_time",
+        right_ts="click_time",
+        lower_ms=0,
+        upper_ms=3_600_000,
+        watermark_ms=600_000,
+    ).select(
+        "user_id",
+        F.col("err_id").cast("long").alias("err_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        (F.unix_micros("click_time") - F.unix_micros("err_time")).alias("delta_us"),
+    )
+    name = "q_stream_join_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "err_id", "click_id")
