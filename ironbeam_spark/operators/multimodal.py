@@ -232,6 +232,8 @@ def decode_png_pixels(b: bytes):
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"png: CRC mismatch in {typ.decode('latin1')} chunk")
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"png: IHDR must be 13 bytes, got {len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             plte = data

@@ -435,3 +435,30 @@ def test_gif_lzw_roundtrip_any_image(w, h, bits, data):
     fmt, px = decode_image_pixels(payload)
     assert fmt == "gif"
     assert bytes(px.reshape(-1)) == bytes(c for i in indices for c in palette[i])
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_media_decoders_raise_only_valueerror(data):
+    """Dead-letter guarantee: the media decoders raise ONLY ValueError on
+    arbitrary malformed payloads (the error-column catch is `except
+    ValueError` — any other exception type would kill the whole job)."""
+    from ironbeam_spark.operators.multimodal import (
+        decode_audio_bytes,
+        decode_image_bytes,
+        decode_rvid,
+    )
+
+    magic = data.draw(
+        st.sampled_from(
+            [b"BM", b"P6", b"P3", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+             b"GIF87a", b"RIFF", b"RVID", b""]
+        )
+    )
+    body = bytes(data.draw(st.lists(st.integers(0, 255), max_size=96)))
+    payload = magic + body
+    for fn in (decode_image_bytes, decode_audio_bytes, decode_rvid):
+        try:
+            fn(payload)
+        except ValueError:
+            pass  # the sanctioned dead-letter path
