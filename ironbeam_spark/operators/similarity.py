@@ -586,6 +586,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    blocks_per_cell: int = 1,
     checkpoint_policy=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public algorithm family:
@@ -600,8 +601,14 @@ def semantic_dedup(
        that bounds the quadratic.
     2. **Pair**: within-cell pairwise exact cosine via a cell-partitioned
        equi self-join — |C|² becomes Σ_cells |cell|², and the join is
-       hash-partitioned on the cell id (hot cells are the knob: more
-       centroids → smaller cells).  Never a global all-pairs.
+       hash-partitioned on the cell id.  Never a global all-pairs.  Two
+       knobs bound the hot-cell quadratic: more centroids → smaller
+       cells, and ``blocks_per_cell`` (B > 1) switches to the classic
+       **triangle join**: every member is hashed into one of B blocks,
+       each of the B·(B+1)/2 block-pair tasks scores only its two
+       blocks' members, so the largest task shrinks from |cell|² to
+       (|cell|/B)² at a B× replication of the (id, vector) shuffle —
+       each unordered pair still scored exactly once.
     3. **Group**: pairs with ``cos_sim ≥ threshold`` feed
        :func:`~ironbeam_spark.operators.dedup.dedup_components`
        (one-shuffle label-propagation rounds, policy-checkpointed).
@@ -623,14 +630,63 @@ def semantic_dedup(
     b = assigned.select(
         F.col("_sid").alias("id_b"), F.col("_svec").alias("_vb"), "cell"
     )
+    if blocks_per_cell > 1:
+        # triangle join: deterministic block = hash(id) mod B.  A member of
+        # block p is the LOW side of tasks (p, q>p) and the HIGH side of
+        # tasks (i<p, p); same-block pairs come from the diagonal task.
+        # Every unordered cross-block pair meets in exactly one (p, q)
+        # task with fixed roles, so no pair is scored twice.
+        B = int(blocks_per_cell)
+        blk = lambda c: F.pmod(F.hash(c), F.lit(B))  # noqa: E731
+        # guard: Spark's sequence(s, e) is DESCENDING when s > e — an
+        # unguarded explode would fabricate bogus tasks for edge blocks
+        empty = F.array().cast("array<int>")
+        lo = a.withColumn("_bp", blk(F.col("id_a"))).withColumn(
+            "_bq",
+            F.explode(
+                F.when(
+                    F.col("_bp") + 1 <= F.lit(B - 1),
+                    F.sequence(F.col("_bp") + 1, F.lit(B - 1)),
+                ).otherwise(empty)
+            ),
+        )
+        hi = b.withColumn("_bq", blk(F.col("id_b"))).withColumn(
+            "_bp",
+            F.explode(
+                F.when(
+                    F.col("_bq") >= 1, F.sequence(F.lit(0), F.col("_bq") - 1)
+                ).otherwise(empty)
+            ),
+        )
+        cross = lo.join(hi, on=["cell", "_bp", "_bq"]).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("_va"))
+            .otherwise(F.col("_vb"))
+            .alias("_va"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("_vb"))
+            .otherwise(F.col("_va"))
+            .alias("_vb"),
+        )
+        diag = (
+            a.withColumn("_bp", blk(F.col("id_a")))
+            .join(b.withColumn("_bp", blk(F.col("id_b"))), on=["cell", "_bp"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "_va", "id_b", "_vb")
+        )
+        raw_pairs = cross.unionByName(diag)
+    else:
+        raw_pairs = (
+            a.join(b, on="cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "_va", "id_b", "_vb")
+        )
     # Arrow-vectorized exact cosine over the within-cell pairs: |pairs| is
     # the dominant cost (sum of |cell|^2), and the vectorized fold is
     # ~10x the interpreted lambdas while staying bit-identical to the
     # expression fold — degenerate rows score NULL and never pair.
     pairs = arrow_pair_cosine(
-        a.join(b, on="cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "_va", "id_b", "_vb"),
+        raw_pairs,
         "_va",
         "_vb",
         ["id_a", "id_b"],

@@ -258,3 +258,33 @@ def test_semantic_dedup_model(spark):
         assert out[i][0] == cells[i], i
         assert out[i][1] == find(i), i
         assert out[i][2] == (find(i) == i), i
+
+
+def test_semantic_dedup_triangle_blocks_equal_direct(spark):
+    """blocks_per_cell > 1 (triangle join) produces the IDENTICAL result
+    as the direct within-cell self-join — every unordered pair scored
+    exactly once, including edge blocks 0 and B-1."""
+    from ironbeam_spark.operators.similarity import semantic_dedup
+
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 3] = 10.0
+        v[7] = 0.01 * (i % 40 // 4)
+        return v
+
+    rng = [(i, vec(i)) for i in range(120)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    cents = [(k, [10.0 if j == k else 0.0 for j in range(8)]) for k in range(3)]
+    base = sorted(
+        map(tuple, semantic_dedup(df, cents, threshold=0.999999).collect())
+    )
+    for B in (2, 3, 5):
+        got = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    df, cents, threshold=0.999999, blocks_per_cell=B
+                ).collect(),
+            )
+        )
+        assert got == base, B
