@@ -733,3 +733,63 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_tfidf_topterms",
+    # Rational idf = (N+1)/(df+1) — the scoring-family member expressible
+    # bit-exactly cross-engine (ln is 1-ulp divergent between JVM and
+    # DuckDB libm; same documented trade as q_bm25_rational/q_dsir_weights).
+    # Per-term ranking is identical (monotone transform of log-idf).
+    """
+    WITH d AS (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+               FROM documents WHERE doc_id < 300),
+    n AS (SELECT count(*) AS nd FROM d),
+    tfx AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tfx GROUP BY doc_id, term),
+    dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq
+            FROM tfc GROUP BY term),
+    scored AS (SELECT t.doc_id, t.term,
+                      t.tf::DOUBLE * ((n.nd + 1)::DOUBLE / (dfc.dfreq + 1)::DOUBLE)
+                        AS score
+               FROM tfc t JOIN dfc ON t.term = dfc.term CROSS JOIN n),
+    ranked AS (SELECT doc_id, term, score,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY score DESC, term) AS BIGINT)
+                        AS rank
+               FROM scored)
+    SELECT doc_id, term, score, rank FROM ranked
+    WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    doc="per-document TF-IDF top terms (rational idf = (N+1)/(df+1), bit-exact cross-engine): token explode -> (doc, term) partial+final counts -> term-keyed document-frequency join -> per-doc top-3 window; the df table shuffles on term (never collected), N is the one bounded scalar (north-star text analysis)",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ironbeam_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    n_docs = docs.count()  # bounded scalar (same class as k-means centers)
+    tfc = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = tfc.join(dfc, on="term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("dfreq") + 1).cast("double"))
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )

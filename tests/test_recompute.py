@@ -174,3 +174,19 @@ def test_dsir_weights_model(spark):
     assert out[3] == (0, 0.0)
     # target-language docs should out-weigh off-target docs of similar size
     assert out[0][1] / out[0][0] > out[2][1] / out[2][0]
+
+
+def test_pretrain_pipeline_survives_cache_release(spark):
+    """The flagship composite (filter -> exact dedup -> minhash components
+    -> DSIR -> stats) is cache-residency-independent end to end."""
+    from ironbeam_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["q_pretrain_pipeline"].fn
+    ref = sorted(map(tuple, fn(spark, sf).collect()))
+    release_shingle_caches()
+    out = fn(spark, sf)
+    release_shingle_caches()
+    got = sorted(map(tuple, out.collect()))
+    assert got == ref and len(ref) > 0
+    release_shingle_caches()
