@@ -400,3 +400,51 @@ def test_rocksdb_changelog_batch_equivalence_property(spark):
             shutil.rmtree(src, ignore_errors=True)
 
     run()
+
+
+def test_stream_interval_join_rocksdb_matches_default(spark):
+    """The stream-stream interval join is provider-portable: identical
+    output under the default and RocksDB (changelog) state stores."""
+    from ironbeam_spark.streaming.joins import stream_interval_join
+    from ironbeam_spark.streaming.stateful import rocksdb_state_store
+
+    from ironbeam_spark.operators.windowing import to_event_time
+
+    def prep(df, ts_alias, id_alias, etype):
+        return (
+            df.where(F.col("event_type") == etype)
+            .withColumn("event_time", to_event_time(df, "ts"))
+            .select(
+                "user_id",
+                F.col("event_time").alias(ts_alias),
+                F.col("event_id").alias(id_alias),
+            )
+        )
+
+    results = {}
+    for provider in ("default", "rocksdb"):
+        def run():
+            sdf, _ = _events_stream(spark)
+            out = stream_interval_join(
+                prep(sdf.where("user_id < 25"), "err_time", "err_id", "error"),
+                prep(sdf.where("user_id < 25"), "click_time", "click_id", "click"),
+                on=["user_id"],
+                left_ts="err_time",
+                right_ts="click_time",
+                lower_ms=0,
+                upper_ms=3_600_000,
+                watermark_ms=600_000,
+            ).select("user_id", "err_id", "click_id")
+            _run_to_memory(out, f"t_ij_{provider}", "append")
+            return {
+                (r.user_id, r.err_id, r.click_id)
+                for r in spark.table(f"t_ij_{provider}").collect()
+            }
+
+        if provider == "rocksdb":
+            with rocksdb_state_store(spark):
+                results[provider] = run()
+        else:
+            results[provider] = run()
+    assert results["default"] == results["rocksdb"]
+    assert len(results["default"]) > 0
