@@ -219,13 +219,17 @@ def dsir_importance_weights(
     ratio = (
         raw_c.join(tgt_c, on="_f", how="left")
         .join(F.broadcast(raw_tot), on="_k")
-        .join(F.broadcast(tgt_tot), on="_k")
+        # LEFT join: an EMPTY target produces zero total rows, and an inner
+        # join here would silently drop every ratio row (zeroing weights
+        # AND n_feats); with tt=0 the smoothing degenerates to the uniform
+        # p_t = 1/buckets, which is the sensible no-information answer
+        .join(F.broadcast(tgt_tot), on="_k", how="left")
         .select(
             "_f",
             (
                 (
                     (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)).cast("double")
-                    / (F.col("_tt") + B)
+                    / (F.coalesce(F.col("_tt"), F.lit(0)) + B)
                 )
                 / (
                     (F.col("_cr") + F.lit(1)).cast("double") / (F.col("_tr") + B)

@@ -113,3 +113,21 @@ def test_bpe_registry_query_runs(spark):
     assert len(out) > 0
     for r in out:
         assert r.n_bpe_tokens >= r.n_words  # every word is >= 1 token
+
+
+def test_bpe_empty_and_degenerate_corpora(spark):
+    """Empty corpus -> no merges; single-char words still terminate with
+    the (char, </w>) merge; num_merges=0 is a no-op; segmentation with an
+    empty merge table is pure char+EOW."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, "text", 5) == []
+
+    tiny = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    merges = bpe_train(tiny, "text", 5)
+    assert ("a", EOW) in merges  # the only pair with count >= 2
+
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    assert bpe_train(df, "text", 0) == []
+    seg = bpe_segment(df, "doc_id", "text", []).collect()[0]
+    assert (seg.n_words, seg.n_bpe_tokens) == (2, 6)  # a|b|</w> twice
+    assert seg.first_tokens == "a|b|" + EOW

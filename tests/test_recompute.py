@@ -190,3 +190,20 @@ def test_pretrain_pipeline_survives_cache_release(spark):
     got = sorted(map(tuple, out.collect()))
     assert got == ref and len(ref) > 0
     release_shingle_caches()
+
+
+def test_dsir_empty_target_and_empty_corpus(spark):
+    """An empty target degenerates to uniform-ish smoothed weights (no
+    crash, no div-by-zero); an empty corpus yields an empty result."""
+    from ironbeam_spark.operators.sampling import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f")], "doc_id long, text string"
+    )
+    out = dsir_importance_weights(
+        df, df.where("doc_id < 0"), "doc_id", "text", buckets=16
+    ).collect()
+    assert len(out) == 2 and all(r.dsir_weight > 0 for r in out)
+
+    empty = df.where("doc_id < 0")
+    assert dsir_importance_weights(empty, empty, "doc_id", "text").count() == 0

@@ -288,3 +288,20 @@ def test_semantic_dedup_triangle_blocks_equal_direct(spark):
             )
         )
         assert got == base, B
+
+
+def test_semantic_dedup_no_pairs_and_empty_input(spark):
+    """Above-threshold-free inputs keep everything; empty input yields an
+    empty frame with the contract schema."""
+    from ironbeam_spark.operators.similarity import semantic_dedup
+
+    rng = [(i, [1.0 if j == i % 8 else 0.0 for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    cents = [(0, rng[0][1]), (1, rng[1][1])]
+    out = semantic_dedup(df, cents, threshold=0.9999999).collect()
+    assert len(out) == 8 and all(r.keep for r in out)
+
+    empty = df.where("vec_id < 0")
+    res = semantic_dedup(empty, cents)
+    assert res.columns == ["vec_id", "cell", "component", "keep"]
+    assert res.count() == 0
