@@ -208,7 +208,8 @@ def bpe_segment(
                 rows, columns=[id_col, "n_words", "n_bpe_tokens", "first_tokens"]
             )
 
+    id_dt = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         run,
-        f"{id_col} long, n_words long, n_bpe_tokens long, first_tokens string",
+        f"{id_col} {id_dt}, n_words long, n_bpe_tokens long, first_tokens string",
     )

@@ -135,6 +135,12 @@ def _ppm_tokens(b: bytes):
             i = j
 
 
+# Decompression-bomb guard shared by the compressed-image decoders: a
+# corrupt ~35-byte header must not be able to command a multi-GB canvas
+# (MemoryError would ESCAPE the dead-letter ValueError catch and kill the
+# task).  2^26 pixels = 192 MB of RGB — far above any sane training image.
+MAX_IMAGE_PIXELS = 1 << 26
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -256,12 +262,18 @@ def decode_png_pixels(b: bytes):
         raise ValueError(f"png: unknown color type {ctype}")
     if w <= 0 or h <= 0:
         raise ValueError("png: bad dimensions")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(f"png: {w}x{h} exceeds MAX_IMAGE_PIXELS")
+    stride = w * channels
+    expected_raw = (stride + 1) * h
+    # bounded inflate: never allocate more than the declared pixel buffer
+    # (+1 to detect overflow) no matter what the zlib stream claims
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected_raw + 1)
     except zlib.error as e:
         raise ValueError(f"png: IDAT inflate failed ({e})") from e
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != expected_raw or (dec.unconsumed_tail and len(raw) >= expected_raw):
         raise ValueError("png: pixel data size mismatch")
     px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if ctype == 2:
@@ -434,6 +446,8 @@ def decode_gif_pixels(b: bytes):
     flags, bg = b[10], b[11]
     if W == 0 or H == 0:
         raise ValueError("gif: bad dimensions")
+    if W * H > MAX_IMAGE_PIXELS:
+        raise ValueError(f"gif: {W}x{H} exceeds MAX_IMAGE_PIXELS")
     pos, gct = 13, None
     if flags & 0x80:
         sz = 2 ** ((flags & 7) + 1)
@@ -481,6 +495,11 @@ def decode_gif_pixels(b: bytes):
             if pos >= len(b):
                 raise ValueError("gif: unterminated image data")
             pos += 1
+            # a 4096-entry LZW dictionary cannot legitimately expand one
+            # code to more than 4096 pixels — anything past that ratio is
+            # a bomb, not an image
+            if fw * fh > max(len(data), 1) * 4096:
+                raise ValueError("gif: declared frame exceeds LZW expansion bound")
             idx = np.array(
                 _gif_lzw_decode(bytes(data), min_code, fw * fh), np.int32
             )
@@ -664,10 +683,15 @@ def encode_wav_g711(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _g711_luts():
     """256-entry expansion tables for ITU-T G.711 µ-law / A-law, built from
     the spec's segment/mantissa formulas (the classic telecom reference
-    code): µ-law max magnitude 32124, A-law max 32256."""
+    code): µ-law max magnitude 32124, A-law max 32256.  Cached — the
+    decoder calls this once per audio ROW."""
     import numpy as np
 
     ulaw = np.empty(256, np.int16)

@@ -175,10 +175,16 @@ def dsir_importance_weights(
 
     Returns ``(id, n_feats, dsir_weight)`` — one row per raw doc;
     feature-less docs weigh 0.0."""
+    from ironbeam_spark.functions.hof import let_
     from ironbeam_spark.functions.text import token_int, tokens
     from ironbeam_spark.operators.dedup import SHINGLE_MOD
 
     def feats(df: DataFrame) -> DataFrame:
+        # let_-bind the md5 token-hash array (same reason as
+        # dedup.hashed_word_shingles): every size()/get() reference below
+        # would otherwise embed its own copy of the md5 pass, and these
+        # interpreted lambdas re-evaluate per reference — on a 100 TB raw
+        # scan that multiplies the dominant hashing work several-fold
         token_hashes = F.transform(tokens(text_col), lambda t: token_int(t))
 
         def build(tis: Column) -> Column:
@@ -198,7 +204,7 @@ def dsir_importance_weights(
             ).otherwise(F.array().cast("array<bigint>"))
 
         return df.select(
-            F.col(id_col), F.explode(build(token_hashes)).alias("_f")
+            F.col(id_col), F.explode(let_(token_hashes, build)).alias("_f")
         )
 
     raw_f = feats(docs)

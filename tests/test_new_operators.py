@@ -1207,3 +1207,58 @@ def test_gif_corrupt_payloads_dead_letter(spark):
     rows = {r.doc_id: r for r in decode_image(df, "doc_id", "blob").collect()}
     assert rows[1].fmt == "gif" and rows[1].error is None
     assert rows[2].fmt is None and rows[2].error is not None
+
+
+def test_image_bomb_headers_raise_valueerror():
+    """Decompression-bomb guards: a tiny payload declaring a huge canvas
+    raises ValueError (dead-letter) instead of attempting a multi-GB
+    allocation that would MemoryError past the error-column catch."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ironbeam_spark.operators.multimodal import decode_image_pixels
+
+    # GIF: 65535x65535 logical screen from ~40 bytes
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+    gif += bytes(6)  # 2-entry color table
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_image_pixels(bytes(gif) + b"\x2c" + bytes(10))
+
+    # GIF: sane canvas but frame pixel count far beyond any LZW expansion
+    gif2 = bytearray(b"GIF89a")
+    gif2 += struct.pack("<HHBBB", 8000, 8000, 0x80, 0, 0)
+    gif2 += bytes(6)
+    gif2 += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8000, 8000, 0)
+    gif2 += bytes([2, 1, 0x00, 0x00])  # min_code + one tiny sub-block + end
+    gif2 += b"\x3b"
+    with pytest.raises(ValueError, match="LZW expansion"):
+        decode_image_pixels(bytes(gif2))
+
+    # PNG: huge declared dims
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_image_pixels(png)
+
+    # PNG: sane dims but the zlib stream inflates past the pixel buffer
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_image_pixels(png2)
