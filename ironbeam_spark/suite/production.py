@@ -544,3 +544,44 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@query(
+    "q_webdataset",
+    # Exact oracle: the tar shards are REALLY written (stdlib-tar members,
+    # one shard per partition, atomic commit) from documents and REALLY
+    # parsed back; per-sample stats must match what the source table says
+    # byte for byte.
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           lang,
+           CAST(2 AS BIGINT) AS n_fields
+    FROM documents WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="WebDataset-style tar-shard ingestion (the de-facto layout for large multimodal training corpora): one shard per partition with atomic commit, stdlib-tar member walk via Arrow-batched mapInPandas, sample regrouping into a field->payload map; per-sample byte/field stats verified against the source table (sources/tar.py; north-star sources)",
+)
+def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.tar import (
+        read_tar_members,
+        webdataset_samples,
+        write_tar_shards,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .df.where(F.col("doc_id") < 200)
+        .select("doc_id", F.col("text").alias("txt"), F.col("lang").alias("meta"))
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_wds_q_")
+    write_tar_shards(docs.repartition(4), path, "doc_id", ["txt", "meta"])
+    samples = webdataset_samples(read_tar_members(spark, path))
+    return samples.select(
+        F.col("sample").cast("long").alias("doc_id"),
+        F.octet_length(F.col("fields")["txt"]).cast("long").alias("txt_bytes"),
+        F.decode(F.col("fields")["meta"], "UTF-8").alias("lang"),
+        F.size(F.map_keys(F.col("fields"))).cast("long").alias("n_fields"),
+    ).orderBy("doc_id")
