@@ -1262,3 +1262,17 @@ def test_image_bomb_headers_raise_valueerror():
     )
     with pytest.raises(ValueError, match="size mismatch"):
         decode_image_pixels(png2)
+
+
+def test_dedup_components_long_chain_converges_within_max_iter(spark):
+    """A 120-node chain has diameter 119 — pure label propagation could
+    never finish inside max_iter=25, so this converging correctly PROVES
+    the pointer-jumping rounds are O(log diameter)."""
+    from ironbeam_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    out = {r.node: r.component for r in dedup_components(pairs).collect()}
+    assert len(out) == 120
+    assert all(c == 0 for c in out.values())

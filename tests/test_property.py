@@ -462,3 +462,43 @@ def test_media_decoders_raise_only_valueerror(data):
             fn(payload)
         except ValueError:
             pass  # the sanctioned dead-letter path
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tar_shard_roundtrip_property(spark, data):
+    """write_tar_shards -> read_tar_members round-trips ANY binary/unicode
+    payload mix byte for byte, across partitionings."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ironbeam_spark.sources.tar import read_tar_members, write_tar_shards
+
+    n = data.draw(st.integers(1, 12))
+    rows = [
+        (
+            i,
+            bytes(data.draw(st.lists(st.integers(0, 255), max_size=64))),
+            data.draw(st.text(max_size=24)),
+        )
+        for i in range(n)
+    ]
+    out = tempfile.mkdtemp(prefix=f"ironbeam_tarprop_{uuid.uuid4().hex[:6]}_")
+    try:
+        df = spark.createDataFrame(
+            rows, "k long, blob binary, txt string"
+        ).repartition(data.draw(st.integers(1, 4)))
+        write_tar_shards(df, out, "k", ["blob", "txt"])
+        got = {
+            (r.sample, r.field): bytes(r.payload)
+            for r in read_tar_members(spark, out).collect()
+        }
+        for k, blob, txt in rows:
+            if len(blob):
+                assert got[(str(k), "blob")] == blob
+            if txt:
+                assert got[(str(k), "txt")] == txt.encode("utf-8")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
