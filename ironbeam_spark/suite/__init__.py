@@ -60,7 +60,7 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #   r5->r6 (planned): rotate in the round-5 additions (q_audio_decode,
 #           q_semantic_dedup, q_dsir_weights, q_bpe_tokenize,
 #           q_pretrain_pipeline, q_kmv_setops, q_stream_join,
-#           q_tfidf_topterms, q_webdataset, and any
+#           q_tfidf_topterms, q_webdataset, q_tar_image_pipeline, and any
 #           query added after
 #           this comment) once the r5 window queries have their driver
 #           rows.

@@ -604,3 +604,69 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "err_id", "click_id")
+
+
+@query(
+    "q_tar_image_pipeline",
+    # Exact oracle: PNG payloads are generated from the same closed-form
+    # pixel formula as q_image_decode, REALLY encoded, packed into REAL
+    # tar shards (one per partition, atomic commit), read back through
+    # the WebDataset member walk, and REALLY decoded — per-sample channel
+    # sums must match the analytical formula end to end.  This chains the
+    # tar source and the PNG codec the way a multimodal training-data
+    # ingestion job actually runs.
+    """
+    WITH params AS (
+      SELECT doc_id, doc_id % 251 AS seed,
+             1 + doc_id % 8 AS w, 1 + doc_id % 6 AS h
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT doc_id, 'png' AS fmt,
+      CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+           p -> (seed + 3*p) % 256)) AS BIGINT) AS sum_r,
+      CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+           p -> (seed + 3*p + 1) % 256)) AS BIGINT) AS sum_g,
+      CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+           p -> (seed + 3*p + 2) % 256)) AS BIGINT) AS sum_b
+    FROM params ORDER BY doc_id
+    """,
+    doc="multimodal WebDataset ingestion composite: closed-form pixels -> real PNG files -> real tar shards (atomic per-partition commit) -> member walk -> sample regroup -> pure-Python PNG decode -> channel sums vs the analytical oracle (sources/tar.py + operators/multimodal; north-star multimodal sources)",
+)
+def q_tar_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.operators.multimodal import decode_image
+    from ironbeam_spark.sources.tar import (
+        read_tar_members,
+        webdataset_samples,
+        write_tar_shards,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, w, h = did % 251, 1 + did % 8, 1 + did % 6
+                rgb = bytes((seed + i) % 256 for i in range(w * h * 3))
+                rows.append((did, encode_png(w, h, rgb)))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, png binary")
+    path = tempfile.mkdtemp(prefix="ironbeam_tarimg_q_")
+    write_tar_shards(blobs.repartition(4), path, "doc_id", ["png"])
+    samples = webdataset_samples(read_tar_members(spark, path)).select(
+        F.col("sample").cast("long").alias("doc_id"),
+        F.col("fields")["png"].alias("payload"),
+    )
+    out = decode_image(samples, "doc_id", "payload")
+    return out.select(
+        "doc_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b"
+    ).orderBy("doc_id")
