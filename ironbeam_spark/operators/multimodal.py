@@ -273,7 +273,10 @@ def decode_png_pixels(b: bytes):
         raw = dec.decompress(b"".join(idat), expected_raw + 1)
     except zlib.error as e:
         raise ValueError(f"png: IDAT inflate failed ({e})") from e
-    if len(raw) != expected_raw or (dec.unconsumed_tail and len(raw) >= expected_raw):
+    if len(raw) != expected_raw or not dec.eof:
+        # not dec.eof also rejects truncated zlib streams that happen to
+        # inflate to exactly the pixel-buffer size (missing final block /
+        # adler32 trailer) AND streams with data beyond the buffer
         raise ValueError("png: pixel data size mismatch")
     px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if ctype == 2:

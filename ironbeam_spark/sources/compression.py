@@ -159,6 +159,49 @@ def _shard_extensions() -> tuple[str, ...]:
     return tuple({c.extension for c in _REGISTRY.values()})
 
 
+def _prepare_shard_dir(
+    path: str, mode: str, sweep_suffixes: tuple[str, ...]
+) -> str | None:
+    """Shared mode semantics for the partition-parallel shard sinks:
+    validates ``mode``, sweeps stale shards (every suffix in
+    ``sweep_suffixes``) plus orphaned ``.inprogress-`` temps on overwrite,
+    raises/ignores per mode, and returns the append token ('' for
+    non-append, ``None`` to signal ignore-mode early exit)."""
+    import uuid
+
+    modes = {"overwrite", "append", "error", "errorifexists", "ignore"}
+    if mode not in modes:
+        raise ValueError(f"mode must be one of {sorted(modes)}, got {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if f.endswith(sweep_suffixes)]
+    if mode == "overwrite":
+        for f in existing + [
+            f for f in os.listdir(path)
+            if f.startswith(".") and ".inprogress-" in f
+        ]:
+            os.remove(os.path.join(path, f))
+    elif mode in ("error", "errorifexists") and existing:
+        raise FileExistsError(f"shards already exist at {path} (mode={mode})")
+    elif mode == "ignore" and existing:
+        return None
+    return f"-{uuid.uuid4().hex[:8]}" if mode == "append" else ""
+
+
+def _commit_shard(out_dir: str, final_name: str, payload: bytes) -> None:
+    """Hidden per-attempt temp + atomic rename (Hadoop's task-commit
+    pattern): a mid-write death leaves only an ignored dotfile; racing
+    speculative attempts each rename a COMPLETE payload over the same
+    final name."""
+    import uuid
+
+    tmp = os.path.join(
+        out_dir, f".{final_name}.inprogress-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.rename(tmp, os.path.join(out_dir, final_name))
+
+
 def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
     """Shared scaffold for the partition-parallel compressed sinks: mode
     semantics, stale-shard cleanup, append-token naming, and the
@@ -176,40 +219,21 @@ def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
     duplicate attempt racing the original, can only ever leave a
     dot-prefixed temp file — which Spark's file index ignores — never a
     torn shard under its final name."""
-    import uuid
-
     c = codec_for(codec)
     if c is None:
         raise ValueError(f"unknown codec {codec!r}; registered: {sorted(_REGISTRY)}")
-    modes = {"overwrite", "append", "error", "errorifexists", "ignore"}
-    if mode not in modes:
-        raise ValueError(f"mode must be one of {sorted(modes)}, got {mode!r}")
     ext = c.extension
-    os.makedirs(path, exist_ok=True)
     # any file with a registered codec extension counts — readers decode
     # EVERY file binaryFile finds, so a hand-copied data.gz is just as able
     # to poison an overwrite-then-read as a stale part- shard
-    all_exts = _shard_extensions()
-    existing = [
-        f for f in os.listdir(path) if f.endswith(tuple(f".{e}" for e in all_exts))
-    ]
-    if mode == "overwrite":
-        # also sweep orphaned in-progress temps from crashed prior attempts
-        for f in existing + [
-            f for f in os.listdir(path)
-            if f.startswith(".") and ".inprogress-" in f
-        ]:
-            os.remove(os.path.join(path, f))
-    elif mode in ("error", "errorifexists") and existing:
-        raise FileExistsError(f"shards already exist at {path} (mode={mode})")
-    elif mode == "ignore" and existing:
+    token = _prepare_shard_dir(
+        path, mode, tuple(f".{e}" for e in _shard_extensions())
+    )
+    if token is None:
         return 0
-    token = f"-{uuid.uuid4().hex[:8]}" if mode == "append" else ""
     out = path
 
     def write_partition(batches: Iterator) -> Iterator:
-        import uuid as _uuid
-
         import pandas as pd
         from pyspark import TaskContext
 
@@ -217,18 +241,11 @@ def _shard_sink(df: DataFrame, path: str, codec: str, mode: str, render) -> int:
         buf = io.StringIO()
         n = render(batches, buf)
         if n:
-            payload = c.compress(buf.getvalue().encode("utf-8"))
-            final = os.path.join(out, f"part-{pid:05d}{token}.{ext}")
-            # hidden per-attempt temp + atomic rename: a mid-write death
-            # leaves only an ignored dotfile; racing speculative attempts
-            # each rename a COMPLETE payload over the same final name
-            tmp = os.path.join(
+            _commit_shard(
                 out,
-                f".part-{pid:05d}{token}.inprogress-{_uuid.uuid4().hex[:8]}",
+                f"part-{pid:05d}{token}.{ext}",
+                c.compress(buf.getvalue().encode("utf-8")),
             )
-            with open(tmp, "wb") as f:
-                f.write(payload)
-            os.rename(tmp, final)
         yield pd.DataFrame({"written": [n]})
 
     counts = df.mapInPandas(write_partition, "written long").collect()

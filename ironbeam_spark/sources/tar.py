@@ -50,29 +50,16 @@ def write_tar_shards(
     ``{key}.{field}`` members, one per column in ``field_cols`` (binary or
     string; strings are UTF-8 encoded).  Returns the number of shards
     written (empty partitions write nothing)."""
-    import uuid
+    from ironbeam_spark.sources.compression import _commit_shard, _prepare_shard_dir
 
-    if mode not in ("overwrite", "append", "error", "errorifexists", "ignore"):
-        raise ValueError(f"bad mode {mode!r}")
-    os.makedirs(path, exist_ok=True)
-    existing = [f for f in os.listdir(path) if f.endswith(".tar")]
-    if mode == "overwrite":
-        for f in existing + [
-            f for f in os.listdir(path)
-            if f.startswith(".") and ".inprogress-" in f
-        ]:
-            os.remove(os.path.join(path, f))
-    elif mode in ("error", "errorifexists") and existing:
-        raise FileExistsError(f"tar shards already exist at {path}")
-    elif mode == "ignore" and existing:
+    token = _prepare_shard_dir(path, mode, (".tar",))
+    if token is None:
         return 0
-    token = f"-{uuid.uuid4().hex[:8]}" if mode == "append" else ""
     out_dir = path
     cols = [key_col, *field_cols]
 
     def write_partition(batches: Iterator) -> Iterator:
         import tarfile
-        import uuid as _uuid
 
         import pandas as pd
         from pyspark import TaskContext
@@ -85,26 +72,35 @@ def write_tar_shards(
             for pdf in batches:
                 for vals in zip(*(pdf[c] for c in safe)):
                     key, fields = str(vals[0]), vals[1:]
+                    # '.' would corrupt the first-dot sample/field split on
+                    # read-back (sample 'v1.2' comes back as 'v1'); '/'
+                    # would read back as a path component.  Fail loudly at
+                    # write time — silent regrouping is the worse outcome.
+                    if "." in key or "/" in key:
+                        raise ValueError(
+                            f"tar sample key {key!r} must not contain '.' or '/'"
+                        )
                     for field, v in zip(field_cols, fields):
                         if v is None:
                             continue
-                        payload = (
-                            v.encode("utf-8") if isinstance(v, str) else bytes(v)
-                        )
+                        if isinstance(v, str):
+                            payload = v.encode("utf-8")
+                        elif isinstance(v, (bytes, bytearray, memoryview)):
+                            payload = bytes(v)
+                        else:
+                            # bytes(np.int64(5)) is FIVE ZERO BYTES — an
+                            # unchecked cast would silently destroy data
+                            raise ValueError(
+                                f"field {field!r} must be string or binary, "
+                                f"got {type(v).__name__}"
+                            )
                         info = tarfile.TarInfo(name=f"{key}.{field}")
                         info.size = len(payload)
                         info.mtime = 0  # fixed: shard bytes are reproducible
                         tf.addfile(info, io.BytesIO(payload))
                         n += 1
         if n:
-            final = os.path.join(out_dir, f"part-{pid:05d}{token}.tar")
-            tmp = os.path.join(
-                out_dir,
-                f".part-{pid:05d}{token}.inprogress-{_uuid.uuid4().hex[:8]}",
-            )
-            with open(tmp, "wb") as f:
-                f.write(buf.getvalue())
-            os.rename(tmp, final)
+            _commit_shard(out_dir, f"part-{pid:05d}{token}.tar", buf.getvalue())
         yield pd.DataFrame({"written": [1 if n else 0]})
 
     # backtick-quote so dotted field names (e.g. 'seg.json') resolve as
@@ -142,8 +138,11 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
+            # one yielded frame PER SHARD: peak executor memory stays at a
+            # single shard's members even when binaryFile packs many whole
+            # shards into one Arrow batch
             for shard, blob in zip(pdf["path"], pdf["content"]):
+                rows = []
                 try:
                     with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
                         for m in tf:
@@ -155,9 +154,9 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
                             rows.append((shard, sample, field, payload))
                 except tarfile.TarError as e:
                     raise ValueError(f"tar: corrupt shard {shard}: {e}") from e
-            yield pd.DataFrame(
-                rows, columns=["shard", "sample", "field", "payload"]
-            )
+                yield pd.DataFrame(
+                    rows, columns=["shard", "sample", "field", "payload"]
+                )
 
     return files.mapInPandas(
         walk, "shard string, sample string, field string, payload binary"
@@ -167,10 +166,19 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
 def webdataset_samples(members: DataFrame) -> DataFrame:
     """Regroup member rows into one row per sample:
     ``(sample string, fields map<string, binary>)`` with map entries sorted
-    by field name (deterministic downstream hashing).  One hash shuffle on
-    the sample key."""
+    by field name (deterministic downstream hashing).
+
+    Duplicate ``(sample, field)`` members — two shards carrying the same
+    sample, or an append-mode re-write — are deduped FIRST with a
+    deterministic min-payload winner: Spark's default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` would otherwise throw at
+    runtime inside ``map_from_entries`` (same pitfall as
+    ``PCollection.to_dict``).  Two hash shuffles on the sample key."""
+    deduped = members.groupBy("sample", "field").agg(
+        F.min("payload").alias("payload")
+    )
     return (
-        members.groupBy("sample")
+        deduped.groupBy("sample")
         .agg(
             F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("field", "payload")))

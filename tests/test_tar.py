@@ -89,3 +89,57 @@ def test_tar_multidot_field_names(spark, tmp_path):
     r = read_tar_members(spark, out).collect()[0]
     assert (r.sample, r.field) == ("5", "seg.json")
     assert bytes(r.payload) == b"\x01\x02"
+
+
+def test_tar_dedup_and_key_field_validation(spark, tmp_path):
+    """Duplicate (sample, field) members dedupe with a deterministic
+    min-payload winner (no DUPLICATED_MAP_KEY crash); keys containing '.'
+    or '/' and non-string/binary fields fail loudly at write time."""
+    out = str(tmp_path / "dups")
+    df = _df(spark, 6)
+    write_tar_shards(df, out, "doc_id", ["txt"])
+    write_tar_shards(df, out, "doc_id", ["txt"], mode="append")
+    samples = webdataset_samples(read_tar_members(spark, out)).collect()
+    assert len(samples) == 6
+    for r in samples:
+        assert bytes(r.fields["txt"]).startswith(b"text of doc")
+
+    bad_key = spark.createDataFrame([("v1.2", "x")], "k string, txt string")
+    with pytest.raises(Exception, match="must not contain"):
+        write_tar_shards(bad_key, str(tmp_path / "k"), "k", ["txt"])
+
+    bad_field = spark.createDataFrame([(1, 5)], "k long, num long")
+    with pytest.raises(Exception, match="string or binary"):
+        write_tar_shards(bad_field, str(tmp_path / "f"), "k", ["num"])
+
+
+def test_png_truncated_zlib_stream_dead_letters():
+    """A zlib stream cut after the final deflate block (inflates to exactly
+    the pixel-buffer size, but no stream terminator) must dead-letter."""
+    import struct
+    import zlib
+
+    from ironbeam_spark.operators.multimodal import decode_image_pixels, encode_png
+
+    w, h = 4, 3
+    rgb = bytes((i * 11) % 256 for i in range(w * h * 3))
+    raw = b"".join(b"\x00" + rgb[y * w * 3 : (y + 1) * w * 3] for y in range(h))
+    comp = zlib.compressobj()
+    body = comp.compress(raw) + comp.flush(zlib.Z_SYNC_FLUSH)  # no Z_FINISH
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_image_pixels(png)
+    # and the honest encoder still round-trips
+    assert decode_image_pixels(encode_png(w, h, rgb))[0] == "png"
