@@ -34,6 +34,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n, q in QUERIES.items() if q.bench]
+
+    # Session bring-up OUTSIDE the per-query cold numbers: first parquet
+    # read (Hadoop FS + footer machinery), whole-stage-codegen bootstrap,
+    # and the Python-worker pool for Arrow-batched operators.  On a real
+    # cluster these are cluster-start costs, not query costs; without this
+    # the first query in the list gets billed ~5s of JVM warm-up (round-5
+    # lesson: q_token_packing led the list and its cold number tripled).
+    t0 = time.perf_counter()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.createDataFrame([(1,)], "a int").mapInPandas(
+        lambda it: it, "a int"
+    ).count()
+    print(f"# session bring-up: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+
     cold: dict[str, float] = {}
     for name in names:  # warm-up pass (untimed headline; cold recorded apart)
         t0 = time.perf_counter()
@@ -55,14 +69,23 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # The driver captures only the TAIL of stdout (~2,000 chars) and parses
+    # the last line as JSON.  Round 5's line — warm + cold + the full sf1
+    # ladder — overflowed that capture and the driver recorded
+    # "parsed": null, so the headline payload is now the MINIMAL contract
+    # dict only; cold and sf1 detail go to stderr (per-query lines) and the
+    # BENCH_DETAIL.json sidecar next to this script.
     payload = {
         "metric": "headline_suite_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "sf": sf,
+    }
+    detail = {
+        **payload,
         "cold_queries": cold,
         "cold_value": round(sum(cold.values()), 3),
-        "sf": sf,
     }
 
     # --- scale ladder: the most expensive queries at 10× the data --------
@@ -111,14 +134,27 @@ def main() -> None:
                 f"{ratios[name]:.2f}x linear)",
                 file=sys.stderr,
             )
-        payload["sf1"] = {
+        detail["sf1"] = {
             "factor": factor,
             "value": round(sum(times1.values()), 3),
             "queries": times1,
             "scale_ratio": ratios,
         }
+        print(
+            f"# sf1 total: {detail['sf1']['value']:.3f}s over {len(ladder)} "
+            f"queries, worst linear ratio "
+            f"{max(ratios.values()):.3f}x ({max(ratios, key=ratios.get)})",
+            file=sys.stderr,
+        )
 
-    print(json.dumps(payload))
+    with open(Path(_REPO) / "BENCH_DETAIL.json", "w") as fh:
+        json.dump(detail, fh, indent=1)
+    line = json.dumps(payload)
+    if len(line) >= 1900:  # never hand the driver a truncated dict: the
+        # per-query map is in BENCH_DETAIL.json; the headline number survives
+        payload["queries"] = {"see": "BENCH_DETAIL.json"}
+        line = json.dumps(payload)
+    print(line)
 
     # hygiene: the dedup/similarity operators persist intermediate tables
     # (shingles, posting lists) that CacheManager reuses across the timed

@@ -15,11 +15,13 @@ metadata struct built here (``byte_len``, ``sha256``, ``modality``,
   Paeth, 8-bit gray / truecolor / palette / alpha color types, chunk CRC
   verified), and **GIF** (87a/89a: pure-Python variable-width LZW,
   interlacing, local/global color tables — still-image projection of the
-  first frame); :func:`decode_audio` parses **PCM WAV** (RIFF/fmt/data)
-  plus ITU-T **G.711** µ-law/A-law companded WAV.
-  Formats whose codecs genuinely need native libraries (JPEG/MP3/...)
-  surface a per-row ``error`` column (dead-letter convention, like
-  ``operators/dead_letter.try_map``) rather than failing the job;
+  first frame), and **baseline JPEG** (SOF0/SOF1 Huffman sequential — see
+  :mod:`ironbeam_spark.operators.jpeg`); :func:`decode_audio` parses
+  **PCM WAV** (RIFF/fmt/data) plus ITU-T **G.711** µ-law/A-law companded
+  WAV.  Formats/profiles that remain out of reach without native libraries
+  (progressive JPEG, MP3/...) surface a per-row ``error`` column
+  (dead-letter convention, like ``operators/dead_letter.try_map``) rather
+  than failing the job;
 - ``fake_decode_features`` remains the format-free deterministic stand-in
   (pure byte arithmetic, reproducible in SQL).
 
@@ -81,10 +83,10 @@ def blob_metadata(blob: Column, modality: str, content_type: str) -> Column:
 # --------------------------------------------------------------- image codecs
 # Implemented from the public format specs (Windows BMP file format docs;
 # netpbm PPM spec; PNG per RFC 2083 / ISO 15948 — stdlib zlib hosts the
-# inflate; GIF87a/89a with a pure-Python variable-width LZW).  Scope:
-# every interchange format this container can decode without native libs.
-# JPEG stays behind the error column — entropy decode + IDCT require a
-# native codec to be anything but a tarpit.
+# inflate; GIF87a/89a with a pure-Python variable-width LZW; baseline JPEG
+# via operators/jpeg.py).  Scope: every interchange format this container
+# can decode without native libs.  Progressive JPEG / MP3 stay behind the
+# error column.
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -613,9 +615,13 @@ def decode_image_pixels(b: bytes):
         return "png", decode_png_pixels(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif", decode_gif_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        from ironbeam_spark.operators.jpeg import decode_jpeg_pixels
+
+        return "jpeg", decode_jpeg_pixels(b)
     raise ValueError(
-        "unsupported image format (magic %r): only BMP/PPM/PNG/GIF decode without PIL"
-        % (bytes(b[:2]),)
+        "unsupported image format (magic %r): only BMP/PPM/PNG/GIF/JPEG(baseline) "
+        "decode without PIL" % (bytes(b[:2]),)
     )
 
 

@@ -179,7 +179,7 @@ def dsir_importance_weights(
     from ironbeam_spark.functions.text import token_int, tokens
     from ironbeam_spark.operators.dedup import SHINGLE_MOD
 
-    def feats(df: DataFrame) -> DataFrame:
+    def feats(df: DataFrame, with_id: bool = True) -> DataFrame:
         # let_-bind the md5 token-hash array (same reason as
         # dedup.hashed_word_shingles): every size()/get() reference below
         # would otherwise embed its own copy of the md5 pass, and these
@@ -203,12 +203,14 @@ def dsir_importance_weights(
                 ),
             ).otherwise(F.array().cast("array<bigint>"))
 
-        return df.select(
-            F.col(id_col), F.explode(let_(token_hashes, build)).alias("_f")
-        )
+        ex = F.explode(let_(token_hashes, build)).alias("_f")
+        # the target side is counted only — requiring id_col there would
+        # reject any target corpus whose schema lacks the raw corpus's id
+        # column (round-6 ADVICE); any frame with text_col works as target
+        return df.select(F.col(id_col), ex) if with_id else df.select(ex)
 
     raw_f = feats(docs)
-    tgt_f = feats(target)
+    tgt_f = feats(target, with_id=False)
 
     def counts(fdf: DataFrame, name: str) -> DataFrame:
         return fdf.groupBy("_f").agg(F.count(F.lit(1)).alias(name))

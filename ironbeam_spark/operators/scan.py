@@ -6,14 +6,19 @@ even warns).  At 100 TB that is not slow, it is impossible.  This module
 implements the classic two-pass parallel scan instead:
 
 1. ``repartitionByRange`` + ``sortWithinPartitions`` puts each task on a
-   contiguous, ordered slice of the total order.
-2. The slice id is STAMPED INTO THE DATA (one ``mapInArrow`` appending a
-   ``pid`` column) and the stamped frame is eagerly ``localCheckpoint``-ed.
-   From that point the (row -> slice) assignment is frozen data, not a
-   property of a particular job's physical partitioning — any later
-   recompute replays from the checkpoint blocks, so no pass can ever
-   observe a re-sampled RangePartitioner pairing offsets with different
-   row ranges.
+   contiguous, ordered slice of the total order.  Only the columns the
+   scan needs — ``order_cols`` + ``value_col`` — enter the shuffle; any
+   payload columns rejoin at the end (see 5).
+2. The slice id is STAMPED INTO THE DATA (a JVM-side
+   ``spark_partition_id()`` projection — no Python round trip) and the
+   stamped NARROW frame is eagerly ``localCheckpoint``-ed.  From that
+   point the (row -> slice) assignment is frozen data, not a property of
+   a particular job's physical partitioning — any later recompute replays
+   from the checkpoint blocks, so no pass can ever observe a re-sampled
+   RangePartitioner pairing offsets with different row ranges.
+   (``spark_partition_id`` is nondeterminism-flagged, so Catalyst cannot
+   push it below the range exchange; it is evaluated once, during the
+   checkpoint's materialization job, and is frozen thereafter.)
 3. Per-slice totals come from a plain ``groupBy("pid")`` (one row per
    slice); the exclusive prefix over that tiny frame is a single-partition
    window (bounded: #partitions rows, same driver-size class as k-means
@@ -25,9 +30,18 @@ implements the classic two-pass parallel scan instead:
    slice plus the joined offset.  ``sortWithinPartitions`` after the
    broadcast join removes any reliance on join order preservation — it is
    an in-partition sort, no exchange.
+5. If the input carries payload columns beyond the order + value, they
+   are NOT dragged through the range shuffle or the checkpoint — at
+   100 TB a full-row checkpoint is the difference between a cheap
+   metadata pass and writing the dataset twice.  The scan runs on the
+   narrow projection and the result joins back on ``order_cols``, which
+   must then uniquely key rows (asserted for free inside the per-slice
+   totals pass; prefix sums are partition-invariant, so the join-back
+   needs no slice bookkeeping).
 
-Cost: ONE range shuffle + one checkpoint materialization + two streaming
-passes over the checkpointed slices.  Both passes are ``mapInArrow``
+Cost: ONE narrow range shuffle + one narrow checkpoint materialization +
+two streaming passes over the checkpointed slices (+ one key-partitioned
+join when payload columns rejoin).  The scan pass is ``mapInArrow``
 (vectorized, no Python-per-row).  Result values are
 partition-count-invariant AND recompute-invariant: prefix sums don't
 depend on where the slice boundaries fall, and the boundaries themselves
@@ -51,7 +65,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 __all__ = ["global_running_sum"]
 
@@ -81,7 +95,10 @@ def global_running_sum(
 
     Ties in ``order_cols`` get an arbitrary but fixed relative order within
     their slice; make the order total (include a unique key) when exact
-    per-row attribution matters."""
+    per-row attribution matters.  When ``df`` carries payload columns
+    beyond ``order_cols`` + ``value_col``, the scan runs on the narrow
+    projection and joins back on ``order_cols`` — which must then uniquely
+    key rows (checked, at no extra pass, from the per-slice totals job)."""
     dt = df.schema[value_col].dataType.simpleString()
     if dt not in ("bigint", "int", "smallint", "tinyint"):
         # float accumulation would make results depend on partition
@@ -93,27 +110,24 @@ def global_running_sum(
     if "__scan_pid" in df.columns or "__scan_off" in df.columns:
         raise ValueError("input must not contain __scan_pid/__scan_off columns")
 
-    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    # Only the scan's working set enters the shuffle + checkpoint; payload
+    # columns rejoin at the end (module docstring, item 5).
+    payload_cols = [c for c in df.columns if c not in {*order_cols, value_col}]
+    narrow = df.select(*order_cols, value_col)
 
-    stamp_schema = StructType(
-        [*parted.schema.fields, StructField("__scan_pid", IntegerType(), False)]
-    )
-
-    def stamp(batches: Iterator) -> Iterator:
-        import pyarrow as pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        for b in batches:
-            yield b.append_column(
-                "__scan_pid", pa.array([pid] * len(b), type=pa.int32())
-            )
+    parted = narrow.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
 
     # Eager local checkpoint: materializes the stamped slices and truncates
     # lineage, so every downstream job reads the SAME (row, pid) pairs even
     # under cache eviction / recompute — the recompute path replays from
-    # checkpoint blocks, never from a re-sampled range shuffle.
-    stamped = parted.mapInArrow(stamp, stamp_schema).localCheckpoint(eager=True)
+    # checkpoint blocks, never from a re-sampled range shuffle.  The stamp
+    # itself is a JVM-side projection (spark_partition_id is evaluated in
+    # the checkpoint's materialization job, after the range exchange, and
+    # its nondeterminism flag keeps Catalyst from pushing it below); the
+    # first Python round trip of the old mapInArrow stamp is gone.
+    stamped = parted.withColumn(
+        "__scan_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     _PERSISTED_SCAN_TABLES.append(stamped)
 
     # Exclusive prefix offsets over the per-slice totals.  groupBy yields
@@ -122,11 +136,23 @@ def global_running_sum(
     # the collected totals are recompute-invariant.  The tiny exclusive
     # prefix is computed driver-side and returns to the data as a
     # broadcast-joined DataFrame — never a closure or a global Window.
-    per_slice = (
-        stamped.groupBy("__scan_pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("__scan_total"))
-        .collect()
-    )
+    # The same pass carries the join-back uniqueness check when payload
+    # columns exist (equal order keys always share a range slice, so a
+    # per-slice distinct count is a global uniqueness proof).
+    aggs = [F.sum(F.col(value_col).cast("long")).alias("__scan_total")]
+    if payload_cols:
+        aggs += [
+            F.count(F.lit(1)).alias("__scan_n"),
+            F.count_distinct(F.struct(*order_cols)).alias("__scan_nd"),
+        ]
+    per_slice = stamped.groupBy("__scan_pid").agg(*aggs).collect()
+    if payload_cols and any(r["__scan_n"] != r["__scan_nd"] for r in per_slice):
+        raise ValueError(
+            "global_running_sum: order_cols must uniquely key rows when the "
+            "input has payload columns (the narrow scan result joins back on "
+            f"order_cols={list(order_cols)}); add a tiebreaker column or "
+            "project the input down to order + value columns"
+        )
     acc = 0
     off_rows = []
     for r in sorted(per_slice, key=lambda r: r["__scan_pid"]):
@@ -166,4 +192,13 @@ def global_running_sum(
                 run = cum[-1].as_py()
             yield b.select(in_cols).append_column(out_col, cum)
 
-    return joined.mapInArrow(scan, out_schema)
+    scanned = joined.mapInArrow(scan, out_schema)
+    if not payload_cols:
+        return scanned
+    # Rejoin the payload: prefix sums are partition-invariant, so the
+    # narrow result carries everything the wide rows need and the join
+    # is a plain key equi-join (order_cols uniqueness asserted above) —
+    # Catalyst/AQE picks broadcast vs shuffle by the narrow side's size.
+    return df.join(
+        scanned.select(*order_cols, out_col), on=list(order_cols)
+    )

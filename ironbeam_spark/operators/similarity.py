@@ -442,7 +442,12 @@ def ivf_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            # cosine_safe: ivf_assign_cells deliberately keeps zero-norm /
+            # empty vectors (coalesce(-2) cell assignment), so a degenerate
+            # vector CAN reach this join — the unsafe quotient would raise
+            # ANSI DIVIDE_BY_ZERO and kill the job; NULL scores are dropped
+            # by _rank_topk so such vectors simply never rank
+            cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
         # a (query, neighbor) pair can appear via several probed cells
         .distinct()
@@ -477,7 +482,10 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            # cosine_safe for the same reason as ivf_ann_topk: zero-norm
+            # vectors hash to a bucket like any other, and the unsafe
+            # quotient raises under ANSI mode instead of being dropped
+            cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, k)
@@ -574,7 +582,11 @@ def lsh_near_dup_pairs(
     return (
         cands.join(va, on=[*blocks, "id_a"])
         .join(vb, on=[*blocks, "id_b"])
-        .withColumn(sim_col, cosine(F.col("_va"), F.col("_vb")))
+        # cosine_safe: a zero-norm vector signs to a bucket like any other
+        # (every dot is 0 -> all-false signature), so its candidate pairs
+        # reach this scoring join; NULL fails the >= threshold filter, so
+        # degenerate vectors drop out instead of raising DIVIDE_BY_ZERO
+        .withColumn(sim_col, cosine_safe(F.col("_va"), F.col("_vb")))
         .where(F.col(sim_col) >= F.lit(float(threshold)))
         .select("id_a", "id_b", sim_col)
     )

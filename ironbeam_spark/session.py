@@ -93,15 +93,38 @@ def _ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_ironbeam_pkg_shipped", False):
         return
-    import shutil
+    import hashlib
+    import os
     import tempfile
+    import zipfile
     from pathlib import Path
 
     try:
-        repo = Path(__file__).resolve().parent.parent
-        stem = str(Path(tempfile.gettempdir()) / "ironbeam_spark_pkg")
-        zpath = shutil.make_archive(stem, "zip", root_dir=repo, base_dir="ironbeam_spark")
-        spark.sparkContext.addPyFile(zpath)
+        pkg = Path(__file__).resolve().parent
+        # Content-addressed archive name: executors verify a fetched file
+        # against the driver's copy byte-for-byte, so a FIXED zip path is a
+        # race — any concurrent session (or a source edit between job
+        # submissions) rewrites it and every in-flight fetch dies with
+        # "exists and does not match contents".  Hashing the sources into
+        # the name makes identical sources converge on one immutable file
+        # and different sources diverge to different names; the exists()
+        # check plus atomic rename guarantees a name's bytes never change
+        # after creation.
+        files = sorted(p for p in pkg.rglob("*.py"))
+        h = hashlib.sha256()
+        for p in files:
+            h.update(str(p.relative_to(pkg)).encode())
+            h.update(p.read_bytes())
+        zname = Path(tempfile.gettempdir()) / (
+            f"ironbeam_spark_pkg-{h.hexdigest()[:16]}.zip"
+        )
+        if not zname.exists():
+            tmp = zname.with_suffix(f".tmp{os.getpid()}")
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                for p in files:  # .py only — no per-run __pycache__ noise
+                    zf.write(p, f"ironbeam_spark/{p.relative_to(pkg)}")
+            os.replace(tmp, zname)  # atomic; concurrent writers converge
+        spark.sparkContext.addPyFile(str(zname))
         spark._ironbeam_pkg_shipped = True  # type: ignore[attr-defined]
     except Exception:  # pragma: no cover - already-added / read-only tmp
         pass

@@ -123,8 +123,14 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
     ``(shard string, sample string, field string, payload binary)`` —
     ``sample``/``field`` split the member name at its FIRST dot (the
     WebDataset convention: ``sample.field.ext`` keeps multi-dot fields
-    intact).  Corrupt archives raise ``ValueError`` (wrap with a
-    dead-letter pattern upstream if shards may be damaged)."""
+    intact).  A member name WITHOUT a dot maps to ``field = ''`` — the
+    documented convention for bare-named members in external tars (they
+    group under their name with an empty field key rather than being
+    silently dropped; filter ``field = ''`` upstream to exclude them).
+    A name appearing more than once WITHIN a shard keeps the LAST
+    occurrence — GNU/POSIX append (``tar -r``) semantics, matching what
+    ``tar -x`` would leave on disk.  Corrupt archives raise ``ValueError``
+    (wrap with a dead-letter pattern upstream if shards may be damaged)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tar")
@@ -142,7 +148,10 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
             # single shard's members even when binaryFile packs many whole
             # shards into one Arrow batch
             for shard, blob in zip(pdf["path"], pdf["content"]):
-                rows = []
+                # keyed dict => within-shard LAST occurrence wins (tar
+                # append semantics); dict preserves insertion order so
+                # first-seen member order is otherwise kept
+                rows: dict[tuple[str, str], bytes] = {}
                 try:
                     with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
                         for m in tf:
@@ -151,11 +160,12 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
                             payload = tf.extractfile(m).read()
                             name = m.name.rsplit("/", 1)[-1]
                             sample, _, field = name.partition(".")
-                            rows.append((shard, sample, field, payload))
+                            rows[(sample, field)] = payload
                 except tarfile.TarError as e:
                     raise ValueError(f"tar: corrupt shard {shard}: {e}") from e
                 yield pd.DataFrame(
-                    rows, columns=["shard", "sample", "field", "payload"]
+                    [(shard, s, f, p) for (s, f), p in rows.items()],
+                    columns=["shard", "sample", "field", "payload"],
                 )
 
     return files.mapInPandas(
@@ -168,20 +178,31 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     ``(sample string, fields map<string, binary>)`` with map entries sorted
     by field name (deterministic downstream hashing).
 
-    Duplicate ``(sample, field)`` members — two shards carrying the same
-    sample, or an append-mode re-write — are deduped FIRST with a
-    deterministic min-payload winner: Spark's default
-    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` would otherwise throw at
-    runtime inside ``map_from_entries`` (same pitfall as
-    ``PCollection.to_dict``).  Two hash shuffles on the sample key."""
-    deduped = members.groupBy("sample", "field").agg(
-        F.min("payload").alias("payload")
+    A sample carried by SEVERAL shards (a re-written dataset, overlapping
+    shard globs) resolves to ONE whole-shard winner: the lexicographically
+    smallest shard path containing the sample supplies ALL of its fields.
+    The previous per-field ``min(payload)`` dedup could stitch a row from
+    different generations (txt from copy 1, json from copy 2 — round-6
+    ADVICE); whole-sample winners can't mix, and match the WebDataset
+    contract that a sample lives entirely inside one shard.  Within a
+    shard, :func:`read_tar_members` has already applied last-wins, so
+    ``map_from_entries`` (Spark's ``mapKeyDedupPolicy=EXCEPTION`` default)
+    sees unique keys.  ONE hash shuffle on the sample key; per-group memory
+    is the sample's members times the number of duplicate shard copies."""
+    agg = members.groupBy("sample").agg(
+        F.min("shard").alias("_win"),
+        F.collect_list(F.struct("shard", "field", "payload")).alias("_m"),
     )
-    return (
-        deduped.groupBy("sample")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("field", "payload")))
-            ).alias("fields")
-        )
+    return agg.select(
+        "sample",
+        F.map_from_entries(
+            F.sort_array(
+                F.transform(
+                    F.filter("_m", lambda m: m["shard"] == F.col("_win")),
+                    lambda m: F.struct(
+                        m["field"].alias("field"), m["payload"].alias("payload")
+                    ),
+                )
+            )
+        ).alias("fields"),
     )

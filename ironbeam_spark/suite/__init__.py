@@ -57,33 +57,46 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           family), q_simhash_fingerprints (regression watch),
 #           q_asof_join and q_interval_join (temporal family not
 #           otherwise represented in 16-50).
-#   r5->r6 (planned): rotate in the round-5 additions (q_audio_decode,
+#   r5->r6 (APPLIED): CORRECTNESS_r05 was 48/50 green.  The 13 green-row
+#           window queries (slots 2-10 plus q_avro, q_simhash_fingerprints,
+#           q_interval_join) are displaceable; 12 of them move to slots
+#           51-62.  Rotated in: the 10 round-5 additions (q_audio_decode,
 #           q_semantic_dedup, q_dsir_weights, q_bpe_tokenize,
 #           q_pretrain_pipeline, q_kmv_setops, q_stream_join,
-#           q_tfidf_topterms, q_webdataset, q_tar_image_pipeline, and any
-#           query added after
-#           this comment) once the r5 window queries have their driver
-#           rows.
-# tests/test_registry_order.py freezes the current 72-name prefix.
+#           q_tfidf_topterms, q_webdataset, q_tar_image_pipeline) plus the
+#           two round-6 bisect probes q_token_counts / q_prefix_scan
+#           (suite/llmops.py) placed adjacent to q_token_packing so the
+#           external gate localizes its env-specific hash divergence.
+#           Slot 1 keeps q_winnow_fingerprints: its r5 row was a harness
+#           ERROR (unhashable list column), not a verdict — by policy a
+#           query without a green row cannot be displaced; the column is
+#           now '|'-joined.  Slot 4 keeps q_token_packing (red r4+r5).
+#           Slot 15 keeps q_asof_join (temporal family representative —
+#           not otherwise present in 16-50).
+#   r6->r7 (planned): rotate in the round-6 additions (q_jpeg_decode, and
+#           any query added after this comment) once the r6 window queries
+#           have their driver rows.
+# tests/test_registry_order.py freezes the current 84-name prefix.
 CANONICAL_ORDER = [
-    # -- 1-10: rotated in for r5 — first driver verification pending
+    # -- 1: r5 harness-error (no verdict row) — fixed, retrying
     "q_winnow_fingerprints",
-    "q_winnow_match",
-    "q_stream_dedup",
-    "q_image_decode",
-    "q_image_resize",
-    "q_video_frame_sample",
-    "q_cms_counts",
-    "q_bm25_rational",
-    "q_ann_int8",
-    "q_train_split",
-    # -- 11: red r4 row — retained to earn its green row post-fix
+    # -- 2-4: the q_token_packing bisect block (probes bracket the red query)
+    "q_token_counts",
+    "q_prefix_scan",
     "q_token_packing",
-    # -- 12-15: retained from the r4 window (format / regression / temporal)
-    "q_avro",
-    "q_simhash_fingerprints",
+    # -- 5-14: rotated in for r6 — first driver verification pending
+    "q_audio_decode",
+    "q_semantic_dedup",
+    "q_dsir_weights",
+    "q_bpe_tokenize",
+    "q_pretrain_pipeline",
+    "q_kmv_setops",
+    "q_stream_join",
+    "q_tfidf_topterms",
+    "q_webdataset",
+    "q_tar_image_pipeline",
+    # -- 15: retained (temporal family not otherwise represented in 16-50)
     "q_asof_join",
-    "q_interval_join",
     # -- 16-22: relational / TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -125,7 +138,20 @@ CANONICAL_ORDER = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # -- 51-60: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # -- 51-62: displaced from the r5 window (all green in CORRECTNESS_r05)
+    "q_winnow_match",
+    "q_stream_dedup",
+    "q_image_decode",
+    "q_image_resize",
+    "q_video_frame_sample",
+    "q_cms_counts",
+    "q_bm25_rational",
+    "q_ann_int8",
+    "q_train_split",
+    "q_avro",
+    "q_simhash_fingerprints",
+    "q_interval_join",
+    # -- 63-72: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -136,7 +162,7 @@ CANONICAL_ORDER = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # -- 61-72: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # -- 73-84: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

@@ -440,6 +440,65 @@ def _tp_oracle() -> str:
 QUERIES["q_token_packing"].oracle = _tp_oracle()
 
 
+# -- q_token_packing driver-bisect probes (round 6) -------------------------
+# q_token_packing has been hash-red in the external gate two rounds running
+# while bit-exact in every local replication (isolation, full canonical-order
+# driver-sim, --bare).  The divergence is environment-specific; these two
+# probes decompose the query into its stages so the external gate itself
+# localizes it: q_token_counts = the tokenizer alone; q_prefix_scan =
+# global_running_sum alone on a clean integer column.  Whichever goes red
+# names the divergent stage; both green + q_token_packing red puts the bug
+# in their composition (next probe: doc_id, n_tokens, cum_end).
+
+
+@query(
+    "q_token_counts",
+    None,  # assembled below — needs the shared tokenizer SQL
+    doc="bisect probe A: per-doc whitespace token counts only (functions/text.py:token_count vs the shared _TOKS_SQL) — tokenizer parity with the external gate, no scan involved",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def _tc_oracle() -> str:
+    from ironbeam_spark.suite.text_ml import _TOKS_SQL
+
+    return f"""
+    SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens
+    FROM documents ORDER BY doc_id
+    """
+
+
+QUERIES["q_token_counts"].oracle = _tc_oracle()
+
+
+@query(
+    "q_prefix_scan",
+    """
+    SELECT o_orderkey, o_custkey AS v,
+           sum(o_custkey) OVER (ORDER BY o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_v
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="bisect probe B: the distributed two-pass prefix scan (operators/scan.py) alone, over orders keyed by o_orderkey on a clean integer column — no tokenizer anywhere in the plan",
+)
+def q_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    return global_running_sum(orders, ["o_orderkey"], "v", "running_v").orderBy(
+        "o_orderkey"
+    )
+
+
 @query(
     "q_repetition_filter",
     None,  # assembled below — needs the shared tokenizer SQL

@@ -131,6 +131,105 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _jpeg_blobs(docs):
+    """Deterministic baseline JPEGs: each doc becomes a (tw x th) grid of
+    constant-color 8x8 tiles, REALLY encoded by operators/jpeg.encode_jpeg
+    (flat quant tables).  Constant tiles are the codec's documented
+    bit-exact regime, so the decoded pixels equal the closed-form
+    floor(x+0.5) RGB->YCbCr->RGB chain the oracle mirrors."""
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, tw, th = did % 251, 1 + did % 3, 1 + did % 2
+                w, h = 8 * tw, 8 * th
+                buf = bytearray(w * h * 3)
+                for ty in range(th):
+                    for tx in range(tw):
+                        t = ty * tw + tx
+                        col = bytes(
+                            (
+                                (seed + 37 * t) % 256,
+                                (seed * 2 + 11 * t) % 256,
+                                (seed * 3 + 5 * t) % 256,
+                            )
+                        )
+                        for yy in range(8):
+                            base = ((ty * 8 + yy) * w + tx * 8) * 3
+                            buf[base : base + 24] = col * 8
+                rows.append((did, encode_jpeg(w, h, bytes(buf))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+
+
+@query(
+    "q_jpeg_decode",
+    # Exact oracle: constant-color 8x8 tiles survive the DCT bit-exactly
+    # under flat quantization (single integral DC coefficient, zero AC), so
+    # the only arithmetic between source RGB and decoded RGB is the JFIF
+    # color transform with floor(x+0.5) rounding — mirrored here term for
+    # term in double precision (constants ::DOUBLE so DuckDB never parses
+    # them as DECIMAL).  Any entropy-coding / zigzag / DQT / MCU-layout bug
+    # in encoder or decoder breaks the per-channel sums.
+    """
+    WITH params AS (
+      SELECT doc_id, doc_id % 251 AS seed,
+             1 + doc_id % 3 AS tw, 1 + doc_id % 2 AS th
+      FROM documents WHERE doc_id < 200
+    ),
+    tiles AS (
+      SELECT doc_id, tw, th,
+             unnest(generate_series(0, tw*th - 1)) AS t, seed
+      FROM params
+    ),
+    rgb AS (
+      SELECT doc_id, tw, th,
+             (seed + 37*t) % 256 AS r,
+             (seed*2 + 11*t) % 256 AS g,
+             (seed*3 + 5*t) % 256 AS b
+      FROM tiles
+    ),
+    yc AS (
+      SELECT doc_id, tw, th,
+        LEAST(255, GREATEST(0, floor(0.299::DOUBLE*r + 0.587::DOUBLE*g + 0.114::DOUBLE*b + 0.5))) AS y,
+        LEAST(255, GREATEST(0, floor(128.0::DOUBLE - 0.168736::DOUBLE*r - 0.331264::DOUBLE*g + 0.5::DOUBLE*b + 0.5))) AS cb,
+        LEAST(255, GREATEST(0, floor(128.0::DOUBLE + 0.5::DOUBLE*r - 0.418688::DOUBLE*g - 0.081312::DOUBLE*b + 0.5))) AS cr
+      FROM rgb
+    ),
+    dec AS (
+      SELECT doc_id, tw, th,
+        LEAST(255, GREATEST(0, floor(y + 1.402::DOUBLE*(cr - 128.0::DOUBLE) + 0.5))) AS r2,
+        LEAST(255, GREATEST(0, floor(y - 0.344136::DOUBLE*(cb - 128.0::DOUBLE) - 0.714136::DOUBLE*(cr - 128.0::DOUBLE) + 0.5))) AS g2,
+        LEAST(255, GREATEST(0, floor(y + 1.772::DOUBLE*(cb - 128.0::DOUBLE) + 0.5))) AS b2
+      FROM yc
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(8*tw AS BIGINT) AS width, CAST(8*th AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(64*sum(r2) AS BIGINT) AS sum_r,
+           CAST(64*sum(g2) AS BIGINT) AS sum_g,
+           CAST(64*sum(b2) AS BIGINT) AS sum_b
+    FROM dec GROUP BY doc_id, tw, th ORDER BY doc_id
+    """,
+    doc="REAL baseline JPEG decode (round 6): constant-tile images encoded by the pure-Python T.81 encoder (self-defined canonical Huffman tables in DHT, flat quant), parsed back by the table-driven baseline decoder (operators/jpeg.decode_jpeg_pixels — Huffman entropy decode, dequant, vectorized IDCT, JFIF color transform), channel sums verified against the closed-form floor(x+0.5) YCbCr chain oracle (north-star multimodal, real codec tier)",
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.multimodal import decode_image
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = decode_image(_jpeg_blobs(docs), "doc_id", "payload")
+    return out.select(
+        "doc_id", "fmt", "width", "height", "channels", "sum_r", "sum_g", "sum_b"
+    ).orderBy("doc_id")
+
+
 @query(
     "q_stream_tumble",
     # Trigger.AvailableNow over a bounded source is batch-equivalent, so the

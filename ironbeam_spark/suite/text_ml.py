@@ -170,22 +170,26 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE CAST([] AS BIGINT[]) END AS hs
       FROM documents WHERE doc_id < 300)
     SELECT doc_id,
-           CASE WHEN len(hs) >= 4 THEN
-             list_sort(list_distinct(list_transform(
-               generate_series(1, len(hs)-3), j -> list_min(hs[j:j+3]))))
-           WHEN len(hs) > 0 THEN [list_min(hs)]
-           ELSE CAST([] AS BIGINT[]) END AS winnow_fp
+           coalesce(array_to_string(
+             CASE WHEN len(hs) >= 4 THEN
+               list_sort(list_distinct(list_transform(
+                 generate_series(1, len(hs)-3), j -> list_min(hs[j:j+3]))))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE CAST([] AS BIGINT[]) END, '|'), '') AS winnow_fp
     FROM h
     ORDER BY doc_id
     """,
-    doc="winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS algorithm): md5-hash every char-8-gram, keep each 4-window's minimum, distinct — a content-defined ~2/(w+1) sample per document with the guaranteed-detection property for shared substrings >= w+k-1 chars; all-expression, no shuffle, oracle mirrors the md5/slice/min arithmetic exactly",
+    doc="winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS algorithm): md5-hash every char-8-gram, keep each 4-window's minimum, distinct — a content-defined ~2/(w+1) sample per document with the guaranteed-detection property for shared substrings >= w+k-1 chars; all-expression, no shuffle, oracle mirrors the md5/slice/min arithmetic exactly; fingerprint list '|'-joined for the driver's scalar value-hash (DuckDB array_to_string is NULL on [], hence the coalesce; the array form stays under pytest, test_text_fns.py)",
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.functions.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 300)
     return docs.select(
-        "doc_id", winnow_fingerprints("text", k=8, w=4).alias("winnow_fp")
+        "doc_id",
+        F.array_join(
+            winnow_fingerprints("text", k=8, w=4).cast("array<string>"), "|"
+        ).alias("winnow_fp"),
     ).orderBy("doc_id")
 
 

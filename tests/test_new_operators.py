@@ -159,16 +159,23 @@ def test_decode_image_real_codecs_and_error_column(spark):
     """decode_image really parses BMP and PPM payloads (pure-Python codecs)
     and routes corrupt/unsupported formats to the error column instead of
     failing the job."""
+    from ironbeam_spark.operators.jpeg import encode_jpeg
     from ironbeam_spark.operators.multimodal import encode_bmp, encode_ppm
 
     w, h = 5, 3
     rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
     sums = [sum(rgb[i] for i in range(c, w * h * 3, 3)) for c in range(3)]
+    # constant-color 8x8 tile: flat-quant JPEG decodes it to the exact
+    # floor(x+0.5) YCbCr round-trip of the source color (jpeg.py contract)
+    jw = jh = 8
+    jpeg_rgb = bytes([10, 200, 55]) * (jw * jh)
     rows = [
         (1, encode_bmp(w, h, rgb)),
         (2, encode_ppm(w, h, rgb)),
-        (3, b"\xff\xd8\xff\xe0JFIF"),  # JPEG needs a native codec -> error
+        (3, b"\xff\xd8\xff\xe0JFIF"),  # truncated JPEG -> error column
         (4, b"BM\x00\x01"),  # truncated BMP -> error column
+        (5, encode_jpeg(jw, jh, jpeg_rgb)),
+        (6, b"\x00\x01no-such-magic"),  # unknown format -> error column
     ]
     df = spark.createDataFrame(rows, "id long, payload binary")
     got = {r.id: r for r in decode_image(df, "id", "payload").collect()}
@@ -177,8 +184,12 @@ def test_decode_image_real_codecs_and_error_column(spark):
         assert (r.fmt, r.width, r.height, r.channels) == (fmt, w, h, 3)
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums)
         assert r.error is None
-    assert got[3].fmt is None and "unsupported image format" in got[3].error
+    assert got[3].fmt is None and "jpeg" in got[3].error
     assert got[4].fmt is None and got[4].error  # truncated -> error, not crash
+    r5 = got[5]
+    assert (r5.fmt, r5.width, r5.height, r5.error) == ("jpeg", jw, jh, None)
+    assert (r5.sum_r, r5.sum_g, r5.sum_b) == (11 * 64, 200 * 64, 56 * 64)
+    assert got[6].fmt is None and "unsupported image format" in got[6].error
 
 
 def test_decode_audio_wav_pcm(spark):

@@ -452,7 +452,7 @@ def test_media_decoders_raise_only_valueerror(data):
     magic = data.draw(
         st.sampled_from(
             [b"BM", b"P6", b"P3", b"\x89PNG\r\n\x1a\n", b"GIF89a",
-             b"GIF87a", b"RIFF", b"RVID", b""]
+             b"GIF87a", b"RIFF", b"RVID", b"\xff\xd8", b""]
         )
     )
     body = bytes(data.draw(st.lists(st.integers(0, 255), max_size=96)))

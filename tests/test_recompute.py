@@ -207,3 +207,30 @@ def test_dsir_empty_target_and_empty_corpus(spark):
 
     empty = df.where("doc_id < 0")
     assert dsir_importance_weights(empty, empty, "doc_id", "text").count() == 0
+
+
+def test_dsir_target_without_id_column(spark):
+    """The target corpus only needs text_col — its ids are never used, so a
+    frame lacking the raw corpus's id column must work (round-6 ADVICE) and
+    produce the same weights as an id-carrying target with the same text."""
+    from ironbeam_spark.operators.sampling import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "el gato se sento"), (2, "one")],
+        "doc_id long, text string",
+    )
+    tgt_texts = [("the cat sat",), ("the dog sat",)]
+    with_id = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(tgt_texts)], "doc_id long, text string"
+    )
+    without_id = spark.createDataFrame(tgt_texts, "text string")
+
+    def run(tgt):
+        return sorted(
+            (r.doc_id, r.n_feats, r.dsir_weight)
+            for r in dsir_importance_weights(
+                raw, tgt, "doc_id", "text", buckets=32
+            ).collect()
+        )
+
+    assert run(without_id) == run(with_id)

@@ -13,26 +13,27 @@ move to the block immediately after slot 50.  See the rotation history in
 
 from ironbeam_spark.suite import CANONICAL_ORDER, QUERIES
 
-# Current frozen prefix (r5 rotation applied).
+# Current frozen prefix (r6 rotation applied).
 FROZEN_PREFIX = [
-    # 1-10: rotated in for r5 — first driver verification pending
+    # 1: r5 harness-error (no verdict row) — fixed ('|'-joined), retrying
     "q_winnow_fingerprints",
-    "q_winnow_match",
-    "q_stream_dedup",
-    "q_image_decode",
-    "q_image_resize",
-    "q_video_frame_sample",
-    "q_cms_counts",
-    "q_bm25_rational",
-    "q_ann_int8",
-    "q_train_split",
-    # 11: red r4 row — retained to earn its green row post-fix
+    # 2-4: the q_token_packing bisect block
+    "q_token_counts",
+    "q_prefix_scan",
     "q_token_packing",
-    # 12-15: retained from the r4 window
-    "q_avro",
-    "q_simhash_fingerprints",
+    # 5-14: rotated in for r6 — first driver verification pending
+    "q_audio_decode",
+    "q_semantic_dedup",
+    "q_dsir_weights",
+    "q_bpe_tokenize",
+    "q_pretrain_pipeline",
+    "q_kmv_setops",
+    "q_stream_join",
+    "q_tfidf_topterms",
+    "q_webdataset",
+    "q_tar_image_pipeline",
+    # 15: retained (temporal family representative)
     "q_asof_join",
-    "q_interval_join",
     # 16-50: IMMUTABLE cross-section
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -69,7 +70,20 @@ FROZEN_PREFIX = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # 51-60: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # 51-62: displaced from the r5 window (all green in CORRECTNESS_r05)
+    "q_winnow_match",
+    "q_stream_dedup",
+    "q_image_decode",
+    "q_image_resize",
+    "q_video_frame_sample",
+    "q_cms_counts",
+    "q_bm25_rational",
+    "q_ann_int8",
+    "q_train_split",
+    "q_avro",
+    "q_simhash_fingerprints",
+    "q_interval_join",
+    # 63-72: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -80,7 +94,7 @@ FROZEN_PREFIX = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # 61-72: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # 73-84: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",
@@ -119,3 +133,21 @@ def test_order_is_deterministic_and_complete():
     names = list(QUERIES)
     assert len(names) == len(set(names))
     assert set(CANONICAL_ORDER) <= set(names)
+
+
+def test_docs_registry_count_matches():
+    """COVERAGE.md and README.md state the registry size; round-5 verdict
+    caught COVERAGE.md drifting (said 134 while the registry was 144) —
+    pin both docs to ``len(QUERIES)`` so they can't drift again."""
+    import re
+    from pathlib import Path
+
+    n = len(QUERIES)
+    root = Path(__file__).resolve().parent.parent
+    for doc in ("COVERAGE.md", "README.md"):
+        text = (root / doc).read_text()
+        stated = {int(m) for m in re.findall(r"(\d+)\s+registry quer", text)}
+        assert stated == {n}, (
+            f"{doc} states registry size(s) {stated or '{}'} but the "
+            f"registry has {n} queries — update the doc"
+        )

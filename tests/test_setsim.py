@@ -329,6 +329,46 @@ def test_global_running_sum_recompute_invariant(spark):
     release_scan_caches()
 
 
+def test_global_running_sum_payload_join_back(spark):
+    """Payload columns beyond (order, value) never enter the checkpoint:
+    the narrow scan result joins back on the order key, values and payload
+    intact (round-6: full-row checkpoints are corpus-width writes at scale)."""
+    from ironbeam_spark.operators.scan import global_running_sum, release_scan_caches
+
+    rows = [(i, (i * 37) % 101, f"payload-{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v long, tag string").repartition(9)
+    out = global_running_sum(df, ["k"], "v").collect()
+    acc, want = 0, {}
+    for k, v, _ in rows:
+        acc += v
+        want[k] = acc
+    assert {r.k: r.running_sum for r in out} == want
+    assert {r.k: r.tag for r in out} == {k: t for k, _, t in rows}
+    release_scan_caches()
+
+
+def test_global_running_sum_payload_requires_unique_order(spark):
+    """With payload columns present, tied order keys would multiply rows in
+    the join-back — the per-slice totals pass must catch it and raise."""
+    import pytest
+
+    from ironbeam_spark.operators.scan import global_running_sum, release_scan_caches
+
+    rows = [(i % 50, i, f"p{i}") for i in range(500)]  # duplicate keys
+    df = spark.createDataFrame(rows, "k long, v long, tag string")
+    with pytest.raises(ValueError, match="uniquely key"):
+        global_running_sum(df, ["k"], "v")
+    release_scan_caches()
+    # the same tied keys WITHOUT payload stay legal (documented contract)
+    narrow = df.select("k", "v")
+    total = sum(v for _, v, _ in rows)
+    got = global_running_sum(narrow, ["k"], "v").agg(
+        F.max("running_sum")
+    ).collect()[0][0]
+    assert got == total
+    release_scan_caches()
+
+
 def test_setsim_search_equals_rs_join(spark):
     """set_similarity_search == the quadratic queries×corpus join, pair for
     pair (two-sided prefix guarantee), including with no blocking."""

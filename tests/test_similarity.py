@@ -305,3 +305,34 @@ def test_semantic_dedup_no_pairs_and_empty_input(spark):
     res = semantic_dedup(empty, cents)
     assert res.columns == ["vec_id", "cell", "component", "keep"]
     assert res.count() == 0
+
+
+def test_ann_paths_survive_zero_norm_vectors(spark):
+    """Round-6 ADVICE regression: ivf_assign_cells deliberately keeps
+    zero-norm/empty vectors, so they reach the IVF/LSH scoring joins —
+    the score must be cosine_safe (NULL, then dropped by ranking), not the
+    unsafe quotient that raises ANSI DIVIDE_BY_ZERO and kills the job."""
+    from ironbeam_spark.operators.similarity import (
+        ivf_ann_topk,
+        lsh_ann_topk,
+        lsh_near_dup_pairs,
+    )
+
+    rng = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(20)
+    ]
+    rng.append((98, [0.0] * 8))  # degenerate corpus vector
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 3 OR vec_id = 98")  # degenerate query too
+    cents = [(0, rng[0][1]), (1, rng[1][1]), (2, rng[2][1])]
+    planes = [rng[3][1], rng[4][1]]
+
+    ivf = ivf_ann_topk(df, queries, cents, k=3, n_probe=2).collect()
+    lsh = lsh_ann_topk(df, queries, planes, k=3).collect()
+    pairs = lsh_near_dup_pairs(df, planes, threshold=0.5, bands=2).collect()
+
+    # jobs completed; the degenerate id appears as neither query nor neighbor
+    for rows in (ivf, lsh):
+        assert rows, "ANN returned nothing for clean queries"
+        assert all(r.neighbor_id != 98 and r.query_id != 98 for r in rows)
+    assert all(98 not in (r.id_a, r.id_b) for r in pairs)

@@ -143,3 +143,66 @@ def test_png_truncated_zlib_stream_dead_letters():
         decode_image_pixels(png)
     # and the honest encoder still round-trips
     assert decode_image_pixels(encode_png(w, h, rgb))[0] == "png"
+
+
+def _raw_shard(path, members):
+    """Write a tar with explicit (name, payload) members, in order —
+    duplicates allowed (append-mode semantics)."""
+    import io
+
+    with tarfile.open(path, "w") as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(payload))
+
+
+def test_tar_within_shard_append_last_wins(spark, tmp_path):
+    """A name repeated inside one shard (tar -r append) resolves to the
+    LAST occurrence — what tar -x would leave on disk."""
+    out = tmp_path / "shards"
+    out.mkdir()
+    _raw_shard(
+        out / "a.tar",
+        [("s0.txt", b"old"), ("s0.json", b"{}"), ("s0.txt", b"new")],
+    )
+    got = {
+        (r.sample, r.field): bytes(r.payload)
+        for r in read_tar_members(spark, str(out)).collect()
+    }
+    assert got == {("s0", "txt"): b"new", ("s0", "json"): b"{}"}
+
+
+def test_tar_cross_shard_whole_sample_winner(spark, tmp_path):
+    """A sample carried by two shards with DIFFERENT contents resolves to
+    all fields of the lexicographically-smallest shard — never a row
+    stitched from both generations (round-6 ADVICE).  Fields that exist
+    only in the losing shard are dropped with the rest of that copy."""
+    out = tmp_path / "shards"
+    out.mkdir()
+    _raw_shard(
+        out / "a.tar", [("s0.txt", b"gen1 text"), ("s0.json", b"gen1 json")]
+    )
+    _raw_shard(
+        out / "b.tar",
+        [("s0.txt", b"gen2 text"), ("s0.json", b"gen2 json"), ("s0.cls", b"9")],
+    )
+    rows = webdataset_samples(read_tar_members(spark, str(out))).collect()
+    assert len(rows) == 1
+    fields = {k: bytes(v) for k, v in rows[0].fields.items()}
+    assert fields == {"txt": b"gen1 text", "json": b"gen1 json"}
+
+
+def test_tar_extensionless_member_gets_empty_field(spark, tmp_path):
+    """Members without a dot group under field '' (documented convention)
+    instead of erroring or vanishing."""
+    out = tmp_path / "shards"
+    out.mkdir()
+    _raw_shard(out / "a.tar", [("README", b"hello"), ("s0.txt", b"t")])
+    got = {
+        (r.sample, r.field): bytes(r.payload)
+        for r in read_tar_members(spark, str(out)).collect()
+    }
+    assert got[("README", "")] == b"hello"
+    assert got[("s0", "txt")] == b"t"
