@@ -852,3 +852,110 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+# -- exact substring dedup (round 6): Lee et al. 2022, n-gram form ----------
+# operators/substring.py is the scale-path implementation (positional gram
+# hashes -> one combinable aggregate -> one join -> per-doc islands); these
+# queries pin it to a same-arithmetic DuckDB oracle over the full documents
+# table.  No reference counterpart (north-star LLM dedup family).
+
+
+def _gram_sql(n: int) -> str:
+    """Nested rolling-hash SQL mirroring substring.positional_token_ngrams:
+    the identical (acc*31 + h) % SHINGLE_MOD fold over hs[j..j+n-1]."""
+    from ironbeam_spark.operators.dedup import SHINGLE_MOD
+
+    acc = "hs[j]"
+    for k in range(1, n):
+        acc = f"(({acc})*31 + hs[j+{k}]) % {SHINGLE_MOD}"
+    return acc
+
+
+def _substring_ctes(n: int) -> str:
+    """Shared CTE chain ending in spans(doc_id, s, e) — keep-first semantics,
+    packed (doc_id * 2^24 + pos) canonical winner, gaps-and-islands merge."""
+    from ironbeam_spark.operators.substring import POS_PACK_BITS
+    from ironbeam_spark.suite.text_ml import _TI_SQL, _TOKS_SQL
+
+    ti = _TI_SQL.format("t")
+    return f"""
+    base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    toks AS (SELECT doc_id, ts, list_transform(ts, t -> {ti}) AS hs FROM base),
+    grams AS (
+      SELECT doc_id, j - 1 AS pos, {_gram_sql(n)} AS gh,
+             doc_id * {1 << POS_PACK_BITS} + (j - 1) AS pk
+      FROM toks, unnest(generate_series(1, len(hs) - {n - 1})) AS u(j)
+      WHERE len(hs) >= {n}
+    ),
+    win AS (SELECT gh, min(pk) AS w FROM grams GROUP BY gh),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN win ON g.gh = win.gh
+             WHERE g.pk <> win.w),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {n}
+                   THEN 1 ELSE 0 END AS brk
+            FROM hits),
+    gid AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM isl),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + {n} AS e
+              FROM gid GROUP BY doc_id, grp)"""
+
+
+@query(
+    "q_substring_spans",
+    f"""
+    WITH {_substring_ctes(8)}
+    SELECT doc_id, CAST(s AS BIGINT) AS start_tok, CAST(e AS BIGINT) AS end_tok
+    FROM spans ORDER BY doc_id, start_tok
+    """,
+    doc="exact substring-duplication spans (Lee et al. 2022, token 8-gram form): positional rolling-hash grams -> one map-side-combinable winner/count aggregate -> hash join back -> per-doc gaps-and-islands merge; keep-first semantics (the corpus-wide first occurrence of each gram is never marked), 0-based token indices, end exclusive (north-star LLM dedup; suffix arrays don't distribute, gram hashing does)",
+)
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.substring import duplicated_ngram_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(docs, "doc_id", "text", n=8).orderBy(
+        "doc_id", "start_tok"
+    )
+
+
+@query(
+    "q_substring_scrub",
+    f"""
+    WITH {_substring_ctes(8)},
+    tok_pos AS (SELECT doc_id, unnest(ts) AS t,
+                       generate_subscripts(ts, 1) - 1 AS pos
+                FROM toks),
+    kept AS (
+      SELECT tp.doc_id, tp.t, tp.pos FROM tok_pos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = tp.doc_id
+                          AND tp.pos >= sp.s AND tp.pos < sp.e)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY pos) AS clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.ts) AS BIGINT) AS n_tokens,
+           CAST(len(b.ts) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(a.clean, '')) AS clean_md5
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    doc="exact substring scrub: remove every redundant duplicated 8-gram span (keep-first — exactly one copy of each duplicated window survives corpus-wide), report per-doc token/removed counts and the md5 of the whitespace-normalized scrubbed text; the scrub itself is an expression-only in-array filter, no second shuffle beyond the span build",
+)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.substring import scrub_duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = scrub_duplicated_spans(docs, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    ).orderBy("doc_id")
