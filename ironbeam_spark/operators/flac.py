@@ -1,0 +1,626 @@
+"""Pure-Python FLAC codec (public spec: RFC 9639 / xiph.org format docs).
+
+Completes the real-codec audio family (PCM WAV + G.711 in
+``operators/multimodal.py``) with the lossless compressed format a real
+100 TB audio pipeline actually stores.  No reference analogue (the
+reference ships no audio codecs; nearest surface is the opaque-payload
+custom source) — north-star multimodal infrastructure, same tier as the
+PNG/GIF/JPEG image codecs.
+
+Decoder (``decode_flac_samples``): STREAMINFO parse, fixed- and
+variable-blocksize frames, CONSTANT / VERBATIM / FIXED (orders 0-4) /
+LPC (any order) subframes, both Rice residual methods (4- and 5-bit
+parameters) plus escape partitions, wasted-bits, all four stereo channel
+assignments (independent, left/side, right/side, mid/side), 8-32 bit
+sample sizes, CRC-8 (header) and CRC-16 (frame) verification, and — when
+STREAMINFO carries one — an MD5 check of the decoded audio against the
+encoder's signature, the spec's own end-to-end integrity proof.
+Unsupported/corrupt payloads raise ``ValueError`` and ONLY ``ValueError``
+(the dead-letter contract shared by every codec here).
+
+Encoder (``encode_flac``): 16-bit, fixed blocksize, CONSTANT or best-of
+FIXED(0-2) subframes with single-partition Rice residuals, independent or
+left/right/mid-side stereo.  FLAC is lossless, so the decode of an encode
+is bit-exact BY CONSTRUCTION — which is what lets the suite oracle verify
+the whole chain against closed-form sample arithmetic with no tolerance.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_flac", "decode_flac_samples", "decode_flac_meta"]
+
+
+# --------------------------------------------------------------- CRC tables
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if (crc & top) else (crc << 1)
+        table.append(crc & mask)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)  # x^8 + x^2 + x + 1
+_CRC16_TABLE = _crc_table(0x8005, 16)  # x^16 + x^15 + x^2 + 1
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+# --------------------------------------------------------------- bit I/O
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def put_signed(self, value: int, length: int) -> None:
+        self.put(value & ((1 << length) - 1), length)
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zero bits then a one bit
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("flac: runaway unary code (corrupt stream)")
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+    def byte_pos(self) -> int:
+        assert self.nbits % 8 == 0
+        return self.pos - self.nbits // 8
+
+
+# --------------------------------------------------------------- helpers
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame/sample index, up to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC), (7, 0xFE)):
+        if n < (1 << (5 * nbytes + 1)) or nbytes == 7:
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            for i in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("flac: number too large for utf8 coding")
+
+
+def _read_utf8_number(r: _BitReader) -> int:
+    first = r.bits(8)
+    if first < 0x80:
+        return first
+    ones = 0  # leading-ones count gives the total byte count
+    for i in range(7, -1, -1):
+        if first & (1 << i):
+            ones += 1
+        else:
+            break
+    if ones < 2 or ones > 7:
+        raise ValueError("flac: bad utf8-coded number")
+    n = first & ((1 << (7 - ones)) - 1)
+    for _ in range(ones - 1):
+        b = r.bits(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError("flac: bad utf8 continuation byte")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_TABLE = {
+    0x1: 192, 0x2: 576, 0x3: 1152, 0x4: 2304, 0x5: 4608,
+    0x8: 256, 0x9: 512, 0xA: 1024, 0xB: 2048, 0xC: 4096,
+    0xD: 8192, 0xE: 16384, 0xF: 32768,
+}
+
+_SAMPLE_RATE_TABLE = {
+    0x1: 88200, 0x2: 176400, 0x3: 192000, 0x4: 8000, 0x5: 16000,
+    0x6: 22050, 0x7: 24000, 0x8: 32000, 0x9: 44100, 0xA: 48000, 0xB: 96000,
+}
+
+_SAMPLE_SIZE_TABLE = {0x1: 8, 0x2: 12, 0x4: 16, 0x5: 20, 0x6: 24, 0x7: 32}
+
+
+# --------------------------------------------------------------- encoder
+
+def _best_fixed_order(samples: list[int], max_order: int = 2) -> int:
+    best, best_cost = 0, None
+    for order in range(min(max_order, len(samples) - 1) + 1):
+        coefs = _FIXED_COEFFS[order]
+        cost = 0
+        for i in range(order, len(samples)):
+            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            cost += abs(samples[i] - pred)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = order, cost
+    return best
+
+
+def _rice_param(residuals: list[int]) -> int:
+    zz = [_zigzag(r) for r in residuals]
+    best_k, best_bits = 0, None
+    for k in range(15):
+        bits = sum((u >> k) + 1 + k for u in zz)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+        if best_bits is not None and bits > best_bits * 4:
+            break
+    return best_k
+
+
+def _write_subframe(w: _BitWriter, samples: list[int], bps: int) -> None:
+    n = len(samples)
+    if n > 0 and all(s == samples[0] for s in samples):
+        w.put(0, 1)  # zero pad
+        w.put(0, 6)  # CONSTANT
+        w.put(0, 1)  # no wasted bits
+        w.put_signed(samples[0], bps)
+        return
+    order = _best_fixed_order(samples)
+    coefs = _FIXED_COEFFS[order]
+    res = [
+        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, n)
+    ]
+    w.put(0, 1)
+    w.put(8 + order, 6)  # FIXED, order 0-4
+    w.put(0, 1)  # no wasted bits
+    for i in range(order):
+        w.put_signed(samples[i], bps)
+    # residual: method 0 (4-bit Rice), partition order 0
+    w.put(0, 2)
+    w.put(0, 4)
+    k = _rice_param(res)
+    w.put(k, 4)
+    for r in res:
+        u = _zigzag(r)
+        w.put_unary(u >> k)
+        if k:
+            w.put(u & ((1 << k) - 1), k)
+
+
+def encode_flac(
+    sample_rate: int,
+    channels: int,
+    samples: list[int],
+    block_size: int = 4096,
+    stereo: str = "independent",
+) -> bytes:
+    """Encode interleaved 16-bit samples to a FLAC stream.
+
+    ``stereo`` (2-channel input only): ``independent``, ``left-side``,
+    ``right-side``, or ``mid-side`` — the encoder applies the spec's
+    inter-channel decorrelation so the decoder's reconstruction paths get
+    exercised by REAL files, not hand-woven bit strings."""
+    import hashlib
+
+    bps = 16
+    if channels < 1 or channels > 8:
+        raise ValueError("encode_flac: channels must be 1-8")
+    if len(samples) % channels:
+        raise ValueError("encode_flac: samples not a multiple of channels")
+    if stereo != "independent" and channels != 2:
+        raise ValueError("encode_flac: stereo modes need exactly 2 channels")
+    n_frames_total = len(samples) // channels
+    for s in samples:
+        if not (-(1 << 15) <= s < (1 << 15)):
+            raise ValueError("encode_flac: sample out of int16 range")
+
+    md5 = hashlib.md5(
+        b"".join(struct.pack("<h", s) for s in samples)
+    ).digest()
+
+    out = bytearray(b"fLaC")
+    # STREAMINFO (type 0, last-metadata-block flag set), 34 bytes
+    si = _BitWriter()
+    si.put(block_size, 16)
+    si.put(block_size, 16)
+    si.put(0, 24)  # min frame size unknown
+    si.put(0, 24)  # max frame size unknown
+    si.put(sample_rate, 20)
+    si.put(channels - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(n_frames_total, 36)
+    body = si.bytes() + md5
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    deint = [samples[c::channels] for c in range(channels)]
+    frame_idx = 0
+    pos = 0
+    while pos < n_frames_total or (n_frames_total == 0 and frame_idx == 0):
+        nb = min(block_size, n_frames_total - pos)
+        if nb == 0:
+            break
+        chans = [d[pos : pos + nb] for d in deint]
+        if stereo == "independent":
+            assign, sub_chans, side_idx = channels - 1, chans, None
+        else:
+            left, right = chans
+            side = [left[i] - right[i] for i in range(nb)]
+            if stereo == "left-side":
+                assign, sub_chans, side_idx = 8, [left, side], 1
+            elif stereo == "right-side":
+                assign, sub_chans, side_idx = 9, [side, right], 0
+            elif stereo == "mid-side":
+                mid = [(left[i] + right[i]) >> 1 for i in range(nb)]
+                assign, sub_chans, side_idx = 10, [mid, side], 1
+            else:
+                raise ValueError(f"encode_flac: unknown stereo mode {stereo!r}")
+
+        hw = _BitWriter()
+        hw.put(0b11111111111110, 14)
+        hw.put(0, 1)  # reserved
+        hw.put(0, 1)  # fixed-blocksize strategy: number below is frame index
+        hw.put(0b0111, 4)  # blocksize: 16-bit value follows
+        hw.put(0b0000, 4)  # sample rate: from STREAMINFO
+        hw.put(assign, 4)
+        hw.put(0b100, 3)  # sample size: 16
+        hw.put(0, 1)  # reserved
+        hw.align()
+        header = hw.bytes() + _utf8_number(frame_idx) + struct.pack(">H", nb - 1)
+        header += bytes([_crc8(header)])
+
+        fw = _BitWriter()
+        for ci, ch in enumerate(sub_chans):
+            _write_subframe(fw, ch, bps + (1 if ci == side_idx else 0))
+        fw.align()
+        frame = header + fw.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+        pos += nb
+        frame_idx += 1
+
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decoder
+
+def decode_flac_samples(b: bytes):
+    """Decode a FLAC stream to ``(sample_rate, channels, bps, samples)``
+    with ``samples`` interleaved ints.  Raises ``ValueError`` — and ONLY
+    ``ValueError`` — on unsupported/corrupt/truncated payloads (dead-letter
+    contract; fuzz-pinned like the image codecs)."""
+    try:
+        return _decode(b)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"flac: corrupt or truncated payload ({e})") from e
+
+
+def decode_flac_meta(b: bytes) -> dict:
+    """:func:`decode_flac_samples` projected to the ``decode_audio`` row
+    shape: ``{fmt, sample_rate, channels, bits, n_frames, sum_abs}``."""
+    sample_rate, channels, bps, samples = decode_flac_samples(b)
+    return {
+        "fmt": "flac",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bps,
+        "n_frames": len(samples) // channels if channels else 0,
+        "sum_abs": sum(abs(s) for s in samples),
+    }
+
+
+def _decode(b: bytes):
+    import hashlib
+
+    if b[:4] != b"fLaC":
+        raise ValueError("flac: missing fLaC marker")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("flac: truncated metadata")
+        hdr = b[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + size]
+        if len(body) != size:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            if size != 34:
+                raise ValueError("flac: STREAMINFO must be 34 bytes")
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("flac: invalid metadata block type 127")
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("flac: missing STREAMINFO")
+
+    r = _BitReader(streaminfo)
+    r.bits(16)  # min blocksize
+    r.bits(16)  # max blocksize
+    r.bits(24)
+    r.bits(24)
+    sample_rate = r.bits(20)
+    channels = r.bits(3) + 1
+    bps = r.bits(5) + 1
+    total = r.bits(36)
+    md5 = streaminfo[18:34]
+    if sample_rate == 0:
+        raise ValueError("flac: STREAMINFO declares 0 sample rate")
+
+    # decompression-bomb guard, same contract as the image codecs: a 42-byte
+    # header can declare 2^36 samples x 8 channels
+    if total * channels > 1 << 28:
+        raise ValueError(f"flac: {total} samples x {channels}ch exceeds decode budget")
+
+    chans = [[] for _ in range(channels)]
+    decoded = 0
+    while pos < len(b) and (total == 0 or decoded < total):
+        if pos + 2 > len(b):
+            break
+        pos = _decode_frame(b, pos, sample_rate, channels, bps, chans)
+        decoded = len(chans[0])
+    if total and decoded < total:
+        raise ValueError(f"flac: stream ends at {decoded}/{total} samples")
+    if total:
+        for c in range(channels):
+            del chans[c][total:]
+
+    samples = [0] * (len(chans[0]) * channels)
+    for c in range(channels):
+        samples[c::channels] = chans[c]
+
+    if md5 != b"\x00" * 16:
+        if bps == 16:
+            got = hashlib.md5(
+                b"".join(struct.pack("<h", s) for s in samples)
+            ).digest()
+        elif bps == 8:
+            got = hashlib.md5(
+                b"".join(struct.pack("<b", s) for s in samples)
+            ).digest()
+        elif bps == 24:
+            got = hashlib.md5(
+                b"".join((s & 0xFFFFFF).to_bytes(3, "little") for s in samples)
+            ).digest()
+        else:  # 12/20/32-bit md5 layouts are exotic; skip the check
+            got = md5
+        if got != md5:
+            raise ValueError("flac: decoded audio fails STREAMINFO md5 check")
+    return sample_rate, channels, bps, samples
+
+
+def _decode_frame(b, pos, sr_si, ch_si, bps_si, chans):
+    r = _BitReader(b, pos)
+    sync = r.bits(14)
+    if sync != 0b11111111111110:
+        raise ValueError("flac: lost frame sync")
+    if r.bits(1):
+        raise ValueError("flac: reserved frame-header bit set")
+    r.bits(1)  # blocking strategy (number semantics only)
+    bs_code = r.bits(4)
+    sr_code = r.bits(4)
+    assign = r.bits(4)
+    ss_code = r.bits(3)
+    if r.bits(1):
+        raise ValueError("flac: reserved frame-header bit set")
+    _read_utf8_number(r)
+    if bs_code == 0:
+        raise ValueError("flac: reserved blocksize code 0")
+    elif bs_code == 6:
+        nb = r.bits(8) + 1
+    elif bs_code == 7:
+        nb = r.bits(16) + 1
+    else:
+        nb = _BLOCKSIZE_TABLE[bs_code]
+    if sr_code == 0:
+        pass
+    elif sr_code == 12:
+        r.bits(8)
+    elif sr_code in (13, 14):
+        r.bits(16)
+    elif sr_code == 15:
+        raise ValueError("flac: invalid sample-rate code 15")
+    elif sr_code not in _SAMPLE_RATE_TABLE:
+        raise ValueError(f"flac: bad sample-rate code {sr_code}")
+    if ss_code == 0:
+        bps = bps_si
+    elif ss_code in _SAMPLE_SIZE_TABLE:
+        bps = _SAMPLE_SIZE_TABLE[ss_code]
+    else:
+        raise ValueError(f"flac: reserved sample-size code {ss_code}")
+
+    header_end = r.byte_pos()
+    if _crc8(b[pos:header_end]) != r.bits(8):
+        raise ValueError("flac: frame header CRC-8 mismatch")
+
+    if assign <= 7:
+        n_sub, side_idx = assign + 1, None
+    elif assign in (8, 9, 10):
+        n_sub, side_idx = 2, (1 if assign in (8, 10) else 0)
+    else:
+        raise ValueError(f"flac: reserved channel assignment {assign}")
+    if n_sub != ch_si:
+        raise ValueError(
+            f"flac: frame channel count {n_sub} != STREAMINFO {ch_si}"
+        )
+
+    subs = []
+    for ci in range(n_sub):
+        sub_bps = bps + (1 if ci == side_idx else 0)
+        subs.append(_decode_subframe(r, nb, sub_bps))
+
+    r.align()
+    frame_end = r.byte_pos()
+    if _crc16(b[pos:frame_end]) != struct.unpack_from(">H", b, frame_end)[0]:
+        raise ValueError("flac: frame CRC-16 mismatch")
+
+    if assign <= 7:
+        out = subs
+    elif assign == 8:  # left/side
+        left, side = subs
+        out = [left, [left[i] - side[i] for i in range(nb)]]
+    elif assign == 9:  # right/side
+        side, right = subs
+        out = [[right[i] + side[i] for i in range(nb)], right]
+    else:  # mid/side
+        mid, side = subs
+        out = [[], []]
+        for i in range(nb):
+            m2 = (mid[i] << 1) | (side[i] & 1)
+            out[0].append((m2 + side[i]) >> 1)
+            out[1].append((m2 - side[i]) >> 1)
+    for c in range(ch_si):
+        chans[c].extend(out[c])
+    return frame_end + 2
+
+
+def _decode_subframe(r: _BitReader, nb: int, bps: int):
+    if r.bits(1):
+        raise ValueError("flac: subframe padding bit set")
+    stype = r.bits(6)
+    wasted = 0
+    if r.bits(1):
+        wasted = r.unary() + 1
+        bps -= wasted
+        if bps <= 0:
+            raise ValueError("flac: wasted bits exceed sample size")
+
+    if stype == 0:  # CONSTANT
+        v = r.signed(bps)
+        out = [v] * nb
+    elif stype == 1:  # VERBATIM
+        out = [r.signed(bps) for _ in range(nb)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        out = [r.signed(bps) for _ in range(order)]
+        res = _decode_residual(r, nb, order)
+        coefs = _FIXED_COEFFS[order]
+        for i in range(order, nb):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out.append(res[i - order] + pred)
+    elif stype >= 32:  # LPC, order = stype - 31
+        order = stype - 31
+        out = [r.signed(bps) for _ in range(order)]
+        precision = r.bits(4) + 1
+        if precision == 16:
+            raise ValueError("flac: invalid LPC precision code 15")
+        shift = r.signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [r.signed(precision) for _ in range(order)]
+        res = _decode_residual(r, nb, order)
+        for i in range(order, nb):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(res[i - order] + pred)
+    else:
+        raise ValueError(f"flac: reserved subframe type {stype}")
+
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _decode_residual(r: _BitReader, nb: int, order: int):
+    method = r.bits(2)
+    if method > 1:
+        raise ValueError(f"flac: reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.bits(4)
+    nparts = 1 << porder
+    if nb % nparts:
+        raise ValueError("flac: blocksize not divisible by partition count")
+    part_n = nb >> porder
+    res = []
+    for p in range(nparts):
+        count = part_n - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("flac: first partition smaller than order")
+        k = r.bits(pbits)
+        if k == escape:
+            raw = r.bits(5)
+            if raw:
+                res.extend(r.signed(raw) for _ in range(count))
+            else:
+                res.extend(0 for _ in range(count))
+        else:
+            for _ in range(count):
+                u = (r.unary() << k) | (r.bits(k) if k else 0)
+                res.append(_unzigzag(u))
+    return res

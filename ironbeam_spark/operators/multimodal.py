@@ -725,17 +725,22 @@ def _g711_luts():
 
 
 def decode_audio_bytes(b: bytes) -> dict:
-    """Decode one WAV payload (RIFF walk, public WAVE spec): 16-bit PCM
-    (format 1), plus ITU-T **G.711 A-law** (format 6) and **µ-law**
-    (format 7) — the 8-bit companded telephony codings, expanded to int16
-    through the spec's segment tables.  Returns ``{fmt, sample_rate,
-    channels, bits, n_frames, sum_abs}`` with integer ``sum_abs``
-    (order-invariant, oracle-verifiable).  Raises ``ValueError`` for
-    non-WAV or compressed audio (MP3/AAC need native codecs)."""
+    """Decode one audio payload: WAV (RIFF walk, public WAVE spec) with
+    16-bit PCM (format 1) plus ITU-T **G.711 A-law** (format 6) and
+    **µ-law** (format 7) — the 8-bit companded telephony codings, expanded
+    to int16 through the spec's segment tables — and **FLAC** (RFC 9639,
+    via :mod:`ironbeam_spark.operators.flac`).  Returns ``{fmt,
+    sample_rate, channels, bits, n_frames, sum_abs}`` with integer
+    ``sum_abs`` (order-invariant, oracle-verifiable).  Raises
+    ``ValueError`` for anything else (MP3/AAC need native codecs)."""
     import numpy as np
 
+    if b[:4] == b"fLaC":
+        from ironbeam_spark.operators.flac import decode_flac_meta
+
+        return decode_flac_meta(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        raise ValueError("unsupported audio format: only WAV (PCM16/G.711) decodes without librosa/ffmpeg")
+        raise ValueError("unsupported audio format: only WAV (PCM16/G.711) and FLAC decode without librosa/ffmpeg")
     i, n = 12, len(b)
     fmt = data = None
     while i + 8 <= n:

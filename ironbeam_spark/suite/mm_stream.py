@@ -638,6 +638,69 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_flac_decode",
+    # Exact oracle: FLAC is LOSSLESS, so whatever path the encoder picks —
+    # constant/fixed-predictor subframes, Rice parameters, and (for stereo
+    # docs) all four channel-decorrelation modes, cycled by doc_id — the
+    # decoded PCM equals the closed-form source samples bit for bit, and
+    # the oracle only re-derives the absolute-sample sum analytically.
+    # The decoder additionally proves the roundtrip itself: STREAMINFO
+    # carries the encoder's MD5 of the raw samples and decode fails
+    # loudly on mismatch, so a green row certifies entropy coding,
+    # predictors, CRCs, and stereo reconstruction end to end.
+    """
+    WITH params AS (
+      SELECT doc_id, 8000 + (doc_id % 4) * 8000 AS sr,
+             1 + doc_id % 2 AS ch, 40 + doc_id % 30 AS frames
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id, 'flac' AS fmt,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(frames AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(
+             generate_series(0, frames * ch - 1),
+             i -> abs(((doc_id * 31 + i * 17) % 4001) - 2000))) AS BIGINT)
+             AS sum_abs
+    FROM params ORDER BY doc_id
+    """,
+    doc="REAL FLAC decode (round 6): closed-form PCM encoded by the pure-Python RFC 9639 encoder (fixed predictors, Rice residuals, stereo docs cycling independent/left-side/right-side/mid-side decorrelation), parsed back by the full decoder (operators/flac.py: Rice + escape partitions, FIXED/LPC predictors, CRC-8/16, STREAMINFO md5 self-check), absolute-sample sums vs the analytical oracle (north-star multimodal, real codec tier)",
+)
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.multimodal import decode_audio
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.flac import encode_flac
+
+        modes = ("independent", "left-side", "right-side", "mid-side")
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sr, ch = 8000 + (did % 4) * 8000, 1 + did % 2
+                n = (40 + did % 30) * ch
+                samples = [((did * 31 + i * 17) % 4001) - 2000 for i in range(n)]
+                payload = encode_flac(
+                    sr, ch, samples,
+                    block_size=16 + (did % 3) * 8,  # several frames per doc
+                    stereo=modes[did % 4] if ch == 2 else "independent",
+                )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+    out = decode_audio(blobs, "doc_id", "payload")
+    return out.select(
+        "doc_id", "fmt", "sample_rate", "channels", "bits", "n_frames", "sum_abs"
+    ).orderBy("doc_id")
+
+
+@query(
     "q_stream_join",
     # Trigger.AvailableNow over a bounded source is batch-equivalent
     # (same contract as q_stream_tumble/q_stream_session; equivalence also

@@ -1,0 +1,277 @@
+"""FLAC codec (operators/flac.py): roundtrips over every subframe/stereo
+path the encoder emits, spec-pinned constants (CRC polynomials, UTF-8
+number coding), hand-woven bitstreams for the decoder-only paths (LPC,
+escape partitions, wasted bits), and the dead-letter exception contract.
+
+No external FLAC tool exists in this container, so cross-validation rests
+on (a) the spec-pinned vectors below and (b) STREAMINFO's MD5 of the raw
+PCM — an end-to-end integrity channel that is independent of the entropy
+coding: a biased encoder+decoder pair would still have to reproduce the
+exact samples the encoder hashed."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from ironbeam_spark.operators.flac import (
+    _BitReader,
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _decode_residual,
+    _decode_subframe,
+    _read_utf8_number,
+    _utf8_number,
+    decode_flac_meta,
+    decode_flac_samples,
+    encode_flac,
+)
+
+
+# ---------------------------------------------------------------- spec pins
+
+
+def test_crc8_check_value():
+    # CRC-8 poly 0x07, init 0, unreflected: standard check value over
+    # "123456789" is 0xF4 (the polynomial FLAC names in the frame header)
+    assert _crc8(b"123456789") == 0xF4
+
+
+def test_crc16_check_value():
+    # CRC-16 poly 0x8005, init 0, unreflected (CRC-16/UMTS a.k.a. BUYPASS):
+    # catalogued check value over "123456789" is 0xFEE8
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+@pytest.mark.parametrize(
+    "n,enc",
+    [
+        (0, b"\x00"),
+        (127, b"\x7f"),
+        (128, b"\xc2\x80"),
+        (0x7FF, b"\xdf\xbf"),
+        (0x800, b"\xe0\xa0\x80"),
+        (0xFFFF, b"\xef\xbf\xbf"),
+        (0x10000, b"\xf0\x90\x80\x80"),
+    ],
+)
+def test_utf8_number_vectors(n, enc):
+    # FLAC's coded number IS UTF-8 for values in the Unicode range
+    assert _utf8_number(n) == enc
+    assert _read_utf8_number(_BitReader(enc)) == n
+
+
+def test_utf8_number_roundtrip_wide():
+    for n in (0, 1, 127, 128, 2047, 2048, 65535, 65536, (1 << 31) - 1, (1 << 36) - 1):
+        assert _read_utf8_number(_BitReader(_utf8_number(n))) == n
+
+
+# ---------------------------------------------------------------- roundtrips
+
+
+def test_roundtrip_mono_multiframe():
+    samples = [((7 + 13 * i) % 201) - 100 for i in range(1000)]
+    b = encode_flac(8000, 1, samples, block_size=256)
+    sr, ch, bps, out = decode_flac_samples(b)
+    assert (sr, ch, bps) == (8000, 1, 16)
+    assert out == samples
+    assert len(b) < len(samples) * 2  # it actually compresses
+
+
+@pytest.mark.parametrize("mode", ["independent", "left-side", "right-side", "mid-side"])
+def test_roundtrip_stereo_modes(mode):
+    rng = random.Random(hash(mode) & 0xFFFF)
+    left = [rng.randint(-3000, 3000) for _ in range(500)]
+    right = [v + rng.randint(-40, 40) for v in left]
+    inter = [v for pair in zip(left, right) for v in pair]
+    b = encode_flac(44100, 2, inter, block_size=128, stereo=mode)
+    assert decode_flac_samples(b)[3] == inter
+
+
+def test_roundtrip_constant_and_extremes():
+    assert decode_flac_samples(encode_flac(16000, 1, [42] * 512))[3] == [42] * 512
+    edge = [-(1 << 15), (1 << 15) - 1] * 64
+    assert decode_flac_samples(encode_flac(8000, 1, edge, block_size=64))[3] == edge
+
+
+def test_roundtrip_random_noise():
+    # noise defeats the fixed predictors -> exercises high Rice parameters
+    rng = random.Random(99)
+    samples = [rng.randint(-(1 << 15), (1 << 15) - 1) for _ in range(600)]
+    b = encode_flac(48000, 1, samples, block_size=200)
+    assert decode_flac_samples(b)[3] == samples
+
+
+def test_meta_projection():
+    samples = [((3 + 11 * i) % 333) - 166 for i in range(250)]
+    m = decode_flac_meta(encode_flac(12000, 1, samples, block_size=128))
+    assert m["fmt"] == "flac" and m["bits"] == 16
+    assert m["n_frames"] == 250
+    assert m["sum_abs"] == sum(abs(s) for s in samples)
+
+
+# ----------------------------------------------- decoder-only paths, hand-woven
+
+
+def test_lpc_subframe_decodes():
+    # order-2 LPC with coefficients [2, -1], shift 0 == FIXED order 2:
+    # weave the subframe bits by hand, then check the recurrence
+    warm = [10, 13]
+    res = [1, -2, 3, 0, -1, 2]
+    nb = len(warm) + len(res)
+    w = _BitWriter()
+    w.put(0, 1)  # pad
+    w.put(31 + 2, 6)  # LPC, order 2
+    w.put(0, 1)  # no wasted bits
+    for s in warm:
+        w.put_signed(s, 16)
+    w.put(15 - 1, 4)  # precision 15
+    w.put_signed(0, 5)  # shift 0
+    w.put_signed(2, 15)
+    w.put_signed(-1, 15)
+    w.put(0, 2)  # residual method 0
+    w.put(0, 4)  # partition order 0
+    w.put(2, 4)  # rice k=2
+    for v in res:
+        u = (v << 1) if v >= 0 else ((-v << 1) - 1)
+        w.put_unary(u >> 2)
+        w.put(u & 3, 2)
+    w.align()
+    out = _decode_subframe(_BitReader(w.bytes()), nb, 16)
+    expect = list(warm)
+    for rv in res:
+        expect.append(rv + 2 * expect[-1] - expect[-2])
+    assert out == expect
+
+
+def test_escape_partition_residual():
+    # method 0, partition order 0, k=0b1111 escape, 6 raw bits per residual
+    vals = [5, -17, 0, 31, -32, 1]
+    w = _BitWriter()
+    w.put(0, 2)
+    w.put(0, 4)
+    w.put(0b1111, 4)
+    w.put(6, 5)
+    for v in vals:
+        w.put_signed(v, 6)
+    w.align()
+    assert _decode_residual(_BitReader(w.bytes()), len(vals), 0) == vals
+
+
+def test_escape_partition_zero_bits_means_zeros():
+    w = _BitWriter()
+    w.put(0, 2)
+    w.put(0, 4)
+    w.put(0b1111, 4)
+    w.put(0, 5)  # 0 raw bits -> all residuals are 0
+    w.align()
+    assert _decode_residual(_BitReader(w.bytes()), 4, 0) == [0, 0, 0, 0]
+
+
+def test_wasted_bits_constant_subframe():
+    # CONSTANT with 1 wasted bit: stored value 21 at bps-1 -> output 42
+    w = _BitWriter()
+    w.put(0, 1)
+    w.put(0, 6)  # CONSTANT
+    w.put(1, 1)  # wasted-bits flag
+    w.put(1, 1)  # unary 0 -> wasted = 0 + 1
+    w.put_signed(21, 15)
+    w.align()
+    assert _decode_subframe(_BitReader(w.bytes()), 3, 16) == [42, 42, 42]
+
+
+def test_rice5_method_decodes():
+    vals = [7, -3, 0, 12]
+    w = _BitWriter()
+    w.put(1, 2)  # method 1: 5-bit rice parameters
+    w.put(0, 4)
+    w.put(3, 5)  # k=3
+    for v in vals:
+        u = (v << 1) if v >= 0 else ((-v << 1) - 1)
+        w.put_unary(u >> 3)
+        w.put(u & 7, 3)
+    w.align()
+    assert _decode_residual(_BitReader(w.bytes()), len(vals), 0) == vals
+
+
+# ---------------------------------------------------------------- integrity
+
+
+def test_md5_check_catches_divergence():
+    samples = [((5 + 7 * i) % 101) - 50 for i in range(300)]
+    b = bytearray(encode_flac(8000, 1, samples, block_size=128))
+    # STREAMINFO md5 lives at bytes 8+18 .. 8+34 (fLaC + 4-byte block
+    # header + 18 bytes of stream params); corrupt it — no CRC covers
+    # metadata, so ONLY the md5 self-check can notice
+    b[8 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="md5"):
+        decode_flac_samples(bytes(b))
+
+
+def test_frame_corruption_raises_valueerror():
+    samples = [((7 + 13 * i) % 201) - 100 for i in range(400)]
+    good = encode_flac(8000, 1, samples, block_size=128)
+    rng = random.Random(5)
+    for _ in range(40):
+        b = bytearray(good)
+        b[rng.randrange(42, len(b))] ^= 1 << rng.randrange(8)
+        try:
+            decode_flac_samples(bytes(b))
+        except ValueError:
+            pass  # the only acceptable exception type
+
+def test_truncation_raises_valueerror():
+    good = encode_flac(8000, 1, [((i * 13) % 201) - 100 for i in range(300)])
+    for cut in (0, 3, 4, 20, 41, 42, 60, len(good) - 1):
+        with pytest.raises(ValueError):
+            decode_flac_samples(good[:cut])
+
+
+def test_bomb_guard():
+    # hand-build fLaC + STREAMINFO declaring 2^36-1 samples x 8 channels
+    w = _BitWriter()
+    w.put(4096, 16)
+    w.put(4096, 16)
+    w.put(0, 24)
+    w.put(0, 24)
+    w.put(8000, 20)
+    w.put(7, 3)  # 8 channels
+    w.put(15, 5)  # 16 bps
+    w.put((1 << 36) - 1, 36)
+    body = w.bytes() + b"\x00" * 16
+    blob = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    with pytest.raises(ValueError, match="budget"):
+        decode_flac_samples(blob)
+
+
+def test_fuzz_garbage_raises_valueerror_only():
+    rng = random.Random(616)
+    for _ in range(300):
+        n = rng.randrange(0, 120)
+        blob = b"fLaC" + bytes(rng.randrange(256) for _ in range(n))
+        try:
+            decode_flac_samples(blob)
+        except ValueError:
+            pass
+
+
+def test_audio_dispatch_and_dead_letter(spark):
+    from ironbeam_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    flac_blob = encode_flac(8000, 1, [1, -2, 3, -4] * 50, block_size=100)
+    wav_blob = encode_wav_pcm16(16000, 1, [5, -6] * 30)
+    rows = spark.createDataFrame(
+        [(1, flac_blob), (2, wav_blob), (3, b"\xffgarbage")],
+        "id long, payload binary",
+    )
+    got = {r["id"]: r for r in decode_audio(rows, "id", "payload").collect()}
+    assert got[1]["fmt"] == "flac" and got[1]["error"] is None
+    assert got[1]["sum_abs"] == (1 + 2 + 3 + 4) * 50
+    assert got[2]["fmt"] == "wav"
+    assert got[3]["fmt"] is None and "unsupported audio" in got[3]["error"]
