@@ -76,7 +76,11 @@ POS_PACK_BITS = 24
 
 
 def positional_token_ngrams(
-    docs: DataFrame, id_col: str, text_col: str, n: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """``(id, pos, gh)``: the int64 rolling hash of the ``n``-token window
     starting at 0-based token position ``pos``, one row per start position.
@@ -85,13 +89,26 @@ def positional_token_ngrams(
     ``acc = h(t_i); acc = (acc*31 + h(t_{i+j})) % SHINGLE_MOD`` — but kept
     POSITIONAL (no distinct, no sort): span merging needs every occurrence.
     The per-token hash array is let-bound so the md5 pass runs once per row
-    even though each of the ~|tokens| windows reads ``n`` elements."""
+    even though each of the ~|tokens| windows reads ``n`` elements.
+
+    ``parallelism``: the gram fold is an interpreted higher-order
+    expression (never enters whole-stage codegen), so its parallelism is
+    the SOURCE SPLIT COUNT — serial on a single-file input.  Passing a
+    task count repartitions the narrow (id, text) projection first; both
+    downstream gram branches then hang off ONE exchange (ReusedExchange),
+    so the corpus text shuffles once and the fold runs wide.  Leave None
+    at real scale, where a 100 TB parquet corpus already has thousands of
+    splits and a forced full-text reshuffle would only add cost."""
     from ironbeam_spark.functions.hof import let_
     from ironbeam_spark.functions.text import token_int, tokens
     from ironbeam_spark.operators.dedup import SHINGLE_MOD
 
     if n < 2:
         raise ValueError("positional_token_ngrams: n must be >= 2")
+
+    base = docs.select(F.col(id_col), F.col(text_col))
+    if parallelism:
+        base = base.repartition(parallelism)
 
     token_hashes = F.transform(tokens(text_col), lambda t: token_int(t))
 
@@ -111,7 +128,7 @@ def positional_token_ngrams(
             F.transform(F.sequence(F.lit(1), F.size(tis) - F.lit(n - 1)), gram_at),
         ).otherwise(F.array().cast("array<bigint>"))
 
-    return docs.select(
+    return base.select(
         F.col(id_col), F.posexplode(let_(token_hashes, build)).alias("pos", "gh")
     )
 
@@ -122,6 +139,7 @@ def duplicated_ngram_spans(
     text_col: str,
     n: int = 8,
     keep_first: bool = True,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document:
     ``(id, start_tok, end_tok)`` with 0-based token indices, end exclusive.
@@ -136,7 +154,7 @@ def duplicated_ngram_spans(
 
     Requires a NUMERIC non-negative id (packed ordering); positions are
     capped at ``2^POS_PACK_BITS`` tokens per document."""
-    grams = positional_token_ngrams(docs, id_col, text_col, n)
+    grams = positional_token_ngrams(docs, id_col, text_col, n, parallelism)
 
     pack = F.lit(1 << POS_PACK_BITS)
     packed = grams.withColumn(
@@ -184,6 +202,7 @@ def scrub_duplicated_spans(
     text_col: str,
     n: int = 8,
     out_col: str = "text_clean",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Remove every redundant duplicated span (keep-first semantics), return
     ``(id, out_col, n_tokens, n_removed)``.
@@ -194,7 +213,9 @@ def scrub_duplicated_spans(
     extra linear steps on top of :func:`duplicated_ngram_spans`: one per-doc
     span collect (bounded by document length) and one broadcast-free left
     join back to the corpus on the id."""
-    spans = duplicated_ngram_spans(docs, id_col, text_col, n, keep_first=True)
+    spans = duplicated_ngram_spans(
+        docs, id_col, text_col, n, keep_first=True, parallelism=parallelism
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("start_tok", "end_tok"))).alias(
             "_spans"

@@ -910,15 +910,20 @@ def _substring_ctes(n: int) -> str:
     SELECT doc_id, CAST(s AS BIGINT) AS start_tok, CAST(e AS BIGINT) AS end_tok
     FROM spans ORDER BY doc_id, start_tok
     """,
+    bench=True,
     doc="exact substring-duplication spans (Lee et al. 2022, token 8-gram form): positional rolling-hash grams -> one map-side-combinable winner/count aggregate -> hash join back -> per-doc gaps-and-islands merge; keep-first semantics (the corpus-wide first occurrence of each gram is never marked), 0-based token indices, end exclusive (north-star LLM dedup; suffix arrays don't distribute, gram hashing does)",
 )
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.substring import duplicated_ngram_spans
 
     docs = read_table(spark, sf_dir, "documents")
-    return duplicated_ngram_spans(docs, "doc_id", "text", n=8).orderBy(
-        "doc_id", "start_tok"
-    )
+    # parallelism: the test parquet is one split; the interpreted gram fold
+    # would otherwise run serially in the scan task (SCALE.md pushdown/HOF
+    # note).  At real scale the corpus has thousands of splits — omit it.
+    return duplicated_ngram_spans(
+        docs, "doc_id", "text", n=8,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).orderBy("doc_id", "start_tok")
 
 
 @query(
@@ -952,7 +957,10 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.substring import scrub_duplicated_spans
 
     docs = read_table(spark, sf_dir, "documents")
-    out = scrub_duplicated_spans(docs, "doc_id", "text", n=8)
+    out = scrub_duplicated_spans(
+        docs, "doc_id", "text", n=8,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     return out.select(
         "doc_id",
         "n_tokens",
