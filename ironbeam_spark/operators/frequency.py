@@ -35,7 +35,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["approx_heavy_hitters", "cms_estimates"]
+__all__ = ["approx_heavy_hitters", "cms_estimates", "collocations_pmi"]
 
 
 def _trim(counts: dict, m: int) -> tuple[dict, int]:
@@ -166,3 +166,76 @@ def cms_estimates(
         .groupBy("item")
         .agg(F.min("_c").cast("long").alias("est"))
     )
+
+
+def collocations_pmi(
+    docs: "DataFrame",
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> "DataFrame":
+    """Top-k adjacent-bigram collocations by pointwise mutual information.
+
+    PMI = log( p(ab) / (p(a)·p(b)) ) ranks the same as its argument, so the
+    score emitted is the RATIO itself — ``(c_ab·N) / (c_a·c_b)`` as one
+    int64·int64 product per side and a single double division.  IEEE +,*,/
+    are correctly rounded in both the JVM and DuckDB (only log differs by
+    ulps, SCALE.md), so the score is bit-exact cross-engine and the top-k
+    boundary can't flap.  Overflow bound: ``c_ab·N < 2^63`` — holds while
+    ``count(commonest bigram) · count(all tokens)`` stays under 9.2e18; at
+    a 10^13-token corpus that means bigrams up to ~9·10^5 occurrences,
+    beyond which pre-divide by gcd or go to the log form.
+
+    Plan: two linear explodes (tokens, adjacent pairs), combinable counts,
+    two hash joins on the token key (vocabulary-sized, not corpus-sized),
+    one bounded scalar (total token count), TakeOrdered top-k.  Ties at
+    the cut break on the bigram text itself, so results are deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.functions.hof import let_
+    from ironbeam_spark.functions.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def build(ts):
+        return F.when(
+            F.size(ts) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.struct(
+                    F.get(ts, i - 1).alias("a"), F.get(ts, i).alias("b")
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>")
+        )
+
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c")).collect()[0][0] or 0  # bounded scalar
+
+    pairs = (
+        docs.select(F.explode(let_(toks, build)).alias("bg"))
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= F.lit(int(min_count)))
+    )
+    scored = (
+        pairs.join(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b")), "b")
+        .select(
+            "a", "b", "c_ab",
+            (
+                (F.col("c_ab") * F.lit(int(n_tokens))).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), "a", "b"
+    ).limit(int(top_k))

@@ -32,6 +32,8 @@ __all__ = [
     "write_avro",
     "read_xml",
     "write_xml",
+    "read_orc",
+    "write_orc",
     "read_msgpack",
     "write_msgpack",
     "read_table",
@@ -232,6 +234,27 @@ def write_xml(df: DataFrame | PCollection, path: str, row_tag: str = "row", mode
         d.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
     except Exception as e:  # pragma: no cover
         raise NotImplementedError("xml sink unavailable in this build") from e
+
+
+def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> PCollection:
+    """ORC source (no reference counterpart — the other columnar format a
+    warehouse migration actually encounters; Spark bundles the vectorized
+    reader natively).  Same contract as :func:`read_parquet`: predicate
+    pushdown into row-group stripes, ``columns`` for early pruning."""
+    df = spark.read.orc(path)
+    if columns:
+        df = df.select(*columns)
+    return PCollection(df)
+
+
+def write_orc(df: DataFrame | PCollection, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+    """ORC sink, one stripe-compressed shard per partition; ``partition_by``
+    gives hive-style layout, mirroring :func:`write_parquet`."""
+    d = df.df if isinstance(df, PCollection) else df
+    w = d.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def read_msgpack(spark: SparkSession, path: str, schema: Any, as_arrays: bool = True) -> PCollection:

@@ -74,9 +74,9 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           Slot 15 keeps q_asof_join (temporal family representative —
 #           not otherwise present in 16-50).
 #   r6->r7 (planned): rotate in the round-6 additions (q_jpeg_decode,
-#           q_substring_spans, q_substring_scrub, q_flac_decode, and any
-#           query added after this comment) once the r6 window queries have
-#           their driver rows.
+#           q_substring_spans, q_substring_scrub, q_flac_decode, q_funnel,
+#           q_collocations, q_orc, and any query added after this comment)
+#           once the r6 window queries have their driver rows.
 # tests/test_registry_order.py freezes the current 84-name prefix.
 CANONICAL_ORDER = [
     # -- 1: r5 harness-error (no verdict row) — fixed, retrying

@@ -967,3 +967,39 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("text_clean")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_collocations",
+    # PMI ranks identically to its ratio argument, so the score is
+    # (c_ab*N)::DOUBLE / (c_a*c_b)::DOUBLE — exact int64 products and ONE
+    # IEEE division, bit-exact cross-engine (ln() is not, SCALE.md).
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(ts) AS t FROM toks)
+           GROUP BY t),
+    n AS (SELECT sum(c) AS n FROM uc),
+    bc AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b, count(*) AS c_ab
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2
+      GROUP BY ts[i], ts[i + 1]
+      HAVING count(*) >= 5
+    )
+    SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+           (bc.c_ab * n.n)::DOUBLE / (ua.c * ub.c)::DOUBLE AS pmi_ratio
+    FROM bc CROSS JOIN n
+    JOIN uc ua ON bc.a = ua.t
+    JOIN uc ub ON bc.b = ub.t
+    ORDER BY pmi_ratio DESC, bc.a, bc.b LIMIT 20
+    """,
+    doc="top-20 adjacent-bigram collocations by PMI over the lowercased corpus (operators/frequency.collocations_pmi): linear token/bigram explodes, combinable counts, vocabulary-keyed hash joins, one bounded total-count scalar, TakeOrdered top-k with bigram-text tiebreak; PMI emitted as the exact rational ratio (c_ab*N)/(c_a*c_b) under one IEEE division so the oracle hash-matches (north-star text analysis)",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.frequency import collocations_pmi
+
+    docs = read_table(spark, sf_dir, "documents")
+    return collocations_pmi(docs, "text", min_count=5, top_k=20)

@@ -585,3 +585,34 @@ def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("fields")["meta"], "UTF-8").alias("lang"),
         F.size(F.map_keys(F.col("fields"))).cast("long").alias("n_fields"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_orc",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 17 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="ORC sink+source end-to-end (sources/io.read_orc/write_orc, Spark-native vectorized stripes — the other columnar warehouse format, beyond the reference's format list): partition-parallel write, predicate-pushdown read back, aggregate — oracle computes the same aggregate straight from parquet",
+)
+def q_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.io import read_orc, write_orc
+
+    li = _t(spark, sf_dir, "lineitem").df.where(F.col("l_orderkey") % 17 == 0).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_orc_q_")
+    write_orc(li.coalesce(4), path)
+    back = read_orc(spark, path).df
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), sum_money("l_extendedprice", "revenue"))
+        .orderBy("l_returnflag")
+    )

@@ -175,3 +175,61 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "click_event_id", "user_id", "click_us", "matched_ts", "view_event_id"
     ).orderBy("click_event_id")
+
+
+_GAP_US = 7 * 24 * 3600 * 1_000_000  # 7-day per-step conversion window
+
+
+@query(
+    "q_funnel",
+    # First-touch funnel in exact epoch-micros: t1 = min ts(view);
+    # t2 = min ts(click) in [t1, t1+gap]; t3 = min ts(purchase) in
+    # [t2, t2+gap].  The oracle mirrors the per-user MIN chain with CTEs;
+    # abandons carry NULLs and a NULL bound keeps later steps NULL.
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT a.user_id, a.view_us,
+             min(CASE WHEN epoch_us(e.ts) >= a.view_us
+                       AND epoch_us(e.ts) <= a.view_us + {_GAP_US}
+                      THEN epoch_us(e.ts) END) AS click_us
+      FROM s1 a LEFT JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'click'
+      GROUP BY a.user_id, a.view_us
+    ),
+    s3 AS (
+      SELECT b.user_id, b.view_us, b.click_us,
+             min(CASE WHEN epoch_us(e.ts) >= b.click_us
+                       AND epoch_us(e.ts) <= b.click_us + {_GAP_US}
+                      THEN epoch_us(e.ts) END) AS purchase_us
+      FROM s2 b LEFT JOIN events e
+        ON e.user_id = b.user_id AND e.event_type = 'purchase'
+      GROUP BY b.user_id, b.view_us, b.click_us
+    )
+    SELECT user_id, view_us, click_us, purchase_us,
+           (1 + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS depth
+    FROM s3 ORDER BY user_id
+    """,
+    doc="first-touch funnel view->click->purchase with a 7-day per-step window (operators/funnel.funnel_steps): k steps = k map-side-combinable per-user MIN aggregates chained by user-keyed joins — the raw event stream is never reshuffled or sorted, state per user is one int64 per step; exact epoch-micros oracle (product-analytics family beyond the reference's windowing surface)",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.funnel import funnel_steps
+
+    ev = read_table(spark, sf_dir, "events")
+    out = funnel_steps(
+        ev, "user_id", "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        max_gap_us=_GAP_US,
+    )
+    return out.select(
+        "user_id", "view_us", "click_us", "purchase_us", "depth"
+    ).orderBy("user_id")

@@ -267,3 +267,24 @@ def test_custom_source_requires_schema(spark, tmp_path):
     register_msgpack_format(spark)
     with pytest.raises(Exception, match="schemaless|schema"):
         spark.read.format("msgpack").option("path", str(tmp_path)).load().collect()
+
+
+def test_orc_roundtrip(spark, sample, tmp_path):
+    from ironbeam_spark.sources.io import read_orc, write_orc
+
+    p = str(tmp_path / "t.orc")
+    write_orc(sample, p)
+    back = read_orc(spark, p).df.select("id", "s", "v")
+    assert _sorted(back) == _sorted(sample)
+
+
+def test_orc_partitioned_and_pruned(spark, sample, tmp_path):
+    from ironbeam_spark.sources.io import read_orc, write_orc
+
+    p = str(tmp_path / "part.orc")
+    write_orc(sample, p, partition_by=["s"])
+    back = read_orc(spark, p).df.filter(F.col("s") == "b")
+    assert back.count() == 1
+    # predicate pushdown reaches the ORC scan
+    proj = read_orc(spark, p, columns=["id"]).df
+    assert proj.columns == ["id"]
