@@ -1,0 +1,95 @@
+"""Slowly-changing-dimension type-2 history from a changelog.
+
+The warehouse-maintenance operator every ingestion pipeline eventually
+needs and the reference has no surface for (its closest shapes are
+``Latest`` per key and the as-of join, reference src/helpers/keyed.rs):
+given an append-only changelog of ``(key, ts, attributes...)`` rows, build
+the versioned dimension history — one row per *distinct consecutive*
+attribute state per key, with ``[valid_from, valid_to)`` validity and an
+``is_current`` flag.
+
+Plan shape: ONE shuffle, keyed on the entity key.  Both window passes
+(change detection via ``lag``, validity via ``lead``/``row_number``) share
+the identical ``PARTITION BY key ORDER BY ts, tiebreak`` spec, so Catalyst
+plans a single Exchange + sort and runs every window function in one
+physical Window chain.  No self-joins, no per-key collect: state per key
+during execution is the sort run, which Tungsten spills — at 100 TB of
+changelog this is exactly one repartition of the input.
+
+Semantics pinned for cross-engine exactness:
+
+- ordering ties break on explicit ``tiebreak_cols`` (deterministic, no
+  "whichever arrived first");
+- change detection is null-safe (``IS DISTINCT FROM``): NULL -> value and
+  value -> NULL are real transitions, NULL -> NULL is not;
+- the first row per key always opens version 1;
+- timestamps are exact epoch-micros int64, ``valid_to_us`` is NULL on the
+  open (current) version.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["scd2_history", "scd2_as_of"]
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 history: ``key..., version, attr..., valid_from_us,
+    valid_to_us, is_current`` — one row per distinct consecutive attribute
+    state per key."""
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_history: need key_cols and attr_cols")
+    from ironbeam_spark.operators.windowing import to_epoch_us
+
+    us = to_epoch_us(changes, ts_col)
+    order = [F.col("_us")] + [F.col(c) for c in tiebreak_cols]
+    w = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    staged = changes.withColumn("_us", us).select(
+        *key_cols, "_us", *tiebreak_cols, *attr_cols
+    )
+    marked = staged.withColumn("_prev", F.lag(state).over(w)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    # null-safe change detection; first row per key always opens a version
+    chg = marked.where(
+        (F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(state)
+    )
+    # second window over the SAME (partition, order) spec: no extra shuffle
+    out = (
+        chg.withColumn("valid_from_us", F.col("_us"))
+        .withColumn("valid_to_us", F.lead("_us").over(w))
+        .withColumn("version", F.row_number().over(w))
+    )
+    return out.select(
+        *key_cols,
+        "version",
+        *attr_cols,
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )
+
+
+def scd2_as_of(history: DataFrame, at_us: int) -> DataFrame:
+    """Point-in-time snapshot of a :func:`scd2_history` table: the version
+    valid at ``at_us`` (``valid_from_us <= at < valid_to_us``, open-ended
+    current rows included).  A pure filter — pushes down to the scan when
+    the history is stored partitioned/sorted by validity."""
+    t = F.lit(int(at_us))
+    return history.where(
+        (F.col("valid_from_us") <= t)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > t))
+    )

@@ -233,3 +233,77 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "view_us", "click_us", "purchase_us", "depth"
     ).orderBy("user_id")
+
+
+@query(
+    "q_retention",
+    # Daily cohorts over exact integer period arithmetic (epoch_us // day);
+    # the retention ratio is ONE IEEE division of two int64s — bit-exact.
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS period
+      FROM events
+    ),
+    firsts AS (SELECT u, min(period) AS cohort_period FROM act GROUP BY u),
+    cells AS (
+      SELECT f.cohort_period, a.period - f.cohort_period AS period_offset,
+             CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+      FROM act a JOIN firsts f USING (u)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_period, n_users AS cohort_size FROM cells
+      WHERE period_offset = 0
+    )
+    SELECT c.cohort_period, c.period_offset, c.n_users, s.cohort_size,
+           c.n_users::DOUBLE / s.cohort_size::DOUBLE AS retention
+    FROM cells c JOIN sizes s USING (cohort_period)
+    ORDER BY c.cohort_period, c.period_offset
+    """,
+    doc="daily-cohort retention matrix with rates (operators/retention.cohort_retention + retention_rates): per-user MIN cohort aggregate, distinct (user,period) activity grid sharing the same shuffle key, user-keyed join (user dim is broadcast/bucket-sized at 100 TB of events), count_distinct per (cohort, offset) cell; periods are exact int64 epoch-micros div so the oracle matches bit-for-bit, rate is one IEEE division (product-analytics family beyond the reference's windowing surface)",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.retention import cohort_retention, retention_rates
+
+    ev = read_table(spark, sf_dir, "events")
+    matrix = cohort_retention(ev, "user_id", "ts")
+    return retention_rates(matrix).orderBy("cohort_period", "period_offset")
+
+
+@query(
+    "q_scd2",
+    # Type-2 history of each user's event_type state: null-safe change
+    # detection (IS DISTINCT FROM), first row always opens version 1,
+    # validity in exact epoch-micros, ties broken on event_id.
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    chg AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    v AS (
+      SELECT user_id, event_type, us AS valid_from_us,
+             lead(us) OVER w2 AS valid_to_us,
+             CAST(row_number() OVER w2 AS BIGINT) AS version
+      FROM chg
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM v ORDER BY user_id, version
+    """,
+    doc="SCD type-2 dimension history from the events changelog (operators/scd.scd2_history): one entity-keyed shuffle feeds both window passes (lag change-detection + lead/row_number validity share the identical partition/order spec, single Exchange + sort chain); null-safe IS-DISTINCT-FROM transitions, exact epoch-micros validity, deterministic event_id tiebreak — warehouse-maintenance family beyond the reference's Latest-per-key surface",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.scd import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    return hist.withColumn("version", F.col("version").cast("long")).orderBy(
+        "user_id", "version"
+    )
