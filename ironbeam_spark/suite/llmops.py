@@ -1003,3 +1003,72 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return collocations_pmi(docs, "text", min_count=5, top_k=20)
+
+
+# -- corpus-wide line-level dedup (round 6): C4 / MassiveText style ---------
+# operators/line_dedup.py is the scale path (line explode -> one combinable
+# keep-first winner aggregate -> one join back -> per-doc reassembly).  The
+# synthetic corpus is single-line, so the query first reconstructs a
+# deterministic multi-line view (8-token lines) — same generate-then-process
+# pattern as the tar/PNG composites — and the tiny vocabulary makes whole
+# lines collide corpus-wide, exercising the hot-line 1:N join path.
+
+
+@query(
+    "q_line_dedup",
+    """
+    WITH base AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                  FROM documents),
+    ml AS (
+      SELECT doc_id,
+        list_transform(
+          generate_series(0, greatest(CAST(ceil(len(ts) / 8.0) AS INT), 1) - 1),
+          i -> array_to_string(ts[i*8+1 : i*8+8], ' ')) AS lines
+      FROM base
+    ),
+    lp AS (SELECT doc_id, unnest(lines) AS line,
+                  generate_subscripts(lines, 1) - 1 AS pos
+           FROM ml),
+    el AS (SELECT doc_id, pos, line, md5(line) AS k,
+                  doc_id * 16777216 + pos AS pk
+           FROM lp WHERE len(line) >= 1),
+    win AS (SELECT k, min(pk) AS w FROM el GROUP BY k),
+    surv AS (
+      SELECT e.doc_id, e.pos, e.line FROM el e
+      JOIN win ON e.k = win.k AND e.pk = win.w
+      UNION ALL
+      SELECT doc_id, pos, line FROM lp WHERE len(line) < 1
+    ),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean
+            FROM surv GROUP BY doc_id)
+    SELECT m.doc_id, CAST(len(m.lines) AS BIGINT) AS n_lines,
+           CAST(len(m.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(a.clean, '')) AS clean_md5
+    FROM ml m LEFT JOIN agg a USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+    doc="corpus-wide line-level keep-first dedup (operators/line_dedup.line_dedup_keep_first — the C4/MassiveText boilerplate-removal pass, public papers): deterministic 8-token line reconstruction, md5 line keys, ONE map-side-combinable min(packed id*2^24+pos) winner aggregate (a 10^8-occurrence boilerplate line partial-combines instead of hot-keying a reducer), 1:N join back, per-doc bounded reassembly; reports per-doc line/removed counts + md5 of the scrubbed text (north-star LLM dedup family, no reference analogue)",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import tokens
+    from ironbeam_spark.operators.line_dedup import line_dedup_keep_first
+
+    docs = read_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    nl = F.greatest(
+        F.ceil(F.size(ts) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(ts, i * F.lit(8) + 1, 8), " "),
+    )
+    ml = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = line_dedup_keep_first(ml, "doc_id", "text", min_chars=1)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5("text_clean").alias("clean_md5"),
+    ).orderBy("doc_id")
