@@ -307,3 +307,92 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.withColumn("version", F.col("version").cast("long")).orderBy(
         "user_id", "version"
     )
+
+
+# -- CDC changelog apply (round 6): operators/cdc.py -----------------------
+# events as a Debezium-shaped changelog keyed by user_id: 'error' events
+# are tombstones, everything else upserts.  q_cdc_apply is the one-shot
+# snapshot; q_cdc_merge rebuilds the SAME snapshot incrementally (apply the
+# first half, merge the second half in) so its oracle is the identical
+# full-stream SQL — the invariant that makes incremental maintenance safe.
+
+_CDC_APPLY_SQL = """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, value, us
+    FROM c WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """
+
+
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+@query(
+    "q_cdc_apply",
+    _CDC_APPLY_SQL,
+    doc="CDC changelog -> current snapshot (operators/cdc.apply_changes): latest row per key on ONE entity-keyed shuffle (descending row_number + top-1 filter, no joins), delete-op tombstones drop the key ('error' events here); deterministic event_id tiebreak, exact epoch-micros — the Debezium/MERGE-INTO apply surface the reference's Latest-per-key lacks",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.cdc import apply_changes
+
+    snap = apply_changes(
+        _cdc_changelog(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        op_col="op",
+        delete_ops=("D",),
+        tiebreak_cols=["event_id"],
+    )
+    return snap.select(
+        "user_id", "event_type", "value", F.col("_us").alias("us")
+    ).orderBy("user_id")
+
+
+@query(
+    "q_cdc_merge",
+    _CDC_APPLY_SQL,
+    doc="incremental CDC MERGE (operators/cdc.merge_changes): snapshot of the first half of the changelog + merge of the second half must equal the one-shot apply over the whole stream — generation precedence (any change beats the snapshot row), in-batch latest-wins, tombstone deletes with later-upsert resurrection; the oracle is the identical full-stream SQL, pinning the incremental-maintenance invariant",
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.cdc import apply_changes, merge_changes
+
+    log = _cdc_changelog(spark, sf_dir)
+    cutoff = F.lit(1706000000000000)  # 2024-01-23ish: splits the stream
+    us = to_epoch_us(log, "ts")
+    snap = apply_changes(
+        log.where(us < cutoff),
+        ["user_id"],
+        "ts",
+        op_col="op",
+        delete_ops=("D",),
+        tiebreak_cols=["event_id"],
+    )
+    merged = merge_changes(
+        snap,
+        log.where(us >= cutoff),
+        ["user_id"],
+        ts_col="ts",
+        op_col="op",
+        delete_ops=("D",),
+        tiebreak_cols=["event_id"],
+    )
+    return merged.select(
+        "user_id", "event_type", "value", F.col("_us").alias("us")
+    ).orderBy("user_id")
