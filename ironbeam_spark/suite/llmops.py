@@ -1072,3 +1072,70 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5("text_clean").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# -- bigram LM quality scoring (round 6): operators/ngram_lm.py -------------
+# CCNet-shaped perplexity filtering with rational probabilities (the ln()
+# 1-ulp divergence rules out log scores — same documented trade as
+# q_bm25_rational).  Train on the lang='en' slice, score every document.
+
+
+@query(
+    "q_lm_score",
+    """
+    WITH tk AS (SELECT doc_id, lang,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '')
+                    AS ts
+                FROM documents),
+    pr AS (SELECT doc_id, i AS pos, ts[i] AS v, ts[i+1] AS w
+           FROM tk, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+           WHERE len(ts) >= 2),
+    uni AS (SELECT t AS term, count(*) AS c_uni
+            FROM (SELECT unnest(ts) AS t FROM tk WHERE lang = 'en')
+            GROUP BY t),
+    big AS (SELECT ts[i] AS v, ts[i+1] AS w, count(*) AS c_big
+            FROM tk, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+            WHERE lang = 'en' AND len(ts) >= 2
+            GROUP BY 1, 2),
+    tot AS (SELECT sum(c_uni)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni),
+    sc AS (SELECT pr.doc_id, pr.pos,
+             big.c_big IS NOT NULL AS hit,
+             uw.c_uni IS NULL AS oov,
+             CASE WHEN big.c_big IS NOT NULL
+                  THEN big.c_big::DOUBLE / uv.c_uni::DOUBLE
+                  ELSE 0.4 * ((coalesce(uw.c_uni, 0) + 1)::DOUBLE
+                              / (tot.n + tot.v)) END AS p
+           FROM pr
+           LEFT JOIN big ON pr.v = big.v AND pr.w = big.w
+           LEFT JOIN uni uw ON pr.w = uw.term
+           LEFT JOIN uni uv ON pr.v = uv.term
+           CROSS JOIN tot),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bigram_hits,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             list_sum(list(p ORDER BY pos)) AS score_sum
+           FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(pd.n_scored, 0) AS n_scored,
+           coalesce(pd.n_bigram_hits, 0) AS n_bigram_hits,
+           coalesce(pd.n_oov, 0) AS n_oov,
+           coalesce(pd.score_sum, 0.0) AS score_sum,
+           CASE WHEN pd.n_scored > 0
+                THEN pd.score_sum / pd.n_scored::DOUBLE END AS score_mean
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="bigram-LM quality scoring under stupid backoff (operators/ngram_lm — the CCNet/KenLM perplexity-filter stage, Wenzek et al. 2020 + Brants et al. 2007, rational-probability form: bigram hit = c(v,w)/c(v), backoff = 0.4*add-one-smoothed unigram, OOV hits the same smoothed formula; ln() is 1-ulp divergent cross-engine so the score is the mean probability itself, association-pinned): vocabulary-keyed count tables trained on the lang='en' slice (never force-broadcast — a web-scale bigram table exceeds driver memory; AQE picks the strategy), three linear hash joins, one bounded totals row, per-doc position-ordered fold (north-star quality-filter family)",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.ngram_lm import (
+        bigram_counts,
+        lm_score_stupid_backoff,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    uni, big = bigram_counts(docs.where(F.col("lang") == "en"), "text")
+    return lm_score_stupid_backoff(
+        docs, "doc_id", "text", uni, big, alpha=0.4
+    ).orderBy("doc_id")
