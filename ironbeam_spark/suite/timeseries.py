@@ -125,3 +125,83 @@ def q_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start", "dist2", "rank")
         .orderBy("user_id", "rank")
     )
+
+
+# -- per-key smoothing + anomaly scoring (round 6): operators/smoothing.py --
+
+
+@query(
+    "q_ewma",
+    # the oracle replays the recurrence as a per-prefix list_reduce fold —
+    # O(n^2) in SQL but exact; the engine's applyInPandas loop is the O(n)
+    # scale path with the identical a*x + (1-a)*s association
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+               FROM events),
+    g AS (SELECT user_id,
+                 list(value ORDER BY us, event_id) AS vs,
+                 list(us ORDER BY us, event_id) AS uss,
+                 list(event_id ORDER BY us, event_id) AS ids
+          FROM e GROUP BY user_id),
+    x AS (SELECT user_id, uss[i] AS us, ids[i] AS event_id, vs[i] AS value,
+                 list_reduce(vs[1:i], (acc, x) -> 0.25 * x + 0.75 * acc)
+                   AS ewma
+          FROM g, unnest(generate_series(1, len(vs))) AS u(i))
+    SELECT user_id, us, event_id, value, ewma
+    FROM x ORDER BY user_id, us, event_id
+    """,
+    doc="per-user EWMA of event values, alpha=0.25 (operators/smoothing.ewma_per_key): the inherently-sequential recurrence s_i = a*x_i + (1-a)*s_(i-1) as an Arrow-batched applyInPandas — ONE entity-keyed shuffle, linear work, the blessed custom-stateful path used only because no built-in expresses a recurrence; association pinned so numpy/JVM/DuckDB doubles agree bit for bit (reference has tumble windows only, src/operators/windowing.rs)",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.smoothing import ewma_per_key
+
+    ev = read_table(spark, sf_dir, "events")
+    out = ewma_per_key(
+        ev, ["user_id"], "ts", "value", alpha=0.25,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", F.col("_us").alias("us"), "event_id", "value", "ewma"
+    ).orderBy("user_id", "us", "event_id")
+
+
+@query(
+    "q_zscore_anomaly",
+    # exact-integer internals (cents), IEEE-exact finish: +,-,*,/ and sqrt
+    # are correctly rounded in both engines (ln/pow are not — SCALE.md)
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+                      CAST(round(value * 100) AS BIGINT) AS x
+               FROM events),
+    s AS (SELECT user_id, us, event_id, value, x,
+                 count(*) OVER w AS n, sum(x) OVER w AS sx,
+                 sum(x * x) OVER w AS sxx
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    z AS (SELECT user_id, us, event_id, value,
+                 (n * x - sx)::DOUBLE
+                   / (n::DOUBLE * sqrt((n * sxx - sx * sx)::DOUBLE
+                                       / (n * (n - 1))::DOUBLE)) AS z
+          FROM s WHERE n >= 20 AND (n * sxx - sx * sx) > 0)
+    SELECT user_id, us, event_id, value, z
+    FROM z WHERE abs(z) >= 2.5
+    ORDER BY user_id, us, event_id
+    """,
+    doc="rolling 20-event z-score anomaly detection per user, |z| >= 2.5 (operators/smoothing.rolling_zscore): expression-only ROWS-frame window over exact int64 cents (n, sum, sum-of-squares are order-free integer aggregates), z composed of correctly-rounded IEEE ops only (+ - * / sqrt) so the oracle hash-matches; ONE Exchange + sort chain, no Python (reference has no frame windows)",
+)
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.smoothing import rolling_zscore
+
+    ev = read_table(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev, ["user_id"], "ts", "value", window=20, scale=100,
+        tiebreak_cols=["event_id"],
+    )
+    return (
+        out.where(F.abs(F.col("z")) >= 2.5)
+        .select(
+            "user_id", F.col("_us").alias("us"), "event_id", "value", "z"
+        )
+        .orderBy("user_id", "us", "event_id")
+    )
