@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split", "dsir_importance_weights"]
+__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split", "dsir_importance_weights", "weighted_systematic_sample"]
 
 
 def priority(seed: int, key: Column) -> Column:
@@ -266,3 +266,86 @@ def dsir_importance_weights(
             F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias("dsir_weight"),
         )
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    seed: int,
+    order_cols: list[str],
+    weight_col: str,
+) -> DataFrame:
+    """Seeded systematic sampling with probability proportional to size
+    (Madow 1949, the classic PPS design — public statistics literature; no
+    reference analogue, whose sampling surface is uniform-weight only,
+    src/combiners/sampling.rs).
+
+    ``k`` equally-spaced probes walk the cumulative-weight line ``[0, W)``
+    from a seeded offset: probe ``j`` sits at ``(o + floor(j*W/k)) mod W``.
+    A row whose weight interval contains a probe is selected; a row heavier
+    than the stride ``W/k`` can catch several probes — ``multiplicity``
+    reports how many (the PPS-with-replacement contract).  Same seed, same
+    data, same sample — independent of partitioning and execution order.
+
+    Scale shape: the cumulative line comes from the two-pass prefix scan
+    (:func:`~ironbeam_spark.operators.scan.global_running_sum` — never a
+    single-partition window); probes join intervals through BUCKETS of the
+    mean stride, so a row explodes into ``weight/stride + 1`` buckets and
+    the total bucket stream is ``~k + n`` rows — an equi-join, never a
+    range cross-join.  ``W`` and the seeded offset are one bounded 1-row
+    scalar (same class as the BM25 stats row).  Exactness: weights must be
+    integral (same contract as the prefix scan); every probe position is
+    exact int64 arithmetic — ``floor(j*W/k)`` is computed as
+    ``j*(W div k) + (j*(W mod k)) div k`` so nothing overflows even at
+    ``W ~ 10^15`` tokens, and the md5-seeded offset mirrors to SQL
+    verbatim.
+
+    Rows with non-positive weight are never selected (dropped up front).
+    Returns the selected rows (all input columns) + ``multiplicity``.
+    """
+    import hashlib
+
+    if k <= 0:
+        raise ValueError("weighted_systematic_sample: k must be positive")
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    pos = df.where(F.col(weight_col) > 0)
+    cum = global_running_sum(pos, order_cols, weight_col, "_cum")
+    total = pos.agg(F.sum(weight_col).cast("long").alias("w")).collect()
+    w_total = int(total[0]["w"] or 0)
+    if w_total == 0:
+        return df.withColumn("multiplicity", F.lit(0).cast("long")).limit(0)
+    offset = int(hashlib.md5(str(seed).encode()).hexdigest()[:12], 16) % w_total
+    stride_b = max(1, w_total // k)  # bucket width ~ mean stride
+
+    spark = df.sparkSession
+    # probe_j = (o + floor(j*W/k)) mod W, all exact int64 `div`/`%`
+    probe_sql = (
+        f"({offset} + id * {w_total // k}"
+        f" + id * {w_total % k} div {k}) % {w_total}"
+    )
+    probes = spark.range(k).select(
+        F.expr(probe_sql).cast("long").alias("_t"),
+        F.expr(f"({probe_sql}) div {stride_b}").alias("_bkt"),
+    )
+    start = (F.col("_cum") - F.col(weight_col)).alias("_start")
+    spans = cum.select(
+        *order_cols,
+        start,
+        F.col("_cum").alias("_end"),
+    ).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {stride_b}"),
+                F.expr(f"(_end - 1) div {stride_b}"),
+            )
+        ),
+    )
+    hits = (
+        spans.join(probes, on="_bkt")
+        .where((F.col("_t") >= F.col("_start")) & (F.col("_t") < F.col("_end")))
+        .groupBy(*order_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+    )
+    return pos.join(hits, on=list(order_cols))

@@ -616,3 +616,49 @@ def q_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), sum_money("l_extendedprice", "revenue"))
         .orderBy("l_returnflag")
     )
+
+
+# -- weighted systematic (PPS) sampling (round 6): Madow 1949 ---------------
+
+
+@query(
+    "q_weighted_sample",
+    # k=100 probes walk the cumulative cents line from a seeded offset;
+    # floor(j*W/k) is decomposed so nothing overflows int64 at any W
+    """
+    WITH w AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS weight
+               FROM orders
+               WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+    c AS (SELECT o_orderkey, weight,
+                 sum(weight) OVER (ORDER BY o_orderkey) AS cum
+          FROM w),
+    tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+    oo AS (SELECT ('0x' || substr(md5('606'), 1, 12))::BIGINT % tw AS off, tw
+           FROM tot),
+    p AS (SELECT (off + j * (tw // 100) + (j * (tw % 100)) // 100) % tw AS t
+          FROM oo, unnest(generate_series(0, 99)) AS u(j)),
+    hits AS (SELECT c.o_orderkey,
+                    CAST(count(*) AS BIGINT) AS multiplicity
+             FROM c JOIN p ON p.t >= c.cum - c.weight AND p.t < c.cum
+             GROUP BY c.o_orderkey)
+    SELECT c.o_orderkey, c.weight, h.multiplicity
+    FROM hits h JOIN c ON h.o_orderkey = c.o_orderkey
+    ORDER BY c.o_orderkey
+    """,
+    doc="seeded weighted systematic (PPS) sampling of orders by total-price cents, k=100 (operators/sampling.weighted_systematic_sample, Madow 1949): cumulative-weight line from the two-pass prefix scan (never a single-partition window), probes bucket-joined at the mean stride so the bucket stream is ~k+n rows (equi-join, no range cross-join), heavy rows report multiplicity; exact int64 probe arithmetic + md5-seeded offset mirror to SQL verbatim — partitioning- and order-independent by construction (reference sampling is uniform-weight only, src/combiners/sampling.rs)",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.sampling import weighted_systematic_sample
+
+    orders = _t(spark, sf_dir, "orders").df
+    w = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("weight"),
+    )
+    out = weighted_systematic_sample(
+        w, k=100, seed=606, order_cols=["o_orderkey"], weight_col="weight"
+    )
+    return out.select("o_orderkey", "weight", "multiplicity").orderBy(
+        "o_orderkey"
+    )
