@@ -1,0 +1,126 @@
+"""PageRank in exact integer fixed-point arithmetic.
+
+The classic iterative graph centrality (Page et al. 1999 — public paper),
+re-expressed so a fixed number of rounds is DETERMINISTIC and bit-exact
+cross-engine: ranks are int64 micro-units (``scale`` = 10^12 by default)
+and every update is integer ``div``/``%``/``+``/``*`` — no doubles, so
+per-node in-contribution sums are order-free and a DuckDB recursive-CTE
+oracle replays the rounds exactly.  (Float PageRank sums contributions in
+nondeterministic order; its last-ulp wobble can never hash-match.)
+
+Update rule, per round, damping ``d_num/d_den`` (default 85/100):
+
+    contrib(u)  = r(u) div outdeg(u)
+    r'(v)       = (d_den - d_num) * (scale div N) div d_den
+                  + d_num * sum_in(contrib) div d_den
+
+Truncation note: integer ``div`` floors each step, so total rank decays by
+a few units per round — the deliberate price of exactness (same trade as
+the scaled-int64 money math in the TPC-H suite); rankings are unaffected.
+
+Scale shape: each round is ONE equi-join (ranks ⋈ edges on src, a 1:N
+replication of one rank row per out-edge — skew-immune the same way the
+substring winner join is) + ONE map-side-combinable integer sum groupBy +
+a left join back to the node list (nodes with no in-edges keep the base
+term).  Lineage across rounds is truncated by the reference-shaped
+``CheckpointPolicy`` (same machinery as ``dedup_components``).  No
+``collect`` anywhere; the driver only counts N once (bounded scalar).
+
+Dangling nodes (outdeg 0) contribute nothing — their rank leaks, the
+standard simplification; pass ``symmetrize=True`` (adds each edge's
+reverse) to guarantee every node both emits and receives, which is also
+what makes the recursive-SQL oracle's node set closed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ironbeam_spark.operators.checkpoint import CheckpointPolicy
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    symmetrize: bool = False,
+    checkpoint_policy: CheckpointPolicy | None = None,
+) -> DataFrame:
+    """``(node, rank)`` after ``iterations`` exact fixed-point rounds.
+
+    ``edges`` is a directed edge list (duplicates are collapsed); node ids
+    must be a single column's type on both ends.
+    """
+    if iterations < 0:
+        raise ValueError("pagerank: iterations must be >= 0")
+    if not 0 < damping_num < damping_den:
+        raise ValueError("pagerank: need 0 < damping_num < damping_den")
+    policy = checkpoint_policy or CheckpointPolicy.every_n(2)
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    # persist the edge table: every round joins it (same rationale as the
+    # shared shingle table in minhash)
+    e = policy.checkpoint(e, eager=False)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    nodes = policy.checkpoint(
+        nodes.join(outdeg, on="node", how="left"), eager=False
+    )
+    n_nodes = nodes.count()  # bounded scalar: drives the base-rank literal
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+
+    init = scale // n_nodes
+    base = (damping_den - damping_num) * init // damping_den
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(nodes, on="node")
+            .where(F.col("outdeg").isNotNull())
+            .select(
+                "node",
+                F.expr("rank div outdeg").alias("_c"),
+            )
+            .join(e, on=F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_num} * coalesce(_in, 0L) div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+        ranks = policy.checkpoint(ranks)
+    return ranks

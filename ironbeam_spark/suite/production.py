@@ -662,3 +662,61 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "weight", "multiplicity").orderBy(
         "o_orderkey"
     )
+
+
+# -- PageRank, exact integer fixed-point (round 6): operators/pagerank.py ---
+
+
+@query(
+    "q_pagerank",
+    # ranks are int64 micro-units and every update is integer div/+/* —
+    # order-free sums, so 5 rounds replay bit-exactly in a recursive CTE
+    # (float PageRank's nondeterministic summation order never could)
+    """
+    WITH RECURSIVE
+    raw AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM raw
+              UNION SELECT b, a FROM raw),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    cnt AS (SELECT count(*) AS n FROM nodes),
+    pr(iter, node, r) AS (
+      SELECT 0, node, 1000000000000 // cnt.n FROM nodes, cnt
+      UNION ALL
+      SELECT q.iter + 1, q.node,
+             CAST((15 * (1000000000000 // cnt.n)) // 100
+                  + (85 * q.c) // 100 AS BIGINT)
+      FROM (SELECT p.iter AS iter, e.dst AS node,
+                   sum(p.r // d.outdeg) AS c
+            FROM pr p
+            JOIN deg d ON d.node = p.node
+            JOIN edges e ON e.src = p.node
+            WHERE p.iter < 5
+            GROUP BY p.iter, e.dst) q, cnt
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+    FROM pr WHERE iter = 5
+    ORDER BY rank DESC, node LIMIT 50
+    """,
+    doc="PageRank over the symmetrized customer<->supplier trade graph (operators/pagerank.pagerank, Page et al. 1999), 5 rounds of exact int64 fixed-point (micro-unit ranks, damping 85/100 as integer div — order-free sums, bit-exact cross-engine where float PageRank cannot be): per round ONE skew-immune 1:N rank-to-edges join + ONE combinable integer-sum groupBy + node-list left join, CheckpointPolicy lineage truncation (same machinery as dedup_components), top-50 hubs; node ids parity-encode the bipartite sides",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.pagerank import pagerank
+
+    orders = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    ranks = pagerank(
+        edges, "src", "dst", iterations=5, symmetrize=True
+    )
+    return ranks.select("node", "rank").orderBy(
+        F.col("rank").desc(), "node"
+    ).limit(50)
