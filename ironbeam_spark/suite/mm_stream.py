@@ -832,3 +832,79 @@ def q_tar_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b"
     ).orderBy("doc_id")
+
+
+# -- streaming CDC apply (round 6): streaming/cdc.py ------------------------
+
+
+@query(
+    "q_stream_cdc",
+    # batch-equivalence oracle: the stream's converged snapshot must equal
+    # the one-shot batch apply over the whole changelog (the same SQL as
+    # q_cdc_apply) — latest-wins state, tombstones, resurrection included
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, value, us
+    FROM c WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    doc="streaming CDC apply (streaming/cdc.stream_apply_changes): the changelog stream maintained as a live latest-per-key snapshot via applyInPandasWithState — ONE row of state per live key (RocksDB-backed at scale), update-mode emissions on winner change, delete-op tombstones surfaced as retraction rows, later upserts resurrect; converged output equals the batch apply_changes over the full history (the equivalence this oracle pins; reference streaming has no keyed state)",
+)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.cdc import stream_apply_changes
+
+    static = read_table(spark, sf_dir, "events")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    log = sdf.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    out = stream_apply_changes(
+        log,
+        ["user_id"],
+        "us",
+        ["event_type", "value"],
+        op_col="op",
+        delete_ops=("D",),
+        tiebreak_cols=["event_id"],
+    )
+    name = "q_stream_cdc_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_cdc_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    t = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & ~F.col("_deleted"))
+        .select("user_id", "event_type", "value", "us")
+        .orderBy("user_id")
+    )
