@@ -720,3 +720,48 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", "rank").orderBy(
         F.col("rank").desc(), "node"
     ).limit(50)
+
+
+# -- table profiling (round 6): operators/profile.py ------------------------
+
+
+def _profile_sql() -> str:
+    rows = ["SELECT '*' AS col_name, 'count' AS metric, CAST(count(*) AS BIGINT) AS value_long, NULL::DOUBLE AS value_double, NULL::VARCHAR AS value_str FROM events"]
+    cols = [
+        ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
+        ("event_type", "str"), ("value", "double"), ("props", "str"),
+    ]
+    for c, kind in cols:
+        rows.append(
+            f"SELECT '{c}', 'n_null', CAST(count(*) - count({c}) AS BIGINT), NULL::DOUBLE, NULL::VARCHAR FROM events"
+        )
+        rows.append(
+            f"SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS BIGINT), NULL::DOUBLE, NULL::VARCHAR FROM events"
+        )
+        for m in ("min", "max"):
+            if kind == "long":
+                rows.append(f"SELECT '{c}', '{m}', CAST({m}({c}) AS BIGINT), NULL::DOUBLE, NULL::VARCHAR FROM events")
+            elif kind == "ts":
+                rows.append(f"SELECT '{c}', '{m}', {m}(epoch_us({c})), NULL::DOUBLE, NULL::VARCHAR FROM events")
+            elif kind == "double":
+                rows.append(f"SELECT '{c}', '{m}', NULL::BIGINT, {m}({c}), NULL::VARCHAR FROM events")
+            else:
+                rows.append(f"SELECT '{c}', '{m}', NULL::BIGINT, NULL::DOUBLE, {m}({c}) FROM events")
+    body = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    SELECT * FROM (
+    {body}
+    ) ORDER BY col_name, metric
+    """
+
+
+@query(
+    "q_profile_table",
+    _profile_sql(),
+    doc="single-pass Deequ-style table profile of events (operators/profile.profile_table): null counts, exact distinct counts, typed min/max per column — ONE aggregation job (the multi-count-distinct compiles to one Expand + two-phase aggregate, no per-column jobs), tall output exploded from the single metrics row; values stay typed (long/double/str slots — cross-engine float formatting is no contract, raw doubles are), timestamps as epoch micros; distinct='approx' documented as the 100 TB default (north-star data-quality family; reference has row Validate rules only, src/operators/validate.rs)",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events").df
+    return profile_table(ev).orderBy("col_name", "metric")

@@ -48,6 +48,10 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            # last-wins would silently shadow one implementation (and which
+            # one depends on module import order) — fail loudly instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = Query(name, wrapped, oracle, bench, doc)
         return fn
 
