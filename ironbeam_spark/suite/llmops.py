@@ -1126,6 +1126,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN pd USING (doc_id)
     ORDER BY d.doc_id
     """,
+    bench=True,
     doc="bigram-LM quality scoring under stupid backoff (operators/ngram_lm — the CCNet/KenLM perplexity-filter stage, Wenzek et al. 2020 + Brants et al. 2007, rational-probability form: bigram hit = c(v,w)/c(v), backoff = 0.4*add-one-smoothed unigram, OOV hits the same smoothed formula; ln() is 1-ulp divergent cross-engine so the score is the mean probability itself, association-pinned): vocabulary-keyed count tables trained on the lang='en' slice (never force-broadcast — a web-scale bigram table exceeds driver memory; AQE picks the strategy), three linear hash joins, one bounded totals row, per-doc position-ordered fold (north-star quality-filter family)",
 )
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -700,6 +700,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pr WHERE iter = 5
     ORDER BY rank DESC, node LIMIT 50
     """,
+    bench=True,
     doc="PageRank over the symmetrized customer<->supplier trade graph (operators/pagerank.pagerank, Page et al. 1999), 5 rounds of exact int64 fixed-point (micro-unit ranks, damping 85/100 as integer div — order-free sums, bit-exact cross-engine where float PageRank cannot be): per round ONE skew-immune 1:N rank-to-edges join + ONE combinable integer-sum groupBy + node-list left join, CheckpointPolicy lineage truncation (same machinery as dedup_components), top-50 hubs; node ids parity-encode the bipartite sides",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
