@@ -766,3 +766,47 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").df
     return profile_table(ev).orderBy("col_name", "metric")
+
+
+# -- small-file compaction (round 6): sources/compaction.py -----------------
+
+
+@query(
+    "q_compaction",
+    # content-preservation oracle: after shattering events into 24 small
+    # files and compacting in place, the per-type content aggregates must
+    # equal the originals exactly — every row survives, exactly once
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="small-file compaction of a parquet dataset (sources/compaction.compact_parquet — the OPTIMIZE primitive of long-lived tables; the small-files problem dominates scan overhead at 1000 executors): driver-side metadata-only FFD bin packing of the sub-threshold tail (large files never rewritten — cost proportional to the small tail, not the table), one output file per bin, hidden-temp two-phase swap (same commit discipline as the shard sink); the oracle pins exact row-level content preservation through the rewrite",
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.compaction import compact_parquet
+
+    ev = _t(spark, sf_dir, "events").df
+    tmp = tempfile.mkdtemp(prefix="ironbeam_compact_q_")
+    ev.repartition(24).write.mode("overwrite").parquet(tmp)
+    compact_parquet(spark, tmp, target_bytes=128 << 20)
+    back = spark.read.parquet(tmp)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
