@@ -102,11 +102,13 @@ def main() -> None:
         # the 10x ladder should measure the sf1 corpus, not compete with
         # pinned sf0.1 shingle/posting/scan caches for executor memory
         from ironbeam_spark.operators.dedup import release_shingle_caches
+        from ironbeam_spark.operators.pagerank import release_rank_caches
         from ironbeam_spark.operators.scan import release_scan_caches
         from ironbeam_spark.sources.compression import release_codec_caches
 
         release_shingle_caches()
         release_scan_caches()
+        release_rank_caches()
         release_codec_caches()
 
         factor = 10
@@ -161,11 +163,13 @@ def main() -> None:
     # passes; release them at exit so a long-lived driver process doesn't
     # keep sf0.1 + sf1 cache copies pinned in storage
     from ironbeam_spark.operators.dedup import release_shingle_caches
+    from ironbeam_spark.operators.pagerank import release_rank_caches
     from ironbeam_spark.operators.scan import release_scan_caches
     from ironbeam_spark.sources.compression import release_codec_caches
 
     release_shingle_caches()
     release_scan_caches()
+    release_rank_caches()
     release_codec_caches()
 
 

@@ -39,7 +39,19 @@ from pyspark.sql import functions as F
 
 from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "release_rank_caches"]
+
+# checkpointed edge/node tables awaiting caller release (same contract as
+# operators.scan._PERSISTED_SCAN_TABLES: dropping the reference lets the
+# ContextCleaner reclaim the blocks; gates call release_* between queries)
+_PERSISTED_RANK_TABLES: list[DataFrame] = []
+
+
+def release_rank_caches() -> int:
+    n = len(_PERSISTED_RANK_TABLES)
+    while _PERSISTED_RANK_TABLES:
+        _PERSISTED_RANK_TABLES.pop().unpersist()
+    return n
 
 
 def pagerank(
@@ -72,9 +84,16 @@ def pagerank(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct()
-    # persist the edge table: every round joins it (same rationale as the
-    # shared shingle table in minhash)
-    e = policy.checkpoint(e, eager=False)
+    # UNCONDITIONALLY checkpoint the tables every round rejoins (the policy
+    # only governs the iterative ranks — routing these through it would
+    # leave them un-materialized whenever the policy doesn't fire, and
+    # every round would re-derive the edge list from its source joins).
+    # Partition by the join key FIRST — localCheckpoint preserves output
+    # partitioning, so the per-round rank⋈edges join never re-exchanges
+    # the edge side: steady-state rounds pay ONE shuffle (the contribution
+    # groupBy), not three
+    e = e.repartition("src").localCheckpoint(eager=False)
+    _PERSISTED_RANK_TABLES.append(e)
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -84,34 +103,38 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
-    nodes = policy.checkpoint(
-        nodes.join(outdeg, on="node", how="left"), eager=False
+    nodes = (
+        nodes.join(outdeg, on="node", how="left")
+        .repartition("node")
+        .localCheckpoint(eager=False)
     )
+    _PERSISTED_RANK_TABLES.append(nodes)
     n_nodes = nodes.count()  # bounded scalar: drives the base-rank literal
     if n_nodes == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
 
     init = scale // n_nodes
     base = (damping_den - damping_num) * init // damping_den
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    # outdeg rides inside the ranks frame: one join per round (to the
+    # edge table), not two — the per-round node-list join would double
+    # the shuffle count for a value that never changes
+    ranks = nodes.select(
+        "node", "outdeg", F.lit(init).cast("long").alias("rank")
+    )
 
     for _ in range(iterations):
         contribs = (
-            ranks.join(nodes, on="node")
-            .where(F.col("outdeg").isNotNull())
-            .select(
-                "node",
-                F.expr("rank div outdeg").alias("_c"),
-            )
+            ranks.where(F.col("outdeg").isNotNull())
+            .select("node", F.expr("rank div outdeg").alias("_c"))
             .join(e, on=F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("_c").alias("_in"))
         )
         ranks = (
-            nodes.select("node")
-            .join(contribs, on="node", how="left")
+            nodes.join(contribs, on="node", how="left")
             .select(
                 "node",
+                "outdeg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -123,4 +146,4 @@ def pagerank(
             )
         )
         ranks = policy.checkpoint(ranks)
-    return ranks
+    return ranks.select("node", "rank")

@@ -134,11 +134,13 @@ def main() -> int:
     # hygiene: dedup/similarity operators persist shingle/posting tables
     # per invocation; release them so the gate process exits clean
     from ironbeam_spark.operators.dedup import release_shingle_caches
+    from ironbeam_spark.operators.pagerank import release_rank_caches
     from ironbeam_spark.operators.scan import release_scan_caches
     from ironbeam_spark.sources.compression import release_codec_caches
 
     release_shingle_caches()
     release_scan_caches()
+    release_rank_caches()
     release_codec_caches()
     return 1 if n_fail else 0
 
