@@ -73,10 +73,16 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           now '|'-joined.  Slot 4 keeps q_token_packing (red r4+r5).
 #           Slot 15 keeps q_asof_join (temporal family representative —
 #           not otherwise present in 16-50).
-#   r6->r7 (planned): rotate in the round-6 additions (q_jpeg_decode,
+#   r6->r7 (planned): rotate in the round-6 additions — q_jpeg_decode,
 #           q_substring_spans, q_substring_scrub, q_flac_decode, q_funnel,
-#           q_collocations, q_orc, and any query added after this comment)
-#           once the r6 window queries have their driver rows.
+#           q_collocations, q_orc, q_retention, q_scd2, q_line_dedup,
+#           q_cdc_apply, q_cdc_merge, q_lm_score, q_ewma,
+#           q_zscore_anomaly, q_weighted_sample, q_pagerank,
+#           q_profile_table, q_compaction, q_stream_cdc, and any query
+#           added after this comment — once the r6 window queries have
+#           their driver rows (more additions than slots: prioritize by
+#           operator-family novelty, keep the bisect block until
+#           q_token_packing goes green).
 # tests/test_registry_order.py freezes the current 84-name prefix.
 CANONICAL_ORDER = [
     # -- 1: r5 harness-error (no verdict row) — fixed, retrying
