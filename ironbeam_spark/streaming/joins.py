@@ -34,6 +34,7 @@ def stream_interval_join(
     lower_ms: int,
     upper_ms: int,
     watermark_ms: int = 0,
+    how: str = "inner",
 ) -> DataFrame:
     """Join rows of the same key where ``right_ts`` lies in
     ``[left_ts + lower_ms, left_ts + upper_ms)`` (both TIMESTAMP columns).
@@ -41,20 +42,43 @@ def stream_interval_join(
     Works identically on batch DataFrames (no watermark applied) and on
     streaming ones (both sides watermarked, state evictable).  Column names
     of ``left``/``right`` must be disjoint apart from ``on``.
+
+    ``how="left_outer"`` keeps unmatched left rows (right columns null).
+    Streaming caveat, inherent to watermark semantics: a null-extended row
+    only emits once the watermark passes ``left_ts + upper_ms``, so left
+    rows near the end of a bounded stream never get their outer output —
+    consumers comparing against batch must restrict to
+    ``left_ts < max_event_time - (watermark + upper)`` on BOTH sides (the
+    registry query and tests do exactly that).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("stream_interval_join: how must be inner|left_outer")
     l_df, r_df = left, right
     if left.isStreaming and watermark_ms > 0:
         l_df = left.withWatermark(left_ts, f"{watermark_ms} milliseconds")
     if right.isStreaming and watermark_ms > 0:
         r_df = right.withWatermark(right_ts, f"{watermark_ms} milliseconds")
+    # explicit aliases: both sides often derive from the SAME source (a
+    # self-join on one stream), where dataframe-reference disambiguation
+    # (l_df[k] vs r_df[k]) resolves both to one attribute — an outer join
+    # then silently keeps the null right-side key instead of the left's
+    l_a, r_a = l_df.alias("__ij_l"), r_df.alias("__ij_r")
     cond = None
     for k in on:
-        c = l_df[k] == r_df[k]
+        c = F.col(f"__ij_l.{k}") == F.col(f"__ij_r.{k}")
         cond = c if cond is None else (cond & c)
-    lo = r_df[right_ts] >= l_df[left_ts] + F.expr(f"INTERVAL {lower_ms} MILLISECONDS")
-    hi = r_df[right_ts] < l_df[left_ts] + F.expr(f"INTERVAL {upper_ms} MILLISECONDS")
-    joined = l_df.join(r_df, cond & lo & hi)
-    # drop the duplicate key columns from the right side
-    for k in on:
-        joined = joined.drop(r_df[k])
-    return joined
+    lo = F.col(f"__ij_r.{right_ts}") >= F.col(f"__ij_l.{left_ts}") + F.expr(
+        f"INTERVAL {lower_ms} MILLISECONDS"
+    )
+    hi = F.col(f"__ij_r.{right_ts}") < F.col(f"__ij_l.{left_ts}") + F.expr(
+        f"INTERVAL {upper_ms} MILLISECONDS"
+    )
+    joined = l_a.join(r_a, cond & lo & hi, how)
+    # keys always come from the LEFT side (never null under left_outer);
+    # right side contributes only its non-key columns
+    out = [F.col(f"__ij_l.{c}").alias(c) for c in l_df.columns] + [
+        F.col(f"__ij_r.{c}").alias(c)
+        for c in r_df.columns
+        if c not in set(on)
+    ]
+    return joined.select(*out)

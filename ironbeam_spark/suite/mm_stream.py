@@ -908,3 +908,104 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "value", "us")
         .orderBy("user_id")
     )
+
+
+# -- left-outer stream-stream interval join (round 6) -----------------------
+
+
+@query(
+    "q_stream_left_join",
+    # the outer-emission frontier is the global watermark = MIN of the two
+    # sides' (filtered-subset max event time - delay); both engines
+    # restrict to left rows strictly older than that frontier minus the
+    # join span (plus a 10-minute guard band), where emissions are
+    # unambiguous — the same cutoff expression appears on both sides
+    """
+    WITH mx AS (
+      SELECT least(
+        (SELECT max(epoch_us(ts)) FROM events
+         WHERE user_id < 40 AND event_type = 'error'),
+        (SELECT max(epoch_us(ts)) FROM events
+         WHERE user_id < 40 AND event_type = 'click')
+      ) - 4800000000 AS cutoff
+    )
+    SELECT e.user_id,
+           CAST(e.event_id AS BIGINT) AS err_id,
+           CAST(c.event_id AS BIGINT) AS click_id
+    FROM (SELECT * FROM events
+          WHERE user_id < 40 AND event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events
+               WHERE user_id < 40 AND event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) <  epoch_us(e.ts) + 3600000000
+    CROSS JOIN mx
+    WHERE epoch_us(e.ts) < mx.cutoff
+    ORDER BY e.user_id, err_id, click_id
+    """,
+    doc="LEFT-OUTER stream-stream interval join (streaming/joins.stream_interval_join how=left_outer): unmatched errors emit null-extended rows once the watermark passes their join window — state evicts like the inner form; equivalence asserted on the watermark-closed region with the identical cutoff on both engines (the frontier is the MIN of the two sides' subset max-event-times minus delay — a subtlety this oracle pins; beyond reference scope)",
+)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.joins import stream_interval_join
+
+    static = read_table(spark, sf_dir, "events")
+
+    def side(etype: str, ts_alias: str, id_alias: str) -> DataFrame:
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where((F.col("user_id") < 40) & (F.col("event_type") == etype))
+        )
+        return sdf.select(
+            "user_id",
+            to_event_time(sdf, "ts").alias(ts_alias),
+            F.col("event_id").alias(id_alias),
+        )
+
+    joined = stream_interval_join(
+        side("error", "err_time", "err_id"),
+        side("click", "click_time", "click_id"),
+        on=["user_id"],
+        left_ts="err_time",
+        right_ts="click_time",
+        lower_ms=0,
+        upper_ms=3_600_000,
+        watermark_ms=600_000,
+        how="left_outer",
+    ).select(
+        "user_id",
+        "err_time",
+        F.col("err_id").cast("long").alias("err_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+    )
+    name = "q_stream_left_join_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_loj_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def max_us(etype: str):
+        return F.max(
+            F.when(
+                (F.col("user_id") < 40) & (F.col("event_type") == etype),
+                F.unix_micros(to_event_time(static, "ts")),
+            )
+        )
+
+    cutoff = static.agg(
+        (F.least(max_us("error"), max_us("click")) - F.lit(4_800_000_000)).alias("c")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.unix_micros("err_time") < F.col("c"))
+        .select("user_id", "err_id", "click_id")
+        .orderBy("user_id", "err_id", "click_id")
+    )

@@ -810,3 +810,35 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- exact equi-width histogram (round 6): operators/histogram.py -----------
+
+
+@query(
+    "q_price_histogram",
+    # bin assignment is scaled-int64 `div` on both sides — float bin edges
+    # put boundary values in different bins per engine, exact ints cannot
+    """
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+    c AS (SELECT greatest(least((x - lo) * 16 // greatest(hi - lo, 1), 15), 0)
+                   AS bucket,
+                 count(*) AS n
+          FROM v, b GROUP BY 1),
+    g AS (SELECT j AS bucket,
+                 lo + j * (hi - lo) // 16 AS lo_cents,
+                 lo + (j + 1) * (hi - lo) // 16 AS hi_cents
+          FROM b, unnest(generate_series(0, 15)) AS u(j))
+    SELECT g.bucket, g.lo_cents, g.hi_cents,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM g LEFT JOIN c USING (bucket) ORDER BY g.bucket
+    """,
+    doc="16-bucket equi-width histogram of order totals in exact scaled-int64 arithmetic (operators/histogram.equi_width_histogram — Deequ's Histogram analyzer shape): one bounded min/max row broadcast back, bin assignment via integer div (bit-exact where float edges are not), ONE combinable groupBy bounded by bucket count (shuffle is histogram-sized, not data-sized), broadcast-range join fills empty bins for a fixed n-row output",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.histogram import equi_width_histogram
+
+    orders = _t(spark, sf_dir, "orders").df
+    return equi_width_histogram(orders, "o_totalprice", 16).orderBy("bucket")

@@ -448,3 +448,75 @@ def test_stream_interval_join_rocksdb_matches_default(spark):
             results[provider] = run()
     assert results["default"] == results["rocksdb"]
     assert len(results["default"]) > 0
+
+
+def test_stream_interval_left_outer_join_matches_batch(spark):
+    """Left-outer stream-stream interval join: unmatched errors emit
+    null-extended rows once the watermark passes; equivalence holds on the
+    region the watermark fully closed (both sides identically filtered)."""
+    from ironbeam_spark.operators.windowing import to_event_time
+    from ironbeam_spark.streaming.joins import stream_interval_join
+
+    UPPER_MS, WM_MS = 3_600_000, 600_000
+
+    def prep(df, ts_alias, id_alias, etype):
+        return (
+            df.where(F.col("event_type") == etype)
+            .withColumn("event_time", to_event_time(df, "ts"))
+            .select(
+                "user_id",
+                F.col("event_time").alias(ts_alias),
+                F.col("event_id").alias(id_alias),
+            )
+        )
+
+    sdf, static = _events_stream(spark)
+    args = dict(
+        on=["user_id"],
+        left_ts="err_time",
+        right_ts="click_time",
+        lower_ms=0,
+        upper_ms=UPPER_MS,
+    )
+    s_out = stream_interval_join(
+        prep(sdf, "err_time", "err_id", "error"),
+        prep(sdf, "click_time", "click_id", "click"),
+        watermark_ms=WM_MS,
+        how="left_outer",
+        **args,
+    ).select("user_id", "err_time", "err_id", "click_id")
+    _run_to_memory(s_out, "t_stream_loj", "append")
+
+    # closed region: strictly more than (watermark + upper) before the
+    # stream's final watermark.  The watermark is computed per SIDE from
+    # the max event time each watermarked node has SEEN (the filtered
+    # subsets), and the global watermark is their MIN — so the cutoff must
+    # come from the earlier side's max, not the overall stream max
+    import pyspark.sql.functions as F2
+
+    def _max_us(etype):
+        return (
+            static.where(F2.col("event_type") == etype)
+            .agg(F2.max(F2.unix_micros(to_event_time(static, "ts"))))
+            .collect()[0][0]
+        )
+
+    max_us = min(_max_us("error"), _max_us("click"))
+    cutoff_us = max_us - (WM_MS + UPPER_MS + 600_000) * 1000
+
+    got = {
+        (r.user_id, r.err_id, r.click_id)
+        for r in spark.table("t_stream_loj").collect()
+        if r.err_time.timestamp() * 1_000_000 < cutoff_us
+    }
+    b_out = stream_interval_join(
+        prep(static, "err_time", "err_id", "error"),
+        prep(static, "click_time", "click_id", "click"),
+        how="left_outer",
+        **args,
+    ).where(F.unix_micros("err_time") < cutoff_us).select(
+        "user_id", "err_id", "click_id"
+    )
+    expected = {(r.user_id, r.err_id, r.click_id) for r in b_out.collect()}
+    assert got == expected
+    assert any(c is None for _, _, c in expected)  # real outer rows exist
