@@ -195,3 +195,42 @@ def test_no_scale_killers_in_any_query(spark):
             bnlj_hits.add(name)
     assert cartesian_hits == set(), cartesian_hits
     assert bnlj_hits <= BNLJ_ALLOWED, bnlj_hits - BNLJ_ALLOWED
+
+
+def test_line_dedup_winner_aggregate_is_partial_final(spark):
+    """The corpus-wide line-winner aggregate must map-side combine — a
+    boilerplate line with 10^8 occurrences otherwise hot-keys a reducer."""
+    rep = plan_report(QUERIES["q_line_dedup"].fn(spark, SF_SMOKE), execute=True)
+    assert rep.hash_aggregates >= 2, rep.narrative()
+
+
+def test_histogram_shuffle_is_bucket_bounded(spark):
+    """The histogram groupBy keys on the bucket id (<= n_buckets groups) and
+    must plan partial+final — the shuffle is histogram-sized, not data-sized."""
+    rep = plan_report(QUERIES["q_price_histogram"].fn(spark, SF_SMOKE), execute=True)
+    assert rep.hash_aggregates >= 2, rep.narrative()
+    assert rep.broadcast_joins >= 1, rep.narrative()  # bounds + grid broadcast
+
+
+def test_scd2_single_exchange_window_chain(spark):
+    """Both SCD2 window passes share one (key, order) spec: exactly one
+    Exchange below the Window operators (plus the final collect)."""
+    from ironbeam_spark.operators.scd import scd2_history
+    from ironbeam_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    hist = scd2_history(ev, ["user_id"], "ts", ["event_type"],
+                        tiebreak_cols=["event_id"])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_cdc_apply_single_exchange(spark):
+    from ironbeam_spark.operators.cdc import apply_changes
+    from ironbeam_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    snap = apply_changes(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
