@@ -1009,3 +1009,55 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "err_id", "click_id")
         .orderBy("user_id", "err_id", "click_id")
     )
+
+
+# -- exactly-once foreachBatch sink (round 6): streaming/sink.py ------------
+
+
+@query(
+    "q_stream_sink",
+    # content-preservation oracle: events streamed through the idempotent
+    # sink (one micro-batch per source file) must read back as exactly the
+    # original rows — no loss, no duplication, across all commits
+    """
+    SELECT user_id % 7 AS shard,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY user_id % 7 ORDER BY shard
+    """,
+    doc="exactly-once streaming ingestion via an idempotent foreachBatch sink (streaming/sink.IdempotentParquetSink): foreachBatch is AT-least-once by contract, so the sink dedupes on batch_id with a manifest + atomic directory rename (hidden-temp commit discipline) — the pattern ANY custom sink (JDBC upsert, vector store) needs; the oracle pins exact content preservation through stream -> sink -> read-back (beyond reference scope)",
+)
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.sink import IdempotentParquetSink
+
+    static = read_table(spark, sf_dir, "events")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = tempfile.mkdtemp(prefix="ironbeam_q_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_q_sink_ck_")
+    sink = IdempotentParquetSink(out)
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(f"{out}/batch-*")
+    return (
+        back.groupBy((F.col("user_id") % 7).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("shard")
+    )
