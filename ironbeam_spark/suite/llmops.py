@@ -1140,3 +1140,48 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_stupid_backoff(
         docs, "doc_id", "text", uni, big, alpha=0.4
     ).orderBy("doc_id")
+
+
+
+# -- unicode normalization (round 6): operators/unicode_norm.py -------------
+
+
+@query(
+    "q_unicode_norm",
+    # constructed combining-sequence inputs: k copies of e+U+0301 (composes
+    # to U+00E9), a precomposed U+00E9, and n copies of n+U+0303 (-> U+00F1);
+    # CPython unicodedata and DuckDB's utf8proc implement the same stable
+    # canonical composition, which this oracle pins end to end
+    """
+    WITH r AS (
+      SELECT doc_id,
+             repeat('e' || chr(769), 1 + doc_id % 4) || chr(233)
+               || repeat('n' || chr(771), doc_id % 3) AS raw
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm,
+           length(raw) <> length(nfc_normalize(raw)) AS changed,
+           md5(nfc_normalize(raw)) AS norm_md5
+    FROM r ORDER BY doc_id
+    """,
+    doc="NFC unicode normalization (operators/unicode_norm — UAX #15 canonical composition, the pass exact-match dedup/contamination needs first): Arrow-batched pandas_udf over unicodedata (no Catalyst normalizer exists; stateless row-local map, no shuffle, pipelined with the scan); oracle constructs decomposed combining sequences and pins CPython/utf8proc agreement (north-star text hygiene)",
+)
+def q_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.unicode_norm import unicode_normalize
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    raw = F.concat(
+        F.expr("repeat('e' || '́', 1 + doc_id % 4)"),
+        F.lit("é"),
+        F.expr("repeat('n' || '̃', doc_id % 3)"),
+    )
+    normed = unicode_normalize(raw, "NFC")
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("len_raw"),
+        F.length(normed).cast("long").alias("len_norm"),
+        (F.length(raw) != F.length(normed)).alias("changed"),
+        F.md5(normed).alias("norm_md5"),
+    ).orderBy("doc_id")
