@@ -396,3 +396,50 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "user_id", "event_type", "value", F.col("_us").alias("us")
     ).orderBy("user_id")
+
+
+@query(
+    "q_scd2_merge",
+    # incremental maintenance invariant: history(first half) merged with
+    # the second half must equal the one-shot history over the full
+    # changelog — the identical SQL as q_scd2's oracle
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    chg AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    v AS (
+      SELECT user_id, event_type, us AS valid_from_us,
+             lead(us) OVER w2 AS valid_to_us,
+             CAST(row_number() OVER w2 AS BIGINT) AS version
+      FROM chg
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM v ORDER BY user_id, version
+    """,
+    doc="incremental SCD2 maintenance (operators/scd.scd2_merge): fold a new changelog batch into a stored history — untouched keys pass through via one anti-join (NO window pass over the full dimension; the rebuild runs over the batch's keyspace only), touched keys re-run the one-shuffle history build over their versions + new rows; append-only precondition documented (late rows need a raw rebuild — the collapsed history can't see interior raw rows); oracle = the full-history SQL, pinning merge == rebuild",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.scd import scd2_history, scd2_merge
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit(1706000000000000)  # same split as q_cdc_merge
+    us = to_epoch_us(ev, "ts")
+    hist = scd2_history(
+        ev.where(us < cutoff), ["user_id"], "ts", ["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    merged = scd2_merge(
+        hist,
+        ev.where(us >= cutoff),
+        ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"],
+    )
+    return merged.withColumn(
+        "version", F.col("version").cast("long")
+    ).orderBy("user_id", "version")

@@ -105,3 +105,60 @@ def test_single_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_merge_equals_full_rebuild_on_time_split(spark):
+    """scd2_merge(scd2_history(older), newer) == scd2_history(all) when the
+    batches are time-split (the append-only contract)."""
+    rng = random.Random(606)
+    rows = [
+        (rng.randrange(8), rng.randrange(200), i, rng.choice(["a", "b", "c"]))
+        for i in range(300)
+    ]
+
+    def hist_set(df):
+        return {
+            (r["key"], r["version"], r["attr"], r["valid_from_us"],
+             r["valid_to_us"], r["is_current"])
+            for r in df.collect()
+        }
+
+    from ironbeam_spark.operators.scd import scd2_merge
+
+    full = hist_set(_run(spark, rows))
+    for cutoff in (0, 50, 120, 250):
+        older = [r for r in rows if r[1] < cutoff]
+        newer = [r for r in rows if r[1] >= cutoff]
+        hist = _run(spark, older)
+        merged = scd2_merge(
+            hist,
+            spark.createDataFrame(
+                newer or [], "key long, ts long, seq long, attr string"
+            ).withColumn("ts", F.col("ts") * 1000),
+            ["key"], "ts", ["attr"], tiebreak_cols=["seq"],
+        )
+        assert hist_set(merged) == full, f"cutoff={cutoff}"
+
+
+def test_merge_touches_only_batch_keys(spark):
+    """Untouched keys pass through without a window pass (plan-shape: the
+    stored rows appear verbatim, same version numbering)."""
+    from ironbeam_spark.operators.scd import scd2_merge
+
+    older = [(1, 10, 0, "a"), (1, 20, 1, "b"), (2, 10, 0, "x")]
+    newer = [(1, 30, 2, "c")]
+    hist = _run(spark, older)
+    merged = scd2_merge(
+        hist,
+        spark.createDataFrame(newer, "key long, ts long, seq long, attr string")
+        .withColumn("ts", F.col("ts") * 1000),
+        ["key"], "ts", ["attr"], tiebreak_cols=["seq"],
+    )
+    got = sorted(
+        (r["key"], r["version"], r["attr"], r["valid_to_us"])
+        for r in merged.collect()
+    )
+    assert got == [
+        (1, 1, "a", 20), (1, 2, "b", 30), (1, 3, "c", None),
+        (2, 1, "x", None),
+    ]
