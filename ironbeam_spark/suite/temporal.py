@@ -443,3 +443,73 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn(
         "version", F.col("version").cast("long")
     ).orderBy("user_id", "version")
+
+
+@query(
+    "q_warehouse_pipeline",
+    # composite: the SCD2 history and the cohort assignment chain the way
+    # a warehouse actually uses them — current-state segmentation by
+    # signup cohort with version-churn totals, everything exact int64
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    chg AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    v AS (
+      SELECT user_id, event_type, us AS valid_from_us,
+             lead(us) OVER w2 AS valid_to_us,
+             CAST(row_number() OVER w2 AS BIGINT) AS version
+      FROM chg
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    per_user AS (
+      SELECT user_id,
+             max(CASE WHEN valid_to_us IS NULL THEN event_type END)
+               AS current_state,
+             max(version) AS n_versions
+      FROM v GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_period
+      FROM events GROUP BY user_id
+    )
+    SELECT ch.cohort_period, pu.current_state,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(pu.n_versions) AS BIGINT) AS total_versions
+    FROM per_user pu JOIN cohorts ch USING (user_id)
+    GROUP BY ch.cohort_period, pu.current_state
+    ORDER BY ch.cohort_period, pu.current_state
+    """,
+    doc="warehouse composite: SCD2 history -> per-user current state + version churn, joined to daily signup cohorts, segmented counts (operators/scd.scd2_history composed with the cohort assignment of operators/retention) — the dimension + cohort chain a real warehouse runs nightly; the per-user reductions and the cohort assignment share the SAME user-keyed shuffle domain, exact int64 throughout",
+)
+def q_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.scd import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    per_user = hist.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("valid_to_us").isNull(), F.col("event_type"))
+        ).alias("current_state"),
+        F.max("version").cast("long").alias("n_versions"),
+    )
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(
+            F.expr("unix_micros(ts) div 86400000000")
+        ).alias("cohort_period")
+    )
+    return (
+        per_user.join(cohorts, on="user_id")
+        .groupBy("cohort_period", "current_state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_versions").cast("long").alias("total_versions"),
+        )
+        .orderBy("cohort_period", "current_state")
+    )
