@@ -180,6 +180,9 @@ def test_no_scale_killers_in_any_query(spark):
         "q_dsir_weights",         # 1-row feature-total aggregates broadcast
         "q_pretrain_pipeline",    # embeds q_dsir_weights' total broadcasts
         "q_kmv_setops",           # 1-row sketch-stat aggregates crossed
+        "q_lm_score",             # 1-row (N, V) totals aggregate broadcast
+        "q_price_histogram",      # 1-row min/max bounds broadcast (grid+counts)
+        "q_stream_left_join",     # 1-row watermark-cutoff aggregate broadcast
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():
