@@ -842,3 +842,101 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").df
     return equi_width_histogram(orders, "o_totalprice", 16).orderBy("bucket")
+
+
+# -- dataset fingerprint + keyed table diff (round 6) -----------------------
+
+
+@query(
+    "q_fingerprint",
+    # commutative checksum: SUM of 48-bit row hashes mod a 63-bit prime —
+    # row order, partitioning and plan cannot change it; the sum runs in
+    # HUGEINT (DuckDB) / DECIMAL(38) (Spark), exact far past 10^12 rows
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(concat_ws(chr(31),
+               coalesce(o_orderkey::VARCHAR, chr(1)),
+               coalesce(o_custkey::VARCHAR, chr(1)),
+               coalesce(o_orderstatus, chr(1)),
+               coalesce(o_orderpriority, chr(1)),
+               coalesce(epoch_us(o_orderdate)::VARCHAR, chr(1))
+             )), 1, 12))::BIGINT AS rh
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rh) % 9223372036854775783 AS BIGINT) AS fingerprint
+    FROM h
+    """,
+    doc="order-invariant dataset fingerprint of orders (operators/fingerprint.dataset_fingerprint): sum of md5-48bit row hashes mod a 63-bit prime — commutative, so independent of row order/partitioning/plan (the 100 TB 'are these tables equal' check with NO sort); explicit per-type canonical casts (timestamps as epoch micros, floats rejected — their string form is no cross-engine contract), one aggregation job",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.fingerprint import dataset_fingerprint
+
+    orders = _t(spark, sf_dir, "orders").df
+    return dataset_fingerprint(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate"],
+    )
+
+
+@query(
+    "q_table_diff",
+    # b = events with deterministic mutations (drop %97, flip %101, add
+    # %103 under shifted ids); the keyed diff must classify every key
+    """
+    WITH a AS (SELECT event_id, user_id, event_type FROM events),
+    b AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 101 = 0 THEN 'mutated' ELSE event_type END
+               AS event_type
+      FROM events WHERE event_id % 97 <> 0
+      UNION ALL
+      SELECT event_id + 10000000, user_id, 'inserted'
+      FROM events WHERE event_id % 103 = 0
+    ),
+    ha AS (SELECT event_id, ('0x' || substr(md5(concat_ws(chr(31),
+             coalesce(user_id::VARCHAR, chr(1)),
+             coalesce(event_type, chr(1)))), 1, 12))::BIGINT AS h
+           FROM a),
+    hb AS (SELECT event_id, ('0x' || substr(md5(concat_ws(chr(31),
+             coalesce(user_id::VARCHAR, chr(1)),
+             coalesce(event_type, chr(1)))), 1, 12))::BIGINT AS h
+           FROM b),
+    d AS (
+      SELECT coalesce(ha.event_id, hb.event_id) AS event_id,
+             CASE WHEN ha.h IS NULL THEN 'added'
+                  WHEN hb.h IS NULL THEN 'removed'
+                  WHEN ha.h = hb.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM ha FULL OUTER JOIN hb ON ha.event_id = hb.event_id
+    )
+    SELECT event_id, status FROM d WHERE status <> 'unchanged'
+    ORDER BY event_id
+    """,
+    doc="keyed table diff (operators/fingerprint.table_diff): full-outer join on the key comparing 48-bit row hashes — added/removed/changed/unchanged per key in ONE key-keyed shuffle; payload columns never move, only (key, hash) pairs (the migration-validation primitive at 100 TB); verified against a deterministically mutated copy of events",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.fingerprint import table_diff
+
+    ev = _t(spark, sf_dir, "events").df
+    a = ev.select("event_id", "user_id", "event_type")
+    b = (
+        ev.where(F.col("event_id") % 97 != 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_id") % 101 == 0, F.lit("mutated"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+        )
+        .unionByName(
+            ev.where(F.col("event_id") % 103 == 0).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id",
+                F.lit("inserted").alias("event_type"),
+            )
+        )
+    )
+    d = table_diff(a, b, ["event_id"], ["user_id", "event_type"])
+    return d.where(F.col("status") != "unchanged").orderBy("event_id")
