@@ -940,3 +940,45 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table_diff(a, b, ["event_id"], ["user_id", "event_type"])
     return d.where(F.col("status") != "unchanged").orderBy("event_id")
+
+
+# -- bloom-filter file skipping (round 6): sources/bloom_index.py -----------
+
+
+@query(
+    "q_bloom_skip",
+    # the oracle pins the no-false-negative contract end to end: reading
+    # ONLY the bloom-candidate files must return exactly the rows a full
+    # scan's equality filter returns, for every probe
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type
+    FROM events
+    WHERE event_id IN (0, 777, 4242, 9999)
+    ORDER BY event_id
+    """,
+    doc="per-file Bloom skipping index (sources/bloom_index): the point-lookup complement of min/max footer pruning — an equality probe on an unsorted high-cardinality column matches every file's range, a per-file bloom sidecar skips whole objects; DISTRIBUTED build (input_file_name + Arrow-batched md5 double-hash bit arrays, metadata-sized driver merge), engine-neutral JSON sidecar, atomic rename; the query writes a multi-file copy of events, builds the index, prunes per probe and reads only candidates — output must equal the full-scan filter exactly (no false negatives, the property the format guarantees)",
+)
+def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.bloom_index import build_bloom_index, prune_files
+
+    ev = _t(spark, sf_dir, "events").df
+    tmp = tempfile.mkdtemp(prefix="ironbeam_q_bloom_")
+    ev.select("event_id", "user_id", "event_type").repartition(
+        8, "event_id"
+    ).write.mode("overwrite").parquet(tmp)
+    build_bloom_index(tmp, spark, "event_id")
+    probes = [0, 777, 4242, 9999]
+    out = None
+    for p in probes:
+        cand = prune_files(tmp, "event_id", p)
+        if not cand:
+            continue
+        part = (
+            spark.read.parquet(*cand)
+            .where(F.col("event_id") == p)
+            .select("event_id", "user_id", "event_type")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("event_id")
