@@ -513,3 +513,35 @@ def q_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_period", "current_state")
     )
+
+
+@query(
+    "q_rollup_cascade",
+    # the cascade invariant: the DAY level built minute->hour->day must
+    # equal the day aggregation computed directly from raw — exact int64
+    # buckets and cents make it bit-checkable (float sums re-associate
+    # per level and could never hash-match)
+    """
+    SELECT user_id,
+           epoch_us(ts) - (epoch_us(ts) % 86400000000) AS bucket_start_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum,
+           min(CAST(round(value * 100) AS BIGINT)) AS min,
+           max(CAST(round(value * 100) AS BIGINT)) AS max
+    FROM events
+    GROUP BY user_id, epoch_us(ts) - (epoch_us(ts) % 86400000000)
+    ORDER BY user_id, bucket_start_us
+    """,
+    doc="hypertable-style continuous-aggregate cascade (operators/rollup.rollup_cascade): raw -> minute -> hour -> day, each level ONE combinable groupBy re-aggregating the PREVIOUS level (the day refresh reads 24 hour-rows per key, not a day of raw; level-N shuffle bounded by level-(N-1) rows, shrinking geometrically); only monoid aggregates ride the cascade (count/sum/min/max — avg is rejected, derived at read time), exact int64 buckets + cents; the oracle pins day-from-cascade == day-from-raw bit for bit",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.rollup import rollup_cascade
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    minute, hour, day = rollup_cascade(
+        ev, "ts", ["user_id"], "cents",
+        [60_000_000, 3_600_000_000, 86_400_000_000],
+    )
+    return day.orderBy("user_id", "bucket_start_us")
