@@ -29,15 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket_agg", "rollup_cascade"]
-
-_COMBINES = {
-    "count": F.sum,  # counts re-aggregate by summing
-    "sum": F.sum,
-    "min": F.min,
-    "max": F.max,
-}
-
+__all__ = ["time_bucket_agg", "rollup_cascade", "rollup_merge"]
 
 def time_bucket_agg(
     df: DataFrame,
@@ -109,3 +101,37 @@ def rollup_cascade(
     for bucket_us in levels[1:]:
         out.append(_coarsen(out[-1], key_cols, bucket_us))
     return out
+
+
+def rollup_merge(
+    existing: DataFrame,
+    delta: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Incrementally fold a batch of raw rows into one stored rollup
+    level: ``rollup_merge(time_bucket_agg(older), newer) ==
+    time_bucket_agg(older ∪ newer)`` — unconditionally, because every
+    stored statistic is a monoid (count/sum/min/max combine associatively
+    and commutatively), so unlike the SCD2 merge there is NO append-only
+    precondition: late rows land in their (old) bucket and combine
+    exactly.
+
+    This is the refresh loop of a continuous aggregate: the delta
+    aggregates down to |its buckets| rows first (map-side combinable),
+    then ONE groupBy over ``|existing| + |delta buckets|`` re-combines —
+    at 100 TB the stored level never re-reads raw history, and an idle
+    bucket costs one pass-through row."""
+    fresh = time_bucket_agg(delta, ts_col, bucket_us, key_cols, value_col)
+    return (
+        existing.unionByName(fresh)
+        .groupBy(*key_cols, "bucket_start_us")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum").cast("long").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+    )

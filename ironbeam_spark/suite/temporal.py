@@ -545,3 +545,40 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         [60_000_000, 3_600_000_000, 86_400_000_000],
     )
     return day.orderBy("user_id", "bucket_start_us")
+
+
+@query(
+    "q_rollup_merge",
+    # incremental refresh invariant, WITHOUT a time split: the snapshot is
+    # the even-event half and the delta the odd half, so the delta is full
+    # of "late" rows — monoid stats absorb them exactly (no append-only
+    # precondition, unlike SCD2 merge); oracle = direct hour rollup of all
+    """
+    SELECT user_id,
+           epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_start_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum,
+           min(CAST(round(value * 100) AS BIGINT)) AS min,
+           max(CAST(round(value * 100) AS BIGINT)) AS max
+    FROM events
+    GROUP BY user_id, epoch_us(ts) - (epoch_us(ts) % 3600000000)
+    ORDER BY user_id, bucket_start_us
+    """,
+    doc="incremental continuous-aggregate refresh (operators/rollup.rollup_merge): fold a raw delta into a stored hour rollup — delta pre-aggregates to its own buckets map-side, then ONE groupBy over |stored| + |delta buckets| re-combines; monoid algebra means NO append-only precondition (the query's delta is deliberately interleaved in time with the snapshot), and the stored level never re-reads raw history; oracle pins merge == direct rollup bit for bit",
+)
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.rollup import rollup_merge, time_bucket_agg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    HOUR = 3_600_000_000
+    snap = time_bucket_agg(
+        ev.where(F.col("event_id") % 2 == 0), "ts", HOUR, ["user_id"], "cents"
+    )
+    merged = rollup_merge(
+        snap, ev.where(F.col("event_id") % 2 == 1), "ts",
+        ["user_id"], "cents", HOUR,
+    )
+    return merged.orderBy("user_id", "bucket_start_us")

@@ -69,3 +69,23 @@ def test_negative_values_min_max(spark):
     fine, coarse = rollup_cascade(df, "ts", ["key"], "v", [1000, 2000])
     got = _collect(coarse)
     assert got == {(1, 0): (3, -5, -7, 3)}
+
+
+def test_merge_equals_full_even_with_late_rows(spark):
+    """No append-only precondition: monoid stats absorb late rows exactly."""
+    from ironbeam_spark.operators.rollup import rollup_merge
+
+    rng = random.Random(606)
+    rows = [
+        (rng.randrange(4), rng.randrange(50_000), rng.randrange(0, 300))
+        for _ in range(500)
+    ]
+    full = _ref(rows, 1000)
+    # split NOT by time: the "delta" contains rows older than the snapshot
+    for frac in (0, 137, 400, 500):
+        older, newer = rows[:frac], rows[frac:]
+        snap = time_bucket_agg(_df(spark, older), "ts", 1000, ["key"], "v")
+        merged = rollup_merge(
+            snap, _df(spark, newer), "ts", ["key"], "v", 1000
+        )
+        assert _collect(merged) == full, frac
