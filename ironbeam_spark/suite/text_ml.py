@@ -978,3 +978,39 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, "vec_id", "embedding", threshold=0.35).orderBy(
         "vec_id"
     )
+
+
+# -- positional phrase search (round 6): operators/phrase.py ----------------
+
+
+@query(
+    "q_phrase_search",
+    # k-term phrase = (k-1)-way equi-join of postings aligned on
+    # (doc, pos - i): no windows, no per-doc position arrays, no cross
+    # products — a stopword posting joins 1:1 per position
+    """
+    WITH toks AS (SELECT doc_id,
+                    list_filter(string_split(lower(text), ' '), x -> x <> '')
+                      AS ts
+                  FROM documents),
+    idx AS (SELECT doc_id AS doc, unnest(ts) AS term,
+                   generate_subscripts(ts, 1) - 1 AS pos
+            FROM toks),
+    t0 AS (SELECT doc, pos AS start_pos FROM idx WHERE term = 'table'),
+    t1 AS (SELECT doc, pos - 1 AS start_pos FROM idx WHERE term = 'hash')
+    SELECT t0.doc, CAST(t0.start_pos AS BIGINT) AS start_pos
+    FROM t0 JOIN t1 USING (doc, start_pos)
+    WHERE t0.start_pos >= 0
+    ORDER BY doc, start_pos
+    """,
+    doc="exact phrase search over a positional inverted index (operators/phrase — classic positional postings, public IR): the phrase 'table hash' as an equi-join of per-term postings aligned on (doc, pos - i); postings are (term, doc, pos) rows so no per-doc position array ever materializes (a stopword's list wouldn't fit a row at 100 TB) and every join key is unique per position — the rarest-term size bound falls out of AQE (north-star retrieval; reference regex matches within rows only)",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.phrase import phrase_search, positional_index
+
+    docs = _t(spark, sf_dir, "documents").df
+    idx = positional_index(docs, "doc_id", "text")
+    hits = phrase_search(idx, ["table", "hash"])
+    return hits.select(
+        "doc", F.col("start_pos").cast("long").alias("start_pos")
+    ).orderBy("doc", "start_pos")
