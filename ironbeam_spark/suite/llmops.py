@@ -1049,6 +1049,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ml m LEFT JOIN agg a USING (doc_id)
     ORDER BY m.doc_id
     """,
+    bench=True,
     doc="corpus-wide line-level keep-first dedup (operators/line_dedup.line_dedup_keep_first — the C4/MassiveText boilerplate-removal pass, public papers): deterministic 8-token line reconstruction, md5 line keys, ONE map-side-combinable min(packed id*2^24+pos) winner aggregate (a 10^8-occurrence boilerplate line partial-combines instead of hot-keying a reducer), 1:N join back, per-doc bounded reassembly; reports per-doc line/removed counts + md5 of the scrubbed text (north-star LLM dedup family, no reference analogue)",
 )
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

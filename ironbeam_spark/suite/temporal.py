@@ -295,6 +295,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            valid_to_us IS NULL AS is_current
     FROM v ORDER BY user_id, version
     """,
+    bench=True,
     doc="SCD type-2 dimension history from the events changelog (operators/scd.scd2_history): one entity-keyed shuffle feeds both window passes (lag change-detection + lead/row_number validity share the identical partition/order spec, single Exchange + sort chain); null-safe IS-DISTINCT-FROM transitions, exact epoch-micros validity, deterministic event_id tiebreak — warehouse-maintenance family beyond the reference's Latest-per-key surface",
 )
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +348,7 @@ def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_cdc_apply",
     _CDC_APPLY_SQL,
+    bench=True,
     doc="CDC changelog -> current snapshot (operators/cdc.apply_changes): latest row per key on ONE entity-keyed shuffle (descending row_number + top-1 filter, no joins), delete-op tombstones drop the key ('error' events here); deterministic event_id tiebreak, exact epoch-micros — the Debezium/MERGE-INTO apply surface the reference's Latest-per-key lacks",
 )
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +534,7 @@ def q_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, epoch_us(ts) - (epoch_us(ts) % 86400000000)
     ORDER BY user_id, bucket_start_us
     """,
+    bench=True,
     doc="hypertable-style continuous-aggregate cascade (operators/rollup.rollup_cascade): raw -> minute -> hour -> day, each level ONE combinable groupBy re-aggregating the PREVIOUS level (the day refresh reads 24 hour-rows per key, not a day of raw; level-N shuffle bounded by level-(N-1) rows, shrinking geometrically); only monoid aggregates ride the cascade (count/sum/min/max — avg is rejected, derived at read time), exact int64 buckets + cents; the oracle pins day-from-cascade == day-from-raw bit for bit",
 )
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
