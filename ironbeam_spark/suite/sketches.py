@@ -313,3 +313,42 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_intersect"),
     )
+
+
+# -- distributed PCA, exact-gram pass (round 6): operators/pca.py -----------
+
+
+@query(
+    "q_pca_gram",
+    # the 100 TB-touching part of PCA is the gram/mean accumulation — and
+    # quantized to int64 by floor(x*2^20 + 0.5) (the one rounding rule
+    # numpy and DuckDB mirror exactly) it is order-free and exact, so the
+    # whole upper triangle hash-matches; a float gram re-associates per
+    # plan and never could
+    """
+    WITH q AS (SELECT list_transform(embedding,
+                 x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv
+               FROM embeddings),
+    cells AS (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s
+      FROM q, unnest(generate_series(1, 64)) AS u(i),
+           unnest(generate_series(1, 64)) AS v(j)
+      WHERE j >= i GROUP BY i, j
+    ),
+    means AS (SELECT CAST(i AS INT) AS i, 0 AS j,
+                     CAST(sum(qv[i]) AS BIGINT) AS s
+              FROM q, unnest(generate_series(1, 64)) AS u(i) GROUP BY i),
+    cnt AS (SELECT 0 AS i, 0 AS j, CAST(count(*) AS BIGINT) AS s FROM q)
+    SELECT * FROM cells
+    UNION ALL SELECT * FROM means
+    UNION ALL SELECT * FROM cnt
+    ORDER BY i, j
+    """,
+    doc="distributed PCA, exact-gram formulation (operators/pca): per-Arrow-batch int64 q^T q partials (|q| <= 2^20 keeps products exact) summed in DECIMAL(38) — commutative and partition-invariant, d^2 cells per batch of shuffle (metadata-sized); the d x d decomposition itself is a bounded driver step (numpy eigh over the exact gram, sign-pinned), projection is a row-local Arrow matmul; this query pins the full exact upper triangle + mean sums + count over the embeddings table",
+)
+def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.pca import scaled_gram
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return scaled_gram(emb, "embedding", 64)
