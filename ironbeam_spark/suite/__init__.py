@@ -73,16 +73,21 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           now '|'-joined.  Slot 4 keeps q_token_packing (red r4+r5).
 #           Slot 15 keeps q_asof_join (temporal family representative —
 #           not otherwise present in 16-50).
-#   r6->r7 (planned): rotate in the round-6 additions — q_jpeg_decode,
-#           q_substring_spans, q_substring_scrub, q_flac_decode, q_funnel,
-#           q_collocations, q_orc, q_retention, q_scd2, q_line_dedup,
-#           q_cdc_apply, q_cdc_merge, q_lm_score, q_ewma,
-#           q_zscore_anomaly, q_weighted_sample, q_pagerank,
-#           q_profile_table, q_compaction, q_stream_cdc, and any query
-#           added after this comment — once the r6 window queries have
-#           their driver rows (more additions than slots: prioritize by
-#           operator-family novelty, keep the bisect block until
-#           q_token_packing goes green).
+#   r6->r7 (planned): rotate in the round-6 additions — the complete,
+#           final list of the 33 never-driver-sampled round-6 queries is
+#           q_jpeg_decode, q_flac_decode, q_substring_spans,
+#           q_substring_scrub, q_line_dedup, q_lm_score, q_collocations,
+#           q_phrase_search, q_unicode_norm, q_funnel, q_retention,
+#           q_scd2, q_scd2_merge, q_warehouse_pipeline, q_cdc_apply,
+#           q_cdc_merge, q_stream_cdc, q_stream_left_join, q_stream_sink,
+#           q_rollup_cascade, q_rollup_merge, q_ewma, q_zscore_anomaly,
+#           q_weighted_sample, q_pagerank, q_pca_gram, q_profile_table,
+#           q_price_histogram, q_fingerprint, q_table_diff, q_bloom_skip,
+#           q_compaction, q_orc — once the r6 window queries have their
+#           driver rows (more additions than slots: prioritize by
+#           operator-family novelty — e.g. one of each of codec /
+#           substring-dedup / SCD2 / CDC / rollup / graph / profiling —
+#           and keep the bisect block until q_token_packing goes green).
 # tests/test_registry_order.py freezes the current 84-name prefix.
 CANONICAL_ORDER = [
     # -- 1: r5 harness-error (no verdict row) — fixed, retrying
