@@ -67,9 +67,12 @@ def row_hash48(df: DataFrame, cols: Sequence[str]) -> Column:
 def dataset_fingerprint(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """One row: ``n_rows``, ``fingerprint`` (order/partition-invariant)."""
     h = row_hash48(df, cols)
+    # decimal(28,0) input -> Spark widens the sum to decimal(38,0): with
+    # 48-bit row hashes that overflows only past ~3.5e23 rows (a
+    # decimal(20,0) input widens to only decimal(30,0) — 8 orders short)
     return df.select(h.alias("_h")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        (F.sum(F.col("_h").cast("decimal(20,0)")) % F.lit(_MOD))
+        (F.sum(F.col("_h").cast("decimal(28,0)")) % F.lit(_MOD))
         .cast("long")
         .alias("fingerprint"),
     )

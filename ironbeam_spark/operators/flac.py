@@ -428,6 +428,11 @@ def _decode(b: bytes):
     if total * channels > 1 << 28:
         raise ValueError(f"flac: {total} samples x {channels}ch exceeds decode budget")
 
+    # total == 0 is legal FLAC for "unknown length" — the header guard above
+    # can't bound it, so the loop itself enforces the same budget (else a
+    # few-KB stream of CONSTANT frames expands unboundedly and the
+    # resulting MemoryError would escape the ValueError dead-letter catch)
+    budget = (1 << 28) // channels
     chans = [[] for _ in range(channels)]
     decoded = 0
     while pos < len(b) and (total == 0 or decoded < total):
@@ -435,6 +440,11 @@ def _decode(b: bytes):
             break
         pos = _decode_frame(b, pos, sample_rate, channels, bps, chans)
         decoded = len(chans[0])
+        if decoded > budget:
+            raise ValueError(
+                f"flac: unknown-length stream exceeded decode budget "
+                f"({decoded} samples x {channels}ch)"
+            )
     if total and decoded < total:
         raise ValueError(f"flac: stream ends at {decoded}/{total} samples")
     if total:

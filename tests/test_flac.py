@@ -275,3 +275,16 @@ def test_audio_dispatch_and_dead_letter(spark):
     assert got[1]["sum_abs"] == (1 + 2 + 3 + 4) * 50
     assert got[2]["fmt"] == "wav"
     assert got[3]["fmt"] is None and "unsupported audio" in got[3]["error"]
+
+
+def test_unknown_length_stream_decodes_with_budget():
+    # total_samples=0 is legal ("unknown length"): the decoder must still
+    # decode every frame — and the in-loop budget (round-6 review) must not
+    # fire for a normal stream.  Zero the 36-bit total field in STREAMINFO
+    # (body bits 108..143 = file bytes 21..25 after the 8-byte prefix).
+    samples = [((i * 37) % 256) - 128 for i in range(600)]
+    b = bytearray(encode_flac(8000, 1, samples, block_size=256))
+    b[21] &= 0xF0
+    b[22:26] = b"\x00\x00\x00\x00"
+    sr, ch, bps, out = decode_flac_samples(bytes(b))
+    assert (sr, ch) == (8000, 1) and out == samples

@@ -87,3 +87,29 @@ def test_fuzz_against_reference(spark):
     ]
     for mc in (1, 2):
         assert _run(spark, docs, mc) == _ref(docs, mc)
+
+
+def test_regex_metachar_separator_is_literal(spark):
+    # '|' is a regex metachar: an unquoted F.split would explode every
+    # character; the \Q..\E quoting must split literally (round-6 review)
+    df = spark.createDataFrame(
+        [(1, "aa|bb|aa"), (2, "bb|cc")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in line_dedup_keep_first(
+            df, "doc_id", "text", sep="|"
+        ).collect()
+    }
+    assert got == {1: (3, 1, "aa|bb"), 2: (2, 1, "cc")}
+
+
+def test_out_of_bounds_id_raises(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [(-3, "aa\naa")], "doc_id long, text string"
+    )
+    with pytest.raises(PySparkException, match="packed_occurrence"):
+        line_dedup_keep_first(df, "doc_id", "text").collect()

@@ -183,6 +183,7 @@ def test_no_scale_killers_in_any_query(spark):
         "q_lm_score",             # 1-row (N, V) totals aggregate broadcast
         "q_price_histogram",      # 1-row min/max bounds broadcast (grid+counts)
         "q_stream_left_join",     # 1-row watermark-cutoff aggregate broadcast
+        "q_collocations",         # 1-row token-total aggregate broadcast
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():

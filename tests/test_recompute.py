@@ -234,3 +234,19 @@ def test_dsir_target_without_id_column(spark):
         )
 
     assert run(without_id) == run(with_id)
+
+
+def test_running_sum_value_col_is_order_col(spark):
+    # value_col ∈ order_cols: the narrow projection must not duplicate the
+    # column (a cumulative weight ordered by the weight itself — round-6
+    # review regression)
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    df = spark.createDataFrame([(v,) for v in (3, 1, 2, 5, 4)], "v long")
+    got = sorted(
+        (r["v"], r["running_v"])
+        for r in global_running_sum(
+            df, ["v"], "v", out_col="running_v"
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 3), (3, 6), (4, 10), (5, 15)]
