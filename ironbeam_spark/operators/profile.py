@@ -21,8 +21,10 @@ caller's documented trade.
 Typed values, never stringified numbers: doubles go in ``value_double``
 and integers/timestamps (epoch micros)/dates (epoch days) in
 ``value_long`` — cross-engine float-to-string formatting is not a stable
-contract, raw doubles are.  Complex-typed columns (arrays, maps, structs)
-report null counts only.
+contract, raw doubles are.  Columns without a typed slot — complex types
+(arrays, maps, structs) and types with no exact long/double embedding
+(decimal, binary) — report null counts only; cast decimals to a scaled
+long (cents) upstream to profile them fully.
 """
 
 from __future__ import annotations
@@ -84,7 +86,10 @@ def profile_table(
     for name in names:
         dt = dtypes[name]
         c = F.col(name)
-        emit(name, "n_null", F.sum(c.isNull().cast("long")), "long")
+        # count(when), not sum(cast): sum over ZERO rows is NULL, so an
+        # empty table would report n_null = NULL where the SQL oracle's
+        # count(*) - count(c) reports 0
+        emit(name, "n_null", F.count(F.when(c.isNull(), F.lit(1))), "long")
         slots = _slots(name, dt)
         if slots is not None:
             if distinct == "exact":

@@ -43,7 +43,8 @@ def cohort_retention(
     n_users)``.
 
     ``cohort_period`` = the user's first activity period (epoch-micros
-    ``div period_us``, int64); ``period_offset`` = activity period minus
+    FLOOR-divided by ``period_us``, exact int64 — truncation would
+    mislabel pre-epoch periods); ``period_offset`` = activity period minus
     cohort period (0 = the cohort's own period, so ``n_users`` at offset 0
     is the cohort size).  Distinct users per cell — a user active twice in
     a period counts once."""
@@ -53,7 +54,14 @@ def cohort_retention(
         F.col(user_col).alias("user"),
         (to_epoch_us(events, ts_col)).alias("_us"),
     ).select(
-        "user", F.expr(f"_us div {int(period_us)}").alias("period")
+        "user",
+        # floor division, exact in int64: div alone truncates toward zero,
+        # mislabeling pre-epoch periods; subtracting the positive mod
+        # first makes the dividend exactly divisible (same floor semantics
+        # as windowing.tumble_start)
+        F.expr(
+            f"(_us - pmod(_us, {int(period_us)})) div {int(period_us)}"
+        ).alias("period"),
     ).distinct()
     first = act.groupBy("user").agg(F.min("period").alias("cohort_period"))
     return (

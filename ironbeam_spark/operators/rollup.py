@@ -44,7 +44,11 @@ def time_bucket_agg(
     from ironbeam_spark.operators.windowing import to_epoch_us
 
     us = to_epoch_us(df, ts_col)
-    bucket = (us - (us % F.lit(bucket_us))).alias("bucket_start_us")
+    # pmod, not %: Spark's % follows the dividend sign, so a plain
+    # us - us%b would assign a pre-epoch row to a bucket whose
+    # [start, start+size) range does not contain it — FLOOR semantics,
+    # same as operators/windowing.tumble_start
+    bucket = (us - F.pmod(us, F.lit(bucket_us))).alias("bucket_start_us")
     return (
         df.select(*key_cols, bucket, F.col(value_col).alias("_v"))
         .groupBy(*key_cols, "bucket_start_us")
@@ -63,8 +67,9 @@ def _coarsen(
     """One cascade step: re-aggregate a finer level into coarser buckets
     using only the monoid combines."""
     bucket = (
-        F.col("bucket_start_us") - (F.col("bucket_start_us") % F.lit(bucket_us))
-    ).alias("bucket_start_us")
+        F.col("bucket_start_us")
+        - F.pmod(F.col("bucket_start_us"), F.lit(bucket_us))
+    ).alias("bucket_start_us")  # pmod: floor semantics (see _level0)
     return (
         level.select(*key_cols, bucket, "n", "sum", "min", "max")
         .groupBy(*key_cols, "bucket_start_us")

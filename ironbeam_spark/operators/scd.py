@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["scd2_history", "scd2_as_of"]
+__all__ = ["scd2_history", "scd2_as_of", "scd2_merge"]
 
 
 def scd2_history(

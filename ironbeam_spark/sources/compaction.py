@@ -100,8 +100,16 @@ def compact_parquet(
     rewritten = 0
     for bin_paths in bins:
         tmp = os.path.join(path, f".compact-{uuid.uuid4().hex}")
-        # one bin -> one file: the bin was packed to target_bytes
-        spark.read.parquet(*bin_paths).coalesce(1).write.parquet(tmp)
+        # one bin -> one file: the bin was packed to target_bytes.
+        # mergeSchema: small files often have DRIFTING schemas (a streaming
+        # sink that added a column mid-stream is exactly the small-file
+        # producer this targets); single-footer inference could silently
+        # drop the new column from the merged file before the originals
+        # are unlinked — permanent data loss reported as success
+        merged = (
+            spark.read.option("mergeSchema", "true").parquet(*bin_paths)
+        )
+        merged.coalesce(1).write.parquet(tmp)
         new_parts = [
             os.path.join(tmp, f)
             for f in os.listdir(tmp)

@@ -63,22 +63,27 @@ def stream_interval_join(
     # (l_df[k] vs r_df[k]) resolves both to one attribute — an outer join
     # then silently keeps the null right-side key instead of the left's
     l_a, r_a = l_df.alias("__ij_l"), r_df.alias("__ij_r")
+
+    def _lcol(c: str):  # backtick-quote: column names containing '.' or
+        return F.col("__ij_l.`" + c.replace("`", "``") + "`")
+
+    def _rcol(c: str):  # '(' (e.g. upstream 'sum(value)') must not parse
+        return F.col("__ij_r.`" + c.replace("`", "``") + "`")  # as paths
+
     cond = None
     for k in on:
-        c = F.col(f"__ij_l.{k}") == F.col(f"__ij_r.{k}")
+        c = _lcol(k) == _rcol(k)
         cond = c if cond is None else (cond & c)
-    lo = F.col(f"__ij_r.{right_ts}") >= F.col(f"__ij_l.{left_ts}") + F.expr(
+    lo = _rcol(right_ts) >= _lcol(left_ts) + F.expr(
         f"INTERVAL {lower_ms} MILLISECONDS"
     )
-    hi = F.col(f"__ij_r.{right_ts}") < F.col(f"__ij_l.{left_ts}") + F.expr(
+    hi = _rcol(right_ts) < _lcol(left_ts) + F.expr(
         f"INTERVAL {upper_ms} MILLISECONDS"
     )
     joined = l_a.join(r_a, cond & lo & hi, how)
     # keys always come from the LEFT side (never null under left_outer);
     # right side contributes only its non-key columns
-    out = [F.col(f"__ij_l.{c}").alias(c) for c in l_df.columns] + [
-        F.col(f"__ij_r.{c}").alias(c)
-        for c in r_df.columns
-        if c not in set(on)
+    out = [_lcol(c).alias(c) for c in l_df.columns] + [
+        _rcol(c).alias(c) for c in r_df.columns if c not in set(on)
     ]
     return joined.select(*out)

@@ -45,6 +45,18 @@ class IdempotentParquetSink:
     def __init__(self, path: str) -> None:
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # sweep temp debris from crashed attempts: a driver death between
+        # the parquet write and the rename orphans an .inflight-* dir (and
+        # a manifest .tmp-*), and the replay writes a FRESH uuid — without
+        # this, every crash-replay cycle leaks a full batch copy forever.
+        # Safe at init: no batch of this sink instance is in flight yet,
+        # and concurrent sinks on one path are outside the exactly-once
+        # contract (single-query foreachBatch).
+        for e in os.scandir(path):
+            if e.name.startswith(".inflight-") and e.is_dir():
+                shutil.rmtree(e.path, ignore_errors=True)
+            elif e.name.startswith("_manifest.tmp-") and e.is_file():
+                os.unlink(e.path)
 
     @property
     def _manifest(self) -> str:

@@ -241,7 +241,10 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the retention ratio is ONE IEEE division of two int64s — bit-exact.
     """
     WITH act AS (
-      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS period
+      SELECT DISTINCT user_id AS u,
+             (epoch_us(ts)
+               - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+               // 86400000000 AS period
       FROM events
     ),
     firsts AS (SELECT u, min(period) AS cohort_period FROM act GROUP BY u),
@@ -525,13 +528,15 @@ def q_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per level and could never hash-match)
     """
     SELECT user_id,
-           epoch_us(ts) - (epoch_us(ts) % 86400000000) AS bucket_start_us,
+           epoch_us(ts)
+             - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000
+             AS bucket_start_us,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum,
            min(CAST(round(value * 100) AS BIGINT)) AS min,
            max(CAST(round(value * 100) AS BIGINT)) AS max
     FROM events
-    GROUP BY user_id, epoch_us(ts) - (epoch_us(ts) % 86400000000)
+    GROUP BY 1, 2
     ORDER BY user_id, bucket_start_us
     """,
     bench=True,
@@ -558,13 +563,15 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precondition, unlike SCD2 merge); oracle = direct hour rollup of all
     """
     SELECT user_id,
-           epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_start_us,
+           epoch_us(ts)
+             - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000
+             AS bucket_start_us,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum,
            min(CAST(round(value * 100) AS BIGINT)) AS min,
            max(CAST(round(value * 100) AS BIGINT)) AS max
     FROM events
-    GROUP BY user_id, epoch_us(ts) - (epoch_us(ts) % 3600000000)
+    GROUP BY 1, 2
     ORDER BY user_id, bucket_start_us
     """,
     doc="incremental continuous-aggregate refresh (operators/rollup.rollup_merge): fold a raw delta into a stored hour rollup — delta pre-aggregates to its own buckets map-side, then ONE groupBy over |stored| + |delta buckets| re-combines; monoid algebra means NO append-only precondition (the query's delta is deliberately interleaved in time with the snapshot), and the stored level never re-reads raw history; oracle pins merge == direct rollup bit for bit",

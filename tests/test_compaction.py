@@ -97,3 +97,22 @@ def test_singleton_bins_are_skipped(spark):
     ]
     # target below any pair: every bin would be a singleton -> empty plan
     assert compaction_plan(tmp, target_bytes=min(sizes) + 1) == []
+
+
+def test_schema_drift_across_small_files_is_merged(spark):
+    # a small-file producer that added a column mid-stream: compaction must
+    # mergeSchema, not infer from one footer and silently drop the new
+    # column before unlinking the originals (round-6 review)
+    tmp = tempfile.mkdtemp(prefix="ironbeam_compact_drift_")
+    spark.range(5).coalesce(1).write.mode("append").parquet(tmp)
+    spark.range(5, 10).withColumn("extra", F.col("id") * 3).coalesce(
+        1
+    ).write.mode("append").parquet(tmp)
+    compact_parquet(spark, tmp, target_bytes=1 << 30, small_bytes=1 << 20)
+    got = sorted(
+        (r["id"], r["extra"])
+        for r in spark.read.option("mergeSchema", "true").parquet(tmp).collect()
+    )
+    assert got == [(i, None) for i in range(5)] + [
+        (i, i * 3) for i in range(5, 10)
+    ]

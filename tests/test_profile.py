@@ -74,3 +74,11 @@ def test_single_aggregation_job(spark):
     df = spark.createDataFrame([(1, 2.0)], "a long, b double")
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("logicalrdd") == 1
+
+
+def test_empty_table_null_counts_are_zero(spark):
+    # sum over zero rows is NULL; count(when) must report 0 (round-6 review)
+    df = spark.createDataFrame([], "a long, b string")
+    rows = profile_table(df).collect()
+    nulls = {r["col_name"]: r["value_long"] for r in rows if r["metric"] == "n_null"}
+    assert nulls == {"a": 0, "b": 0}

@@ -62,3 +62,20 @@ def test_fuzz_against_reference(spark):
         for r in _run(spark, events, 77).collect()
     }
     assert got == want
+
+
+def test_pre_epoch_periods_floor(spark):
+    # a pre-epoch event must land in period -1, not share period 0 with
+    # early post-epoch activity (floor-div fix — round-6 review)
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.operators.retention import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(1, -1), (1, 5), (2, 5)], "user_id long, us long"
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev, "user_id", "ts", period_us=10).collect()
+    }
+    assert got == {(-1, 0): 1, (-1, 1): 1, (0, 0): 1}

@@ -89,3 +89,13 @@ def test_merge_equals_full_even_with_late_rows(spark):
             snap, _df(spark, newer), "ts", ["key"], "v", 1000
         )
         assert _collect(merged) == full, frac
+
+
+def test_pre_epoch_buckets_floor(spark):
+    # Python's % floors, so _ref has floor semantics built in; the operator
+    # must match on pre-epoch timestamps (pmod fix — round-6 review): a
+    # row at -5s belongs to bucket [-10s, 0s), never [0s, 10s)
+    rows = [(1, -5_000_000, 3), (1, 5_000_000, 4), (2, -10_000_000, 7)]
+    got = _collect(time_bucket_agg(_df(spark, rows), "ts", 10_000_000, ["key"], "v"))
+    assert got == _ref(rows, 10_000_000)
+    assert (1, -10_000_000) in got and (2, -10_000_000) in got

@@ -94,3 +94,19 @@ def test_restart_processes_only_new_batches(spark):
     _run(spark, src, sink, ckpt)
     assert _content(spark, out) == [(1, 1), (2, 2), (3, 3)]
     assert len(sink.committed_ids()) == 3
+
+
+def test_stale_inflight_dirs_swept_on_init(spark):
+    # a crash between the parquet write and the rename orphans an
+    # .inflight-* dir; a fresh sink on the path must sweep it (round-6
+    # review: otherwise every crash-replay cycle leaks a batch copy)
+    out = tempfile.mkdtemp(prefix=f"ironbeam_sink_sweep_{uuid.uuid4().hex[:6]}_")
+    stale = os.path.join(out, ".inflight-deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(out, "_manifest.tmp-deadbeef"), "w") as fh:
+        fh.write("0\n")
+    sink = IdempotentParquetSink(out)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(os.path.join(out, "_manifest.tmp-deadbeef"))
+    sink(spark.createDataFrame([(1, 2)], SCHEMA), 0)
+    assert _content(spark, out) == [(1, 2)]
