@@ -89,7 +89,11 @@ def funnel_counts(per_user: DataFrame, step_names: Sequence[str]) -> DataFrame:
     """Collapse :func:`funnel_steps` output to the classic funnel table:
     ``(step, step_idx, n_users)`` — users whose depth reaches each step."""
     aggs = [
-        F.sum((F.col("depth") >= i + 1).cast("long")).alias(n)
+        # coalesce: sum over ZERO rows is NULL — an empty funnel must
+        # report 0 users per step, not NULL
+        F.coalesce(
+            F.sum((F.col("depth") >= i + 1).cast("long")), F.lit(0)
+        ).alias(n)
         for i, n in enumerate(step_names)
     ]
     wide = per_user.agg(*aggs)

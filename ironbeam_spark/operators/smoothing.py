@@ -106,7 +106,11 @@ def rolling_zscore(
         .rowsBetween(-(window - 1), 0)
     )
     x = F.round(F.col(value_col) * F.lit(scale)).cast("long")
-    n = F.count(F.lit(1)).over(w)
+    # count(x), not count(*): sums skip NULL values, so counting rows
+    # would silently corrupt mean/var for every window touching a NULL —
+    # counting x keeps (n, sx, sxx) consistent over the same value set
+    # (and the n >= window gate then withholds z for such windows)
+    n = F.count(x).over(w)
     sx = F.sum(x).over(w)
     sxx = F.sum(x * x).over(w)
     var_num = n * sxx - sx * sx  # n*(n-1) * var, exact int64

@@ -48,14 +48,27 @@ def _hashes(value: str, m_bits: int, k: int) -> list[int]:
 
 
 def _canon(v) -> str:
-    # mirrors operators/fingerprint._canon: ints/strings/bools as their
-    # plain string form; bytes hex; None never probed (IS NULL prunes via
-    # stats, not blooms)
+    # probe-side canonical form, matching the BUILD side's Spark
+    # cast-to-string (operators/fingerprint._canon): ints/strings/dates as
+    # their plain string form, bools lowercase; timestamps probe as epoch
+    # MICROS ints.  Floats/binary are rejected at build time (same
+    # contract as fingerprint — float formatting is not cross-engine
+    # stable), so they can never be probed.
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, bytes):
-        return v.hex()
     return str(v)
+
+
+def _relkey(file_uri: str, root: str) -> str:
+    # input_file_name() yields a file: URI; key the sidecar by the path
+    # RELATIVE to the dataset root — basename alone collides across
+    # hive-partition directories (dt=1/part-0000 vs dt=2/part-0000), and a
+    # dict keyed on basenames would silently OR two files' blooms together
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(file_uri)
+    path = unquote(p.path) if p.scheme else file_uri
+    return os.path.relpath(path, os.path.abspath(root))
 
 
 def build_bloom_index(
@@ -67,8 +80,18 @@ def build_bloom_index(
 ) -> str:
     """Build ``<path>/_bloom_<column>.json`` from the parquet files at
     ``df_path``; returns the sidecar path."""
-    df = spark.read.parquet(df_path).select(
-        F.input_file_name().alias("_file"), F.col(column).alias("_v")
+    raw = spark.read.parquet(df_path)
+    # canonicalize to STRING on the JVM side (fingerprint's cross-engine
+    # cast contract; rejects floats/binary).  Casting before mapInPandas
+    # also sidesteps pandas' nullable-int64 -> float64 coercion: a batch
+    # with one NULL would otherwise deliver 777 as 777.0, whose hash never
+    # matches the probe's '777' — a false NEGATIVE, the one failure the
+    # format forbids
+    from ironbeam_spark.operators.fingerprint import _canon as _canon_expr
+
+    df = raw.select(
+        F.input_file_name().alias("_file"),
+        _canon_expr(raw, column).alias("_v"),
     )
 
     def per_batch(batches):
@@ -80,7 +103,7 @@ def build_bloom_index(
                 if v is None:
                     continue
                 bits = acc.setdefault(fname, bytearray(m_bits // 8))
-                for h in _hashes(_canon(v), m_bits, k):
+                for h in _hashes(v, m_bits, k):
                     bits[h >> 3] |= 1 << (h & 7)
         yield pd.DataFrame(
             [(f, bytes(b)) for f, b in acc.items()],
@@ -100,7 +123,7 @@ def build_bloom_index(
         "k": k,
         "hash": "md5-km-doublehash",
         "files": {
-            os.path.basename(f): bytes(b).hex() for f, b in merged.items()
+            _relkey(f, df_path): bytes(b).hex() for f, b in merged.items()
         },
     }
     out = os.path.join(df_path, f"_bloom_{column}.json")
@@ -121,14 +144,27 @@ def bloom_contains(bits_hex: str, value, m_bits: int, k: int) -> bool:
 
 def prune_files(df_path: str, column: str, value) -> list[str]:
     """Files under ``df_path`` that MIGHT contain ``value`` (no false
-    negatives).  Read the result with ``spark.read.parquet(*files)``."""
+    negatives).  Read the result with ``spark.read.parquet(*files)``.
+
+    Data files NOT present in the sidecar — appended after the index was
+    built — are included unconditionally: a stale sidecar degrades to
+    less pruning, never to silently missing rows."""
     with open(os.path.join(df_path, f"_bloom_{column}.json")) as fh:
         side = json.load(fh)
     if side["version"] != _VERSION or side["column"] != column:
         raise ValueError("bloom sidecar mismatch")
     m_bits, k = side["m_bits"], side["k"]
-    return [
-        os.path.join(df_path, f)
+    root = os.path.abspath(df_path)
+    on_disk = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for f in filenames:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                on_disk.add(os.path.relpath(os.path.join(dirpath, f), root))
+    known = set(side["files"])
+    keep = sorted(on_disk - known) + [
+        f
         for f, bits in sorted(side["files"].items())
-        if bloom_contains(bits, value, m_bits, k)
+        if f in on_disk and bloom_contains(bits, value, m_bits, k)
     ]
+    return [os.path.join(root, f) for f in sorted(keep)]

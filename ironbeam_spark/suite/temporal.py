@@ -479,7 +479,10 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v GROUP BY user_id
     ),
     cohorts AS (
-      SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_period
+      SELECT user_id,
+             min((epoch_us(ts)
+               - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+               // 86400000000) AS cohort_period
       FROM events GROUP BY user_id
     )
     SELECT ch.cohort_period, pu.current_state,
@@ -505,8 +508,12 @@ def q_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("version").cast("long").alias("n_versions"),
     )
     cohorts = ev.groupBy("user_id").agg(
+        # floor division (pmod first), matching retention.cohort_retention
         F.min(
-            F.expr("unix_micros(ts) div 86400000000")
+            F.expr(
+                "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+                " div 86400000000"
+            )
         ).alias("cohort_period")
     )
     return (

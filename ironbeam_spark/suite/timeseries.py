@@ -174,7 +174,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(round(value * 100) AS BIGINT) AS x
                FROM events),
     s AS (SELECT user_id, us, event_id, value, x,
-                 count(*) OVER w AS n, sum(x) OVER w AS sx,
+                 count(x) OVER w AS n, sum(x) OVER w AS sx,
                  sum(x * x) OVER w AS sxx
           FROM e
           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id

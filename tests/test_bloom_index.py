@@ -58,3 +58,43 @@ def test_sidecar_is_atomic_and_reusable(spark):
     assert not [f for f in os.listdir(tmp) if f.endswith(".tmp")]
     # underscore prefix: invisible to parquet readers
     assert spark.read.parquet(tmp).count() == 40
+
+
+def test_null_rows_do_not_poison_int_hashes(spark):
+    # pandas coerces nullable int64 batches to float64 ('777' -> '777.0'):
+    # the JVM-side string canonicalization must keep integer probes exact
+    # even when the column has NULLs (round-6 review — false negative)
+    tmp = tempfile.mkdtemp(prefix="ironbeam_bloom_null_")
+    spark.createDataFrame(
+        [(777,), (None,), (42,)], "v long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    build_bloom_index(tmp, spark, "v")
+    files = prune_files(tmp, "v", 777)
+    assert files, "file containing 777 was wrongly pruned"
+    got = {r["v"] for r in spark.read.parquet(*files).collect()}
+    assert 777 in got
+
+
+def test_partitioned_layout_keys_do_not_collide(spark):
+    # hive-partition dirs produce equal basenames across partitions; the
+    # sidecar must key by relative path and reconstruct real paths
+    tmp = tempfile.mkdtemp(prefix="ironbeam_bloom_part_")
+    spark.range(100).withColumn("dt", (F.col("id") % 2).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("dt").parquet(tmp)
+    build_bloom_index(tmp, spark, "id")
+    for probe in (0, 1, 97):
+        files = prune_files(tmp, "id", probe)
+        got = {r["id"] for r in spark.read.parquet(*files).collect()}
+        assert probe in got, f"probe {probe} lost to key collision"
+
+
+def test_files_appended_after_build_are_included(spark):
+    # a stale sidecar must degrade to LESS pruning, never missing rows
+    tmp = tempfile.mkdtemp(prefix="ironbeam_bloom_stale_")
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(tmp)
+    build_bloom_index(tmp, spark, "id")
+    spark.range(1000, 1010).coalesce(1).write.mode("append").parquet(tmp)
+    files = prune_files(tmp, "id", 1005)
+    got = {r["id"] for r in spark.read.parquet(*files).collect()}
+    assert 1005 in got, "appended file invisible behind stale sidecar"

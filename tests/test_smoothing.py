@@ -112,3 +112,22 @@ def test_zscore_flat_window_is_null(spark):
         ).collect()
     ]
     assert zs == [None] * 12  # zero variance -> NULL, never NaN/div-by-zero
+
+
+def test_zscore_null_value_withholds_window(spark):
+    # a NULL value must not corrupt stats: count(x) keeps (n, sx, sxx)
+    # consistent and the n >= window gate withholds z for touched windows
+    rows = [
+        (1, t, t, float(v))
+        for t, v in zip(range(1, 6), (10, 20, 30, 40, 50))
+    ]
+    df = _df(spark, rows)
+    df_null = df.withColumn(
+        "value", F.when(F.col("ts") == 3000, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = rolling_zscore(df_null, ["key"], "ts", "value", window=3)
+    zs = {r["_us"]: r["z"] for r in out.collect()}
+    # windows covering the NULL row (us=3) have only 2 values -> z NULL;
+    # the first full clean window is rows {4,5,6...} — here none, so all
+    # windows touching us=3 are withheld
+    assert zs[3] is None and zs[4] is None and zs[5] is None
