@@ -217,6 +217,29 @@ def write_avro(df: DataFrame | PCollection, path: str, mode: str = "overwrite") 
     write_avro_py(d, path, mode)
 
 
+def read_arrow_ipc(spark: SparkSession, path: str, schema=None) -> PCollection:
+    """Arrow IPC (Feather V2) source — the training-data-loader interchange
+    format (no reference counterpart; north-star sources).  Batches flow
+    Arrow-to-Arrow through ``mapInArrow``; see :mod:`sources.arrow_ipc`."""
+    from ironbeam_spark.sources.arrow_ipc import read_arrow_ipc_py
+
+    return PCollection(read_arrow_ipc_py(spark, path, schema))
+
+
+def write_arrow_ipc(
+    df: DataFrame | PCollection,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> int:
+    """Arrow IPC sink: one Feather-V2 shard per partition, atomic rename
+    commit; returns rows written.  See :mod:`sources.arrow_ipc`."""
+    from ironbeam_spark.sources.arrow_ipc import write_arrow_ipc_py
+
+    d = df.df if isinstance(df, PCollection) else df
+    return write_arrow_ipc_py(d, path, mode, compression)
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> PCollection:
     """Reference ``read_xml`` (``src/helpers/xml.rs:107``). Spark 4 bundles
     the XML source natively."""

@@ -509,6 +509,37 @@ def q_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_arrow_ipc",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Arrow IPC (Feather V2) sink+source end-to-end (no ref counterpart; north-star ML-loader interchange): zstd-compressed one-shard-per-partition write and Arrow-to-Arrow mapInArrow read (sources/arrow_ipc.py), then aggregate — oracle computes the same aggregate straight from parquet",
+)
+def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.io import read_arrow_ipc, write_arrow_ipc
+
+    orders = _t(spark, sf_dir, "orders").df.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_arrow_q_")
+    write_arrow_ipc(orders.coalesce(4), path, compression="zstd")
+    back = read_arrow_ipc(spark, path).df
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), sum_money("o_totalprice", "revenue"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "q_train_split",
     # bucket = first 12 md5 hex chars of '23|doc_id' as int48; thresholds at
     # 0.8 and 0.9 of the hash space - the oracle applies the identical
