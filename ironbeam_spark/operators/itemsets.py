@@ -1,0 +1,113 @@
+"""Frequent-itemset mining, pair order (A-priori / market-basket analysis).
+
+The classic co-occurrence query (Agrawal & Srikant, VLDB 1994 — public
+paper): which pairs of items appear together in at least ``min_support``
+baskets?  No reference analogue (the reference has no co-occurrence
+operator); in an LLM-data pipeline the same shape surfaces tag/domain
+co-occurrence and template detection (which boilerplate markers co-occur
+across documents).
+
+Scale shape — the two-pass A-priori plan, every stage an equi-join or a
+combinable aggregate:
+
+1. ``(basket, item)`` is deduplicated with ONE ``distinct`` (set
+   semantics: multiplicity within a basket never inflates support).
+2. Pass 1: frequent items = ``groupBy(item).count() >= min_support`` —
+   map-side combinable, one shuffle on the item key.
+3. The downward-closure prune: a LEFT SEMI join keeps only occurrences of
+   frequent items (a pair can only be frequent if both members are —
+   monotonicity), shrinking the pair-generation input *before* any
+   quadratic work.
+4. Pass 2: candidate pairs come from a SELF EQUI-JOIN on the basket key
+   with ``item_a < item_b`` as the residual — per-task cost is bounded by
+   (pruned basket size)², never corpus², and there is no cross-basket
+   pairing of any kind.  ``max_basket_items`` is the fail-fast guard for
+   pathological baskets (a basket with 10^6 frequent items would emit
+   5·10^11 pairs; the guard raises instead of silently melting a task).
+5. Pair support = ONE more combinable ``groupBy(item1, item2).count()``.
+
+At 100 TB: two linear aggregates + one semi join + one basket-keyed
+self-join; shuffle keys are item ids and basket ids.  The quadratic term
+is per-basket and explicitly bounded — the same discipline as the
+triangle-join blocking in semantic_dedup and the df-cap in winnowing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["frequent_items", "frequent_item_pairs"]
+
+
+def _basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Distinct ``(basket, item)`` presence pairs (set semantics)."""
+    return df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+
+def frequent_items(
+    df: DataFrame, basket_col: str, item_col: str, min_support: int
+) -> DataFrame:
+    """Pass-1 A-priori: ``item, support`` for every item present in at
+    least ``min_support`` distinct baskets."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    return (
+        _basket_items(df, basket_col, item_col)
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Frequent pairs: ``item1 < item2`` co-present in at least
+    ``min_support`` distinct baskets, with their support count.
+
+    ``max_basket_items``: optional fail-fast bound on the number of
+    *frequent* items in a single basket (raises mid-job if exceeded) —
+    the guard against quadratic blow-up on pathological baskets.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    items = _basket_items(df, basket_col, item_col)
+    freq1 = frequent_items(df, basket_col, item_col, min_support)
+    # downward closure: only frequent items can be members of a frequent
+    # pair — prune BEFORE the quadratic candidate stage
+    pruned = items.join(freq1.select("item"), on="item", how="left_semi")
+    if max_basket_items is not None:
+        sizes = pruned.groupBy("basket").agg(F.count(F.lit(1)).alias("_bn"))
+        pruned = pruned.join(sizes, on="basket").where(
+            F.when(F.col("_bn") <= max_basket_items, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"frequent_item_pairs: basket exceeds "
+                            f"max_basket_items={max_basket_items} frequent "
+                            f"items: basket "
+                        ),
+                        F.col("basket").cast("string"),
+                    )
+                )
+            )
+        ).drop("_bn")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.basket") == F.col("b.basket"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).select(F.col("a.item").alias("item1"), F.col("b.item").alias("item2"))
+    return (
+        pairs.groupBy("item1", "item2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )

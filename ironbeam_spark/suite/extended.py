@@ -1100,3 +1100,28 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_nationkey")
         .orderBy("s_name")
     )
+
+
+@query(
+    "q_frequent_pairs",
+    # the oracle counts pairs directly (no pruning) — downward closure makes
+    # the engine's pruned two-pass plan return the identical result
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem),
+    pairs AS (SELECT a.item AS item1, b.item AS item2
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item)
+    SELECT item1, item2, CAST(count(*) AS BIGINT) AS support
+    FROM pairs GROUP BY item1, item2 HAVING count(*) >= 3
+    ORDER BY item1, item2
+    """,
+    doc="A-priori frequent item pairs (market-basket over order lineitems: which parts co-occur in >= 3 orders; Agrawal/Srikant VLDB'94 — public paper, no ref analogue): distinct presence pairs, ONE combinable pass-1 item-support aggregate, LEFT SEMI downward-closure prune BEFORE the basket-keyed self-join (per-task cost bounded by pruned basket size squared, never corpus squared), one final combinable pair count — the same shape surfaces tag/domain co-occurrence and boilerplate-template detection in corpus cleaning (operators/itemsets.py)",
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.itemsets import frequent_item_pairs
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=3
+    ).orderBy("item1", "item2")

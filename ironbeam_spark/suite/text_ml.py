@@ -1014,3 +1014,31 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc", F.col("start_pos").cast("long").alias("start_pos")
     ).orderBy("doc", "start_pos")
+
+
+@query(
+    "q_editdist_join",
+    # all-pairs levenshtein is the ORACLE only; the engine never compares
+    # all pairs (ED-Join q-gram prefix filter, operators/editdist.py)
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0)
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id1, id2
+    """,
+    doc="edit-distance similarity self-join (entity resolution over near-identical names; ED-Join q-gram count+prefix filters, Xiao/Wang/Lin VLDB'08 — public paper; no ref analogue, regex is the reference's only string matching): candidates from an equi-join on each string's q*d+1 RAREST occurrence-indexed q-grams (corpus-frequency order — the shared 'Customer#0' prefix grams are the most frequent and never generate candidates), one JVM-side levenshtein per survivor; the oracle IS the all-pairs join the engine avoids",
+)
+def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.editdist import edit_distance_join
+    from ironbeam_spark.scale import ensure_min_parallelism
+
+    c = ensure_min_parallelism(
+        _t(spark, sf_dir, "customer")
+        .df.where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name")
+    )
+    return edit_distance_join(c, "c_custkey", "c_name", max_dist=1).orderBy(
+        "id1", "id2"
+    )
