@@ -1042,3 +1042,74 @@ def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(c, "c_custkey", "c_name", max_dist=1).orderBy(
         "id1", "id2"
     )
+
+
+@query(
+    "q_ann_pq",
+    # oracle replicates the full PQ pipeline in SQL: codebooks = sub-slices
+    # of the first-8 vectors, L2 arg-min codes (row_number tie-break to the
+    # lower code), per-query ADC sub-dot tables, subspace scores pivoted to
+    # fixed columns and added left-to-right — the same fold/add order as the
+    # engine, so the APPROXIMATION itself is verified bit-exactly
+    """
+    WITH cb AS (
+      SELECT j.j AS j, e.vec_id AS c,
+             list_transform(generate_series(1,16),
+                            i -> e.embedding[16*j.j + i]::DOUBLE) AS cw
+      FROM (SELECT unnest(generate_series(0,3)) AS j) j
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) e
+    ),
+    dists AS (
+      SELECT x.vec_id, cb.j, cb.c,
+             list_sum(list_transform(generate_series(1,16), i ->
+               (x.embedding[16*cb.j + i]::DOUBLE - cb.cw[i])
+               * (x.embedding[16*cb.j + i]::DOUBLE - cb.cw[i]))) AS d
+      FROM embeddings x CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d, c) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    qadc AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.c,
+             list_sum(list_transform(generate_series(1,16), i ->
+               q.embedding[16*cb.j + i]::DOUBLE * cb.cw[i])) AS dp
+      FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+    ),
+    pair AS (
+      SELECT qa.query_id, co.vec_id AS neighbor_id, qa.j, qa.dp
+      FROM codes co JOIN qadc qa ON qa.j = co.j AND qa.c = co.c
+      WHERE qa.query_id <> co.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             max(CASE WHEN j=0 THEN dp END) + max(CASE WHEN j=1 THEN dp END)
+           + max(CASE WHEN j=2 THEN dp END) + max(CASE WHEN j=3 THEN dp END)
+             AS pq_score
+      FROM pair GROUP BY query_id, neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, pq_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pq_score DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, pq_score, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="product-quantized ANN (Jegou/Douze/Schmid TPAMI'11 — public paper; completes the ANN family: PQ is the VECTOR-compression path that makes a 100 TB embedding corpus scannable): 4 subspaces x 8 codewords (deterministic first-8-vector sub-slices, same convention as q_ann_ivf's centroids — production trains with pq_train_codebooks), expression-only encode to 4 small ints per vector, per-query ADC tables broadcast over the CODE scan (m array lookups + 3 adds per pair — the scan never touches raw embeddings), top-5 by approximated dot (operators/pq.py)",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.pq import pq_ann_topk, pq_codebooks_from_prefix
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    cb = pq_codebooks_from_prefix(emb, "vec_id", "embedding", m=4, ncode=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = pq_ann_topk(emb, queries, cb, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )

@@ -177,6 +177,10 @@ def test_no_scale_killers_in_any_query(spark):
         "q_histogram",            # 1-row min/max bounds broadcast
         "q_bm25_rational",        # 1-row corpus-stats aggregate broadcast
         "q_ann_int8",             # declared brute-force baseline (quantized)
+        "q_ann_pq",               # declared ADC scan over m-byte PQ codes
+                                  # (the design point: broadcast queries+ADC
+                                  # tables over the code table, never the
+                                  # raw embeddings)
         "q_dsir_weights",         # 1-row feature-total aggregates broadcast
         "q_pretrain_pipeline",    # embeds q_dsir_weights' total broadcasts
         "q_kmv_setops",           # 1-row sketch-stat aggregates crossed

@@ -1,0 +1,132 @@
+"""Product quantization (operators/pq.py): exact parity of the ADC
+approximation vs a pure-numpy reference (codes, scores, ranking,
+tie-breaks), trained-codebook recall vs the brute-force oracle, and the
+fail-fast preconditions.  The testdata embeddings are unit-norm and
+near-random — PQ's hardest case (no codebook structure to exploit) — so
+the recall bound is deliberately modest; the signal claim is "far above
+chance", the exactness claim is bit-level."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from ironbeam_spark.operators.pq import (
+    pq_ann_topk,
+    pq_codebooks_from_prefix,
+    pq_encode,
+    pq_train_codebooks,
+)
+from ironbeam_spark.operators.similarity import brute_force_topk
+from ironbeam_spark.sources.io import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_ref(X, ids, CB, qids, k):
+    """Reference ADC: encode by L2 argmin (lowest code on ties), score by
+    codeword sub-dots summed in subspace order, rank desc / id asc."""
+    m, ncode, dsub = CB.shape
+    codes = np.stack(
+        [
+            ((X[:, j * dsub : (j + 1) * dsub][:, None, :] - CB[j][None, :, :]) ** 2)
+            .sum(-1)
+            .argmin(1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    out = {}
+    for qi, qid in enumerate(qids):
+        q = X[list(ids).index(qid)]
+        adc = np.array(
+            [CB[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+        rows = []
+        for x in range(len(X)):
+            if ids[x] == qid:
+                continue
+            s = 0.0
+            for j in range(m):  # fixed subspace order, like the engine
+                s = s + adc[j, codes[x, j]]
+            rows.append((-s, int(ids[x])))
+        rows.sort()
+        out[qid] = [(i, -negs) for negs, i in rows[:k]]
+    return out
+
+
+def test_parity_vs_numpy_reference(spark):
+    rng = random.Random(3)
+    n, d, m, ncode = 60, 8, 4, 4
+    data = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    cb = pq_codebooks_from_prefix(df, "vec_id", "embedding", m=m, ncode=ncode)
+    CB = np.array(cb)
+    X = np.array([v for _, v in data])
+    got = pq_ann_topk(df, df.where("vec_id < 7"), cb, k=5).collect()
+    ref = _numpy_ref(X, list(range(n)), CB, list(range(7)), k=5)
+    assert len(got) == 7 * 5
+    for r in got:
+        want_id, want_s = ref[r.query_id][r.rank - 1]
+        assert r.neighbor_id == want_id, (r.query_id, r.rank)
+        assert abs(r.pq_score - want_s) < 1e-12
+
+
+def test_encode_tie_breaks_to_lower_code(spark):
+    # two identical codewords: the arg-min must pick the lower index
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5, 2.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    cb = [
+        [[0.5, 0.5], [0.5, 0.5]],  # subspace 0: exact tie -> code 0
+        [[9.0, 9.0], [2.0, 2.0]],  # subspace 1: code 1 strictly nearer
+    ]
+    row = pq_encode(df, "embedding", cb).collect()[0]
+    assert row.pq_code_0 == 0 and row.pq_code_1 == 1
+
+
+def test_trained_recall_beats_chance_and_prefix(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.orderBy("vec_id").limit(20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    trained = pq_train_codebooks(emb, "vec_id", "embedding", m=8, ncode=64)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_ann_topk(emb, queries, trained, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # chance = k/|corpus| = 5/499 ~ 0.01; measured 0.39 on this corpus
+    assert recall >= 0.25, recall
+
+
+def test_training_is_deterministic(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = pq_train_codebooks(emb, "vec_id", "embedding", m=4, ncode=8)
+    b = pq_train_codebooks(emb, "vec_id", "embedding", m=4, ncode=8)
+    assert a == b
+    assert len(a) == 4 and all(len(ws) == 8 for ws in a)
+
+
+def test_dim_guard_raises_midjob(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    cb = [[[0.0, 0.0]], [[0.0, 0.0]]]  # expects dim 4
+    with pytest.raises(Exception, match="vector length"):
+        pq_encode(df, "embedding", cb).collect()
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="rectangular"):
+        pq_encode(df, "embedding", [[[0.0, 0.0]], [[0.0]]])
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_codebooks(df, "vec_id", "embedding", m=3, ncode=1)
+    with pytest.raises(ValueError, match="ncode"):
+        pq_codebooks_from_prefix(df, "vec_id", "embedding", m=1, ncode=5)
