@@ -53,6 +53,7 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
 ]
 
 Codebooks = "list[list[list[float]]]"  # [m][ncode][dsub]
@@ -228,11 +229,7 @@ def pq_ann_topk(
         "q_vec",
         m * len(codebooks[0][0]),
     )
-    dsub = len(codebooks[0][0])
-    for j, words in enumerate(codebooks):
-        sub = _sub(F.col("q_vec"), j, dsub)
-        q = q.withColumn(f"adc_{j}", F.array(*[_subdot(sub, w) for w in words]))
-    q = q.drop("q_vec")
+    q = _adc_tables(q, "q_vec", codebooks).drop("q_vec")
 
     pairs = F.broadcast(q).crossJoin(codes).where(
         F.col("query_id") != F.col("neighbor_id")
@@ -242,6 +239,10 @@ def pq_ann_topk(
     for j in range(1, m):
         score = score + F.element_at(F.col(f"adc_{j}"), F.col(code_cols[j]) + 1)
     scored = pairs.select("query_id", "neighbor_id", score.alias("pq_score"))
+    return _rank_pq(scored, k)
+
+
+def _rank_pq(scored: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id").orderBy(
@@ -252,3 +253,66 @@ def pq_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "pq_score", "rank")
     )
+
+
+def _adc_tables(q: DataFrame, vec_col: str, codebooks) -> DataFrame:
+    """Append ``adc_0 .. adc_{m-1}`` array<double> columns: the query's
+    exact sub-dot-product against every codeword (the ADC lookup table)."""
+    dsub = len(codebooks[0][0])
+    for j, words in enumerate(codebooks):
+        sub = _sub(F.col(vec_col), j, dsub)
+        q = q.withColumn(f"adc_{j}", F.array(*[_subdot(sub, w) for w in words]))
+    return q
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ — the production ANN shape at 100 TB (Jégou et al. §V:
+    coarse inverted lists + residual-free PQ codes): corpus vectors live
+    in their nearest IVF cell carrying only their ``m`` PQ code ints;
+    each query probes ``n_probe`` cells with its precomputed ADC tables.
+
+    Plan shape: the search join is a plain EQUI-JOIN on cell id — unlike
+    :func:`pq_ann_topk`'s declared full code scan, nothing here needs a
+    BroadcastNestedLoopJoin allowance — and the corpus side of the join
+    carries ``m`` small ints per vector, never the raw embedding.  Cost
+    per query: ``n_probe × (corpus/cells)`` code lookups.  ``centroids``
+    as in :func:`~ironbeam_spark.operators.similarity.ivf_assign_cells`
+    (driver list or DataFrame; cosine assignment, ties to lower cell)."""
+    from ironbeam_spark.operators.similarity import ivf_assign_cells
+
+    m = len(codebooks)
+    code_cols = [f"pq_code_{j}" for j in range(m)]
+    assigned = ivf_assign_cells(
+        corpus, centroids, id_col, vec_col, n_probe=1
+    )
+    codes = pq_encode(assigned, vec_col, codebooks).select(
+        F.col(id_col).alias("neighbor_id"), "cell", *code_cols
+    )
+    qcells = ivf_assign_cells(
+        queries, centroids, id_col, vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell")
+    q = _adc_tables(
+        _dim_guard(qcells, "q_vec", m * len(codebooks[0][0])), "q_vec", codebooks
+    ).drop("q_vec")
+
+    pairs = q.join(codes, on="cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    score: Column = F.element_at(F.col("adc_0"), F.col(code_cols[0]) + 1)
+    for j in range(1, m):
+        score = score + F.element_at(F.col(f"adc_{j}"), F.col(code_cols[j]) + 1)
+    scored = (
+        pairs.select("query_id", "neighbor_id", score.alias("pq_score"))
+        # a pair reached via several probed cells scores identically
+        .distinct()
+    )
+    return _rank_pq(scored, k)

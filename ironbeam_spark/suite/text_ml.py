@@ -1113,3 +1113,97 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "q_ann_ivfpq",
+    # composition of q_ann_ivf's cell oracle and q_ann_pq's code/ADC oracle:
+    # candidates restricted to probed cells, scored by the bit-exact ADC sum
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 8),
+    cs AS (SELECT e.vec_id, e.embedding, cent.cell,
+                  {_COS_SQL.format(a='e.embedding', b='cent.cvec')} AS sim
+           FROM embeddings e CROSS JOIN cent),
+    corp AS (SELECT vec_id, cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cell) AS rn
+               FROM cs) WHERE rn = 1),
+    qprobe AS (SELECT vec_id, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cell) AS rn
+                 FROM cs WHERE vec_id < 10) WHERE rn <= 2),
+    cb AS (
+      SELECT j.j AS j, e.vec_id AS c,
+             list_transform(generate_series(1,16),
+                            i -> e.embedding[16*j.j + i]::DOUBLE) AS cw
+      FROM (SELECT unnest(generate_series(0,3)) AS j) j
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) e
+    ),
+    dists AS (
+      SELECT x.vec_id, cb.j, cb.c,
+             list_sum(list_transform(generate_series(1,16), i ->
+               (x.embedding[16*cb.j + i]::DOUBLE - cb.cw[i])
+               * (x.embedding[16*cb.j + i]::DOUBLE - cb.cw[i]))) AS d
+      FROM embeddings x CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d, c) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    qadc AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.c,
+             list_sum(list_transform(generate_series(1,16), i ->
+               q.embedding[16*cb.j + i]::DOUBLE * cb.cw[i])) AS dp
+      FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT qp.vec_id AS query_id, co.vec_id AS neighbor_id
+      FROM qprobe qp JOIN corp co ON qp.cell = co.cell
+      WHERE qp.vec_id <> co.vec_id
+    ),
+    pair AS (
+      SELECT ca.query_id, ca.neighbor_id, cd.j, qa.dp
+      FROM cand ca
+      JOIN codes cd ON cd.vec_id = ca.neighbor_id
+      JOIN qadc qa ON qa.query_id = ca.query_id
+                  AND qa.j = cd.j AND qa.c = cd.c
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             max(CASE WHEN j=0 THEN dp END) + max(CASE WHEN j=1 THEN dp END)
+           + max(CASE WHEN j=2 THEN dp END) + max(CASE WHEN j=3 THEN dp END)
+             AS pq_score
+      FROM pair GROUP BY query_id, neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, pq_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pq_score DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, pq_score, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-PQ, the production 100 TB ANN shape (Jegou et al. TPAMI'11 SV: inverted cells + PQ codes): corpus rows live in their nearest-cosine cell carrying only 4 PQ code ints, queries probe 2 cells with precomputed ADC tables — the search join is a plain cell-id EQUI-JOIN whose corpus side never carries raw embeddings (operators/pq.ivfpq_ann_topk; candidate set = n_probe x cell size, never the corpus)",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.pq import ivfpq_ann_topk, pq_codebooks_from_prefix
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    centroids = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cb = pq_codebooks_from_prefix(emb, "vec_id", "embedding", m=4, ncode=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_ann_topk(
+        emb, queries, centroids, cb, "vec_id", "embedding", k=5, n_probe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )

@@ -130,3 +130,53 @@ def test_validation_errors(spark):
         pq_train_codebooks(df, "vec_id", "embedding", m=3, ncode=1)
     with pytest.raises(ValueError, match="ncode"):
         pq_codebooks_from_prefix(df, "vec_id", "embedding", m=1, ncode=5)
+
+
+def test_ivfpq_probe_all_cells_equals_full_scan(spark):
+    """Probing every cell makes the candidate set the full corpus, so
+    IVF-PQ must return exactly the full-scan ADC result — the composition
+    adds pruning, never different scoring."""
+    from ironbeam_spark.operators.pq import ivfpq_ann_topk
+
+    rng = random.Random(11)
+    n, d = 40, 8
+    data = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    cb = pq_codebooks_from_prefix(df, "vec_id", "embedding", m=4, ncode=4)
+    cents = [(i, v) for i, v in data[:3]]
+    q = df.where("vec_id < 6")
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.pq_score, 12))
+        for r in pq_ann_topk(df, q, cb, k=5).collect()
+    }
+    probed_all = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.pq_score, 12))
+        for r in ivfpq_ann_topk(df, q, cents, cb, k=5, n_probe=3).collect()
+    }
+    assert probed_all == full
+
+
+def test_ivfpq_candidates_restricted_to_probed_cells(spark):
+    """With n_probe=1 every returned neighbor must share the query's
+    nearest cell — the pruning is real, not decorative."""
+    from ironbeam_spark.operators.pq import ivfpq_ann_topk
+    from ironbeam_spark.operators.similarity import ivf_assign_cells
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.where("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    cb = pq_codebooks_from_prefix(emb, "vec_id", "embedding", m=4, ncode=8)
+    q = emb.where("vec_id < 6")
+    got = ivfpq_ann_topk(emb, q, cents, cb, k=5, n_probe=1).collect()
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign_cells(emb, cents, n_probe=1).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        assert cells[r.query_id] == cells[r.neighbor_id], (
+            r.query_id,
+            r.neighbor_id,
+        )
