@@ -133,10 +133,6 @@ def pq_train_codebooks(
     return books
 
 
-def _lit_vec(word: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in word])
-
-
 def _fold_sum(arr: Column) -> Column:
     # sequential left-fold: ((0+t1)+t2)+... — matches DuckDB list_sum
     return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
@@ -146,20 +142,35 @@ def _sub(vec: Column, j: int, dsub: int) -> Column:
     return F.slice(vec, j * dsub + 1, dsub)
 
 
-def _l2sq(sub: Column, word: list[float]) -> Column:
+def _l2sq(sub: Column, cw: Column) -> Column:
     return _fold_sum(
         F.zip_with(
             sub,
-            _lit_vec(word),
+            cw,
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         )
     )
 
 
-def _subdot(sub: Column, word: list[float]) -> Column:
-    return _fold_sum(
-        F.zip_with(sub, _lit_vec(word), lambda x, c: x.cast("double") * c)
+def _subdot(sub: Column, cw: Column) -> Column:
+    return _fold_sum(F.zip_with(sub, cw, lambda x, c: x.cast("double") * c))
+
+
+def _with_codebooks(
+    df: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Attach the codebooks as ONE broadcast row (``_pq_cb``).  They ride
+    as DATA, not as plan literals: unrolling m·ncode·dsub literal
+    expressions costs seconds of driver-side plan construction (py4j
+    round-trips) before a single task runs — the same reason
+    ``ivf_assign_cells`` has its ``_side_array`` DataFrame path."""
+    dsub = len(codebooks[0][0])
+    if any(len(w) != dsub for words in codebooks for w in words):
+        raise ValueError("codebooks must be rectangular")
+    cb_df = df.sparkSession.createDataFrame(
+        [(codebooks,)], "_pq_cb array<array<array<double>>>"
     )
+    return df.crossJoin(F.broadcast(cb_df))
 
 
 def _dim_guard(df: DataFrame, vec_col: str, d: int) -> DataFrame:
@@ -184,21 +195,21 @@ def pq_encode(
     table) is what search scans at 100 TB."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    if any(len(w) != dsub for words in codebooks for w in words):
-        raise ValueError("codebooks must be rectangular")
-    out = _dim_guard(df, vec_col, m * dsub)
-    for j, words in enumerate(codebooks):
+    out = _with_codebooks(_dim_guard(df, vec_col, m * dsub), codebooks)
+    for j in range(m):
         sub = _sub(F.col(vec_col), j, dsub)
         # arg-min via array_min over (dist, code) structs: struct ordering
         # compares dist first, then code — the deterministic tie-break
-        cands = F.array(
-            *[
-                F.struct(_l2sq(sub, w).alias("d"), F.lit(c).alias("c"))
-                for c, w in enumerate(words)
-            ]
+        # plain closure capture is safe: F.transform invokes the lambda
+        # immediately while `sub` holds this iteration's value
+        cands = F.transform(
+            F.col("_pq_cb")[j],
+            lambda cw, i: F.struct(
+                _l2sq(sub, cw).alias("d"), i.cast("int").alias("c")
+            ),
         )
         out = out.withColumn(f"pq_code_{j}", F.array_min(cands)["c"])
-    return out
+    return out.drop("_pq_cb")
 
 
 def pq_ann_topk(
@@ -216,10 +227,15 @@ def pq_ann_topk(
     Plan shape: encode corpus → codes (narrow); per-query ADC tables
     (narrow, small side); broadcast queries over the code scan; window
     top-k.  The corpus side never carries the raw vectors past encode."""
+    from ironbeam_spark.scale import ensure_min_parallelism
+
     m = len(codebooks)
     ncode = len(codebooks[0])
     code_cols = [f"pq_code_{j}" for j in range(m)]
-    codes = pq_encode(corpus, vec_col, codebooks).select(
+    # encode is interpreted higher-order-function work (zip_with/aggregate
+    # lambdas never enter whole-stage codegen) — spread it before the
+    # single-split scan serializes it, same discipline as brute_force_topk
+    codes = pq_encode(ensure_min_parallelism(corpus), vec_col, codebooks).select(
         F.col(id_col).alias("neighbor_id"), *code_cols
     )
     q = _dim_guard(
@@ -259,10 +275,14 @@ def _adc_tables(q: DataFrame, vec_col: str, codebooks) -> DataFrame:
     """Append ``adc_0 .. adc_{m-1}`` array<double> columns: the query's
     exact sub-dot-product against every codeword (the ADC lookup table)."""
     dsub = len(codebooks[0][0])
-    for j, words in enumerate(codebooks):
+    q = _with_codebooks(q, codebooks)
+    for j in range(len(codebooks)):
         sub = _sub(F.col(vec_col), j, dsub)
-        q = q.withColumn(f"adc_{j}", F.array(*[_subdot(sub, w) for w in words]))
-    return q
+        q = q.withColumn(
+            f"adc_{j}",
+            F.transform(F.col("_pq_cb")[j], lambda cw: _subdot(sub, cw)),
+        )
+    return q.drop("_pq_cb")
 
 
 def ivfpq_ann_topk(
@@ -288,11 +308,15 @@ def ivfpq_ann_topk(
     as in :func:`~ironbeam_spark.operators.similarity.ivf_assign_cells`
     (driver list or DataFrame; cosine assignment, ties to lower cell)."""
     from ironbeam_spark.operators.similarity import ivf_assign_cells
+    from ironbeam_spark.scale import ensure_min_parallelism
 
     m = len(codebooks)
     code_cols = [f"pq_code_{j}" for j in range(m)]
+    # cell assignment (8 interpreted 64-dim cosines/row) + PQ encode (m·ncode
+    # interpreted L2 folds/row) both run OUTSIDE whole-stage codegen — spread
+    # the corpus first or a single-split scan serializes the whole pass
     assigned = ivf_assign_cells(
-        corpus, centroids, id_col, vec_col, n_probe=1
+        ensure_min_parallelism(corpus), centroids, id_col, vec_col, n_probe=1
     )
     codes = pq_encode(assigned, vec_col, codebooks).select(
         F.col(id_col).alias("neighbor_id"), "cell", *code_cols

@@ -1189,16 +1189,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
+    bench=True,
     doc="IVF-PQ, the production 100 TB ANN shape (Jegou et al. TPAMI'11 SV: inverted cells + PQ codes): corpus rows live in their nearest-cosine cell carrying only 4 PQ code ints, queries probe 2 cells with precomputed ADC tables — the search join is a plain cell-id EQUI-JOIN whose corpus side never carries raw embeddings (operators/pq.ivfpq_ann_topk; candidate set = n_probe x cell size, never the corpus)",
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.pq import ivfpq_ann_topk, pq_codebooks_from_prefix
 
     emb = _t(spark, sf_dir, "embeddings").df
-    centroids = [
-        (int(r.vec_id), list(r.embedding))
-        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    # centroids via the DataFrame path: they fold into ONE broadcast array
+    # row inside ivf_assign_cells — no driver collect, no literal unroll
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
     cb = pq_codebooks_from_prefix(emb, "vec_id", "embedding", m=4, ncode=8)
     queries = emb.filter(F.col("vec_id") < 10)
     out = ivfpq_ann_topk(

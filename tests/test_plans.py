@@ -181,6 +181,10 @@ def test_no_scale_killers_in_any_query(spark):
                                   # (the design point: broadcast queries+ADC
                                   # tables over the code table, never the
                                   # raw embeddings)
+        "q_ann_ivfpq",            # 1-row codebook/centroid carrier joins
+                                  # (_with_codebooks/_side_array); the SEARCH
+                                  # join is the cell-id equi-join, asserted
+                                  # in test_pq_search_join_is_equi_join
         "q_dsir_weights",         # 1-row feature-total aggregates broadcast
         "q_pretrain_pipeline",    # embeds q_dsir_weights' total broadcasts
         "q_kmv_setops",           # 1-row sketch-stat aggregates crossed

@@ -180,3 +180,31 @@ def test_ivfpq_candidates_restricted_to_probed_cells(spark):
             r.query_id,
             r.neighbor_id,
         )
+
+
+def test_pq_search_join_is_equi_join(spark):
+    """The IVF-PQ SEARCH join must be a hash/merge EQUI-join on the cell
+    id; the only BroadcastNestedLoopJoins in the plan are the 1-row
+    codebook/centroid carrier joins (this is what the scale-killer
+    sweep's allowlist entry for q_ann_ivfpq relies on)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.operators.pq import ivfpq_ann_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cb = pq_codebooks_from_prefix(emb, "vec_id", "embedding", m=4, ncode=8)
+    out = ivfpq_ann_topk(emb, emb.filter(F.col("vec_id") < 10), cents, cb)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert re.search(r"(HashJoin|SortMergeJoin) \[cell#\d+", plan), plan
+    assert "CartesianProduct" not in plan
