@@ -15,8 +15,9 @@ How it scales:
   stored as ``m`` small integers — ``m·log2(ncode)`` bits instead of
   ``4d`` bytes (64 dims × float32 = 256 bytes → 4 subspaces × 3 bits ≈
   2 bytes: >100× smaller).  ENCODING is one expression-only narrow pass
-  (no shuffle, no Python): per subspace, ``ncode`` literal-codeword L2
-  distances and an ``array_min`` arg-min.
+  (no shuffle, no Python): per subspace, ``ncode`` codeword L2 distances
+  (a ``transform`` over the broadcast codebook row — see
+  :func:`_with_codebooks`) and an ``array_min`` arg-min.
 - SEARCH is asymmetric distance computation (ADC): each query precomputes
   one ``m × ncode`` table of exact sub-dot-products against the codebooks
   (expression-only, on the query side — the small side), then every
