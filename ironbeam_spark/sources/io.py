@@ -240,6 +240,37 @@ def write_arrow_ipc(
     return write_arrow_ipc_py(d, path, mode, compression)
 
 
+def read_safetensors(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dtype: str = "float32",
+) -> PCollection:
+    """safetensors source — the ML ecosystem's tensor-interchange format
+    (no reference counterpart; north-star sources).  See
+    :mod:`sources.safetensors`."""
+    from ironbeam_spark.sources.safetensors import read_safetensors_py
+
+    return PCollection(read_safetensors_py(spark, path, id_col, vec_col, dtype))
+
+
+def write_safetensors(
+    df: DataFrame | PCollection,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    dtype: str = "float32",
+) -> int:
+    """safetensors sink: one (ids, embeddings) shard per partition, atomic
+    rename commit; returns rows written.  See :mod:`sources.safetensors`."""
+    from ironbeam_spark.sources.safetensors import write_safetensors_py
+
+    d = df.df if isinstance(df, PCollection) else df
+    return write_safetensors_py(d, path, id_col, vec_col, mode, dtype)
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> PCollection:
     """Reference ``read_xml`` (``src/helpers/xml.rs:107``). Spark 4 bundles
     the XML source natively."""

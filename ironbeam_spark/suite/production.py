@@ -1013,3 +1013,35 @@ def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("event_id")
+
+
+@query(
+    "q_safetensors",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(round(embedding[1]*100000) AS BIGINT)) AS BIGINT)
+             AS q0_sum
+    FROM embeddings
+    """,
+    doc="safetensors tensor sink+source end-to-end (public HF spec; no ref counterpart — the tensor-interchange sibling of q_arrow_ipc's table interchange): one (ids int64, embeddings float32 [n,d]) shard per partition with atomic rename commit, binaryFile+Arrow read back (sources/safetensors.py), then an exact integer aggregate — float32 bits survive the roundtrip so the oracle reads the same numbers straight from parquet",
+)
+def q_safetensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.io import read_safetensors, write_safetensors
+
+    emb = _t(spark, sf_dir, "embeddings").df.select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="ironbeam_st_q_")
+    write_safetensors(emb.coalesce(4), path)
+    back = read_safetensors(spark, path).df
+    return back.select(
+        F.col("vec_id"),
+        F.round(F.col("embedding").getItem(0).cast("double") * 100000)
+        .cast("long")
+        .alias("_q0"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+        F.sum("_q0").cast("long").alias("q0_sum"),
+    )
