@@ -65,9 +65,9 @@ def pq_codebooks_from_prefix(
 ) -> list[list[list[float]]]:
     """Deterministic codebooks: the ``ncode`` lowest-id corpus vectors,
     each split into ``m`` sub-vectors (same convention as the IVF suite
-    query's first-N centroids — reproducible in a static SQL oracle; swap
-    in per-subspace k-means from ``operators/similarity.kmeans_fit`` for
-    production codebooks).  Bounded collect: exactly ``ncode`` rows."""
+    query's first-N centroids — reproducible in a static SQL oracle; use
+    :func:`pq_train_codebooks` for production codebooks).  Bounded
+    collect: exactly ``ncode`` rows."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")

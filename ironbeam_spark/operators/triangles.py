@@ -1,0 +1,102 @@
+"""Distributed triangle counting — the classic two-equi-join algorithm
+with degree orientation (Suri & Vassilvitskii, "Counting Triangles and the
+Curse of the Last Reducer", WWW 2011 — public paper).
+
+No reference analogue (the reference has no graph operators); completes the
+graph family alongside connected components (``operators/dedup.py``) and
+PageRank (``operators/pagerank.py``).  Triangle counts are the standard
+graph-quality signal (clustering coefficient, community density) — in a
+corpus context they grade co-occurrence graphs like the A-priori pair
+output of ``operators/itemsets.py``, which is exactly what the suite query
+feeds in.
+
+The curse being avoided: counting wedges at every vertex makes a
+degree-10^6 hub emit 10^12 wedge rows into one reducer.  Degree
+orientation fixes it — direct every edge from its LOWER-degree endpoint to
+the higher (ties to the lower id), so each vertex's OUT-degree is bounded
+by O(sqrt(m)); wedges are generated only between out-neighbors, giving
+O(m^1.5) total wedge rows regardless of hub degree.  Every stage is an
+equi-join or a combinable aggregate:
+
+1. canonicalize + dedup edges (a < b, one ``distinct``),
+2. ONE combinable degree aggregate, joined back twice (broadcast when
+   small, AQE decides),
+3. orient; wedge self-join on the source vertex (per-task cost bounded by
+   out-degree², i.e. O(m) per vertex after orientation),
+4. close the wedge with a LEFT SEMI join against the canonical edge set.
+
+``orient="id"`` keeps the textbook a<b<c orientation (same count, simpler
+plan — the right choice when the graph is known hub-free); ``"degree"``
+is the default and the 100 TB answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["triangle_count", "canonical_edges"]
+
+
+def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge set as ``(a, b)`` with ``a < b``, self-loops
+    dropped, ONE ``distinct`` (multi-edges never double-count)."""
+    a, b = F.col(src_col), F.col(dst_col)
+    return (
+        df.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(
+    df: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """One row ``(n_triangles long)``: the number of unordered vertex
+    triples with all three edges present.  Exact; multi-edges, direction,
+    and self-loops are canonicalized away first."""
+    if orient not in ("degree", "id"):
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    edges = canonical_edges(df, src_col, dst_col)
+    if orient == "degree":
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # orient low-degree -> high-degree (ties: lower id): out-degree is
+        # then O(sqrt(m)) per vertex — the last-reducer bound
+        da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
+        db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_db"))
+        oriented = (
+            edges.join(da, on="a")
+            .join(db, on="b")
+            .select(
+                F.when(
+                    (F.col("_da") < F.col("_db"))
+                    | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+                )
+                .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+                .alias("e")
+            )
+            .select("e.u", "e.w")
+        )
+    else:
+        oriented = edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    # wedges between OUT-neighbors of u; the x.w < y.w residual emits each
+    # unordered pair ONCE, already in canonical (a, b) id order, so the
+    # closing edge lookup is a single semi-join on the edge set
+    wedges = x.join(
+        y, (F.col("x.u") == F.col("y.u")) & (F.col("x.w") < F.col("y.w"))
+    ).select(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+    closed = wedges.join(edges, on=["a", "b"], how="left_semi")
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

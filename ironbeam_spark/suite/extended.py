@@ -1125,3 +1125,31 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_item_pairs(
         li, "l_orderkey", "l_partkey", min_support=3
     ).orderBy("item1", "item2")
+
+
+@query(
+    "q_triangle_count",
+    # the oracle closes wedges with a third equi-join on the same edge CTE;
+    # orientation is a count-preserving optimization, so it needs none
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem),
+    pairs AS (SELECT a.item AS i1, b.item AS i2
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item),
+    edges AS (SELECT i1 AS a, i2 AS b FROM pairs
+              GROUP BY i1, i2 HAVING count(*) >= 2),
+    tri AS (SELECT e1.a FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
+    """,
+    doc="distributed triangle counting over the part co-occurrence graph (Suri/Vassilvitskii WWW'11 — public paper; completes the graph family with connected components and PageRank): edges = part pairs sharing >= 2 orders (the A-priori pair output), degree-ORIENTED so every vertex's out-degree is O(sqrt(m)) and a co-occurrence hub can never melt one task (the 'last reducer' curse); wedge self-join + one LEFT SEMI close, every stage an equi-join or combinable aggregate (operators/triangles.py)",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.itemsets import frequent_item_pairs
+    from ironbeam_spark.operators.triangles import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_count(edges, "item1", "item2", orient="degree")
