@@ -1061,3 +1061,50 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "q_stream_enrich",
+    # Trigger.AvailableNow over a bounded source is batch-equivalent, so the
+    # plain batch LEFT join + aggregate is an exact oracle
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="stream-static enrichment join, THE production streaming shape (streaming/enrich.py; beyond reference scope): the event stream LEFT-joins a broadcast customer dimension per micro-batch — no state store, no watermark, dimension updates visible to later batches — then a streaming aggregate by segment lands in a memory sink under Trigger.AvailableNow",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.streaming.enrich import stream_static_enrich
+
+    static = read_table(spark, sf_dir, "events")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream_static_enrich(sdf, dim, on="user_id", how="left_outer")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    )
+    name = "q_stream_enrich_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("segment")
