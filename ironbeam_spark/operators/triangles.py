@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_count", "canonical_edges"]
+__all__ = ["triangle_count", "node_clustering", "canonical_edges"]
 
 
 def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
@@ -51,25 +51,22 @@ def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
-def triangle_count(
-    df: DataFrame,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    orient: str = "degree",
-) -> DataFrame:
-    """One row ``(n_triangles long)``: the number of unordered vertex
-    triples with all three edges present.  Exact; multi-edges, direction,
-    and self-loops are canonicalized away first."""
-    if orient not in ("degree", "id"):
-        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = canonical_edges(df, src_col, dst_col)
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _closed_wedges(edges: DataFrame, orient: str) -> DataFrame:
+    """One row ``(u, a, b)`` per triangle: wedge center ``u`` plus the
+    closing edge ``(a, b)`` in canonical id order — each triangle appears
+    exactly once (the orientation makes exactly one of its three vertices
+    the wedge center)."""
     if orient == "degree":
-        deg = (
-            edges.select(F.col("a").alias("v"))
-            .unionAll(edges.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        deg = _degrees(edges)
         # orient low-degree -> high-degree (ties: lower id): out-degree is
         # then O(sqrt(m)) per vertex — the last-reducer bound
         da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
@@ -94,9 +91,62 @@ def triangle_count(
     y = oriented.alias("y")
     # wedges between OUT-neighbors of u; the x.w < y.w residual emits each
     # unordered pair ONCE, already in canonical (a, b) id order, so the
-    # closing edge lookup is a single semi-join on the edge set
+    # closing edge lookup is a single join against the edge set
     wedges = x.join(
         y, (F.col("x.u") == F.col("y.u")) & (F.col("x.w") < F.col("y.w"))
-    ).select(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
-    closed = wedges.join(edges, on=["a", "b"], how="left_semi")
+    ).select(F.col("x.u").alias("u"), F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+    return wedges.join(edges, on=["a", "b"], how="left_semi")
+
+
+def triangle_count(
+    df: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """One row ``(n_triangles long)``: the number of unordered vertex
+    triples with all three edges present.  Exact; multi-edges, direction,
+    and self-loops are canonicalized away first."""
+    if orient not in ("degree", "id"):
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    edges = canonical_edges(df, src_col, dst_col)
+    closed = _closed_wedges(edges, orient)
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def node_clustering(
+    df: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient:
+    ``(node, degree, n_triangles, coeff)`` for every vertex with at least
+    one edge; ``coeff = triangles / C(degree, 2)`` (0.0 for degree-1
+    vertices).  A closed wedge ``(u, a, b)`` credits all three vertices --
+    the explode is 3 rows per triangle, then ONE combinable count; the
+    coefficient is a single division, so the value oracle stays exact."""
+    if orient not in ("degree", "id"):
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    edges = canonical_edges(df, src_col, dst_col)
+    closed = _closed_wedges(edges, orient)
+    per_node = (
+        closed.select(
+            F.explode(F.array(F.col("u"), F.col("a"), F.col("b"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    deg = _degrees(edges).select(F.col("v").alias("node"), F.col("deg"))
+    possible = (F.col("deg") * (F.col("deg") - 1) / 2).cast("double")
+    return deg.join(per_node, on="node", how="left").select(
+        "node",
+        F.col("deg").cast("long").alias("degree"),
+        F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.coalesce(F.col("_t"), F.lit(0)).cast("double") / possible,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

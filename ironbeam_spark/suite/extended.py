@@ -1153,3 +1153,47 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", min_support=2)
     return triangle_count(edges, "item1", "item2", orient="degree")
+
+
+@query(
+    "q_clustering_coeff",
+    # per-node credit: each 3-join triangle row feeds all three vertices
+    # through UNION ALL; coeff is one division, so values are bit-exact
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem),
+    pairs AS (SELECT a.item AS i1, b.item AS i2
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item),
+    edges AS (SELECT i1 AS a, i2 AS b FROM pairs
+              GROUP BY i1, i2 HAVING count(*) >= 2),
+    tri AS (SELECT e1.a, e1.b, e2.b AS c FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pern AS (SELECT v, count(*) AS t FROM (
+               SELECT a AS v FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) GROUP BY v),
+    deg AS (SELECT v, count(*) AS d FROM (
+              SELECT a AS v FROM edges
+              UNION ALL SELECT b FROM edges) GROUP BY v)
+    SELECT deg.v AS node,
+           CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d >= 2
+                THEN COALESCE(t, 0)::DOUBLE / (d*(d-1)/2)::DOUBLE
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN pern ON pern.v = deg.v
+    ORDER BY node
+    """,
+    doc="per-node local clustering coefficient over the part co-occurrence graph (the standard graph-quality feature: how clique-like is each node's neighborhood): degree-oriented closed wedges credit all three vertices (3 rows/triangle explode -> ONE combinable count), coeff = triangles / C(degree,2) as a single division (operators/triangles.node_clustering)",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.itemsets import frequent_item_pairs
+    from ironbeam_spark.operators.triangles import node_clustering
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return node_clustering(edges, "item1", "item2", orient="degree").orderBy(
+        "node"
+    )

@@ -65,3 +65,50 @@ def test_triangle_free_and_validation(spark):
     df = spark.createDataFrame(rows, "src long, dst long")
     with pytest.raises(ValueError, match="orient"):
         triangle_count(df, orient="nope")
+
+
+def _brute_per_node(edges: set[tuple[int, int]]):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in es for v in e})
+    tri = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    deg = {v: sum(1 for e in es if v in e) for v in nodes}
+    return {
+        v: (deg[v], tri[v], tri[v] / (deg[v] * (deg[v] - 1) / 2) if deg[v] >= 2 else 0.0)
+        for v in nodes
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_node_clustering_vs_brute(spark, seed):
+    from ironbeam_spark.operators.triangles import node_clustering
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randrange(14), rng.randrange(14)
+        if a != b:
+            edges.add((a, b))
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.coeff)
+        for r in node_clustering(df).collect()
+    }
+    want = _brute_per_node(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][:2] == want[v][:2], v
+        assert abs(got[v][2] - want[v][2]) < 1e-12, v
+
+
+def test_node_clustering_k4_is_all_ones(spark):
+    from ironbeam_spark.operators.triangles import node_clustering
+
+    rows = [(a, b) for a, b in combinations(range(4), 2)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    for r in node_clustering(df).collect():
+        assert (r.degree, r.n_triangles, r.coeff) == (3, 3, 1.0)
