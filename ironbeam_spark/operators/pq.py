@@ -57,9 +57,6 @@ __all__ = [
     "ivfpq_ann_topk",
 ]
 
-Codebooks = "list[list[list[float]]]"  # [m][ncode][dsub]
-
-
 def pq_codebooks_from_prefix(
     corpus: DataFrame, id_col: str, vec_col: str, m: int, ncode: int
 ) -> list[list[list[float]]]:
@@ -335,9 +332,10 @@ def ivfpq_ann_topk(
     score: Column = F.element_at(F.col("adc_0"), F.col(code_cols[0]) + 1)
     for j in range(1, m):
         score = score + F.element_at(F.col(f"adc_{j}"), F.col(code_cols[j]) + 1)
-    scored = (
-        pairs.select("query_id", "neighbor_id", score.alias("pq_score"))
-        # a pair reached via several probed cells scores identically
-        .distinct()
-    )
+    # no dedup needed: each corpus row lives in exactly ONE cell
+    # (n_probe=1 assignment) and a query's probed cells are distinct, so
+    # the cell equi-join emits each (query, neighbor) pair at most once —
+    # a distinct() here would re-shuffle the largest intermediate for
+    # nothing
+    scored = pairs.select("query_id", "neighbor_id", score.alias("pq_score"))
     return _rank_pq(scored, k)

@@ -70,7 +70,10 @@ def write_arrow_ipc_py(
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if f.endswith(".arrow")]
     if mode == "overwrite":
-        for f in existing:
+        # also sweep crashed-attempt temp files so they can't accumulate
+        for f in existing + [
+            f for f in os.listdir(path) if f.endswith(".arrow.tmp")
+        ]:
             os.remove(os.path.join(path, f))
     elif mode in ("error", "errorifexists") and existing:
         raise FileExistsError(f"arrow shards already exist at {path} (mode={mode})")
@@ -79,6 +82,8 @@ def write_arrow_ipc_py(
     token = f"-{uuid.uuid4().hex[:8]}" if mode == "append" else ""
 
     def write_partition(batches: Iterator) -> Iterator:
+        import uuid as _uuid
+
         import pyarrow as pa
         import pyarrow.ipc as ipc
         from pyspark import TaskContext
@@ -89,7 +94,13 @@ def write_arrow_ipc_py(
         )
         n = 0
         writer = None
-        tmp = os.path.join(path, f".part-{pid:05d}{token}.arrow.tmp")
+        # per-ATTEMPT temp name (same task-commit contract as
+        # compression._commit_shard): racing speculative attempts write
+        # separate files and each rename a COMPLETE payload over the same
+        # final name — a pid-only temp would interleave their writes
+        tmp = os.path.join(
+            path, f".part-{pid:05d}{token}-{_uuid.uuid4().hex[:8]}.arrow.tmp"
+        )
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -135,13 +146,27 @@ def read_arrow_ipc_py(
     struct_schema = (
         StructType.fromDDL(schema) if isinstance(schema, str) else schema
     )
-    files = spark.read.format("binaryFile").load(path).select("content")
+    listing = spark.read.format("binaryFile").load(path)
+    files = listing.select("content")
     if struct_schema is None:
-        first = files.limit(1).collect()
+        # schema inference must NOT ship a whole shard to the driver (a
+        # self-contained per-partition shard can be GBs): collect only the
+        # PATH (binaryFile prunes the content column), then read just the
+        # file footer.  Local paths open directly with pyarrow; for remote
+        # filesystems pass `schema` explicitly.
+        first = listing.select("path").limit(1).collect()
         if not first:
             raise ValueError("cannot infer arrow-ipc schema from an empty directory")
-        file_schema = ipc.open_file(pa.BufferReader(bytes(first[0].content))).schema
-        struct_schema = from_arrow_schema(file_schema)
+        p = first[0].path
+        if p.startswith("file:"):
+            p = p[len("file:") :]
+        if "://" in p:
+            raise ValueError(
+                f"cannot infer arrow-ipc schema from remote path {p!r} "
+                "without shipping a shard to the driver — pass schema="
+            )
+        with pa.OSFile(p, "rb") as fh:
+            struct_schema = from_arrow_schema(ipc.open_file(fh).schema)
     names = [f.name for f in struct_schema.fields]
     target = to_arrow_schema(struct_schema)
 

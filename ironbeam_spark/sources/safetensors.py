@@ -140,7 +140,10 @@ def write_safetensors_py(
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if f.endswith(".safetensors")]
     if mode == "overwrite":
-        for f in existing:
+        # also sweep crashed-attempt temp files so they can't accumulate
+        for f in existing + [
+            f for f in os.listdir(path) if f.endswith(".safetensors.tmp")
+        ]:
             os.remove(os.path.join(path, f))
     elif mode in ("error", "errorifexists") and existing:
         raise FileExistsError(
@@ -187,10 +190,17 @@ def write_safetensors_py(
             )
         n = 0
         if ids_parts:
+            import uuid as _uuid
+
             ids_all = np.concatenate(ids_parts)
             emb_all = np.concatenate(emb_parts)
             n = len(ids_all)
-            tmp = os.path.join(path, f".part-{pid:05d}{token}.safetensors.tmp")
+            # per-ATTEMPT temp name (compression._commit_shard contract):
+            # racing speculative attempts must never share a temp file
+            tmp = os.path.join(
+                path,
+                f".part-{pid:05d}{token}-{_uuid.uuid4().hex[:8]}.safetensors.tmp",
+            )
             with open(tmp, "wb") as fh:
                 fh.write(_pack_file(ids_all, emb_all))
             # atomic commit (same task-commit contract as the other sinks)

@@ -1020,7 +1020,7 @@ def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(count(*) AS BIGINT) AS n,
            CAST(sum(vec_id) AS BIGINT) AS id_sum,
-           CAST(sum(CAST(round(embedding[1]*100000) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(round(embedding[1]::DOUBLE*100000) AS BIGINT)) AS BIGINT)
              AS q0_sum
     FROM embeddings
     """,
