@@ -1197,3 +1197,42 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_clustering(edges, "item1", "item2", orient="degree").orderBy(
         "node"
     )
+
+
+@query(
+    "q_link_prediction",
+    # candidate pairs come only through shared neighbors; jaccard is a
+    # single division so values are bit-exact
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem),
+    pairs AS (SELECT a.item AS i1, b.item AS i2
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item),
+    edges AS (SELECT i1 AS a, i2 AS b FROM pairs
+              GROUP BY i1, i2 HAVING count(*) >= 2),
+    nb AS (SELECT a AS c, b AS n FROM edges
+           UNION ALL SELECT b AS c, a AS n FROM edges),
+    deg AS (SELECT c, count(*) AS d FROM nb GROUP BY c),
+    cn AS (SELECT x.n AS node1, y.n AS node2, count(*) AS common
+           FROM nb x JOIN nb y ON x.c = y.c AND x.n < y.n
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT cn.node1, cn.node2,
+           CAST(common AS BIGINT) AS common,
+           CAST(d1.d AS BIGINT) AS degree1,
+           CAST(d2.d AS BIGINT) AS degree2,
+           common::DOUBLE / (d1.d + d2.d - common)::DOUBLE AS jaccard
+    FROM cn JOIN deg d1 ON d1.c = cn.node1 JOIN deg d2 ON d2.c = cn.node2
+    ORDER BY node1, node2
+    """,
+    doc="link-prediction candidates over the part co-occurrence graph (Liben-Nowell/Kleinberg CIKM'03 — public paper): pairs sharing >= 2 neighbors, found ONLY through a center-keyed adjacency self-join (never all-pairs; max_degree raises on hubs — the same fail-fast quadratic guard as max_basket_items/max_df), scored with single-division neighborhood Jaccard (operators/linkpred.py)",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.itemsets import frequent_item_pairs
+    from ironbeam_spark.operators.linkpred import common_neighbors_join
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return common_neighbors_join(
+        edges, "item1", "item2", min_common=2, max_degree=10_000
+    ).orderBy("node1", "node2")
