@@ -81,10 +81,18 @@ def apply_changes(
     ]
     latest = _latest_per_key(staged, key_cols, order)
     if op_col is not None:
-        latest = latest.where(
-            ~F.col(op_col).isin(list(delete_ops))
-        ).drop(op_col)
+        latest = latest.where(_not_deleted(op_col, delete_ops)).drop(op_col)
     return latest
+
+
+def _not_deleted(op_col: str, delete_ops: Sequence[str]):
+    """Keep-filter that FAILS on a NULL op instead of silently treating it
+    as a delete: ``~isin(...)`` is NULL for NULL input and WHERE NULL
+    drops the row — a malformed changelog entry would erase its key."""
+    return F.when(
+        F.col(op_col).isNull(),
+        F.raise_error(F.lit("cdc: NULL op value in changelog (malformed feed)")),
+    ).otherwise(~F.col(op_col).isin(list(delete_ops)))
 
 
 def merge_changes(
@@ -131,6 +139,4 @@ def merge_changes(
         key_cols,
         order,
     )
-    return merged.where(~F.col(op_col).isin(list(delete_ops))).drop(
-        op_col, "_gen"
-    )
+    return merged.where(_not_deleted(op_col, delete_ops)).drop(op_col, "_gen")

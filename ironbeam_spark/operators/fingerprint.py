@@ -54,13 +54,18 @@ def _canon(df: DataFrame, c: str) -> Column:
 
 
 def row_hash48(df: DataFrame, cols: Sequence[str]) -> Column:
-    """48-bit int64 hash of the named columns (md5-based, engine-neutral;
-    NULL encodes as chr(1), distinct from any real value and from '')."""
-    parts = [
-        F.coalesce(_canon(df, c), F.lit("\x01")) for c in cols
-    ]
+    """48-bit int64 hash of the named columns (md5-based, engine-neutral).
+
+    Each column is md5-hashed FIRST and the per-column digests are joined
+    — never the raw values: a raw-value concat is forgeable across column
+    boundaries (('a<sep>b', 'c') vs ('a', 'b<sep>c') hash equal, and a
+    value equal to the NULL sentinel byte masquerades as NULL).  Digests
+    are fixed-width hex, so boundaries are unambiguous; NULL encodes as
+    the literal 'N' (md5 of NULL is NULL in both engines), which no hex
+    digest can equal."""
+    parts = [F.coalesce(F.md5(_canon(df, c)), F.lit("N")) for c in cols]
     return F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 12), 16, 10
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12), 16, 10
     ).cast("long")
 
 

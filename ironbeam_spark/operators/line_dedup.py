@@ -118,7 +118,14 @@ def line_dedup_keep_first(
             sep,
         ).alias("text_clean"),
     )
-    n_lines = F.size(F.split(F.col(text_col), _lit_rx(sep), -1)).cast("long")
+    # NULL text contributes no occurrence rows (posexplode of NULL emits
+    # nothing), so count it as 0 lines — F.size(NULL) is -1 under Spark's
+    # legacy sizeOfNull and would report n_lines = n_removed = -1
+    n_lines = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.col(text_col), _lit_rx(sep), -1)))
+        .cast("long")
+    )
     return (
         docs.select(id_col, n_lines.alias("n_lines"))
         .join(agg, on=id_col, how="left")

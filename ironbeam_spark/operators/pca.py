@@ -59,7 +59,19 @@ def scaled_gram(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
                     f"scaled_gram: expected dim {dim}, got {m.shape[1]}"
                 )
             q = np.floor(m * scale + 0.5).astype(np.int64)
-            g = q.T @ q  # |q| <= 2^20 -> products < 2^52 per 10k-row batch
+            # enforce the overflow precondition instead of assuming it:
+            # numpy int64 wraps SILENTLY, so an unnormalized corpus
+            # (|x| >> 1) would corrupt the "exact" gram with no error.
+            # |q| <= 2^21 keeps per-element products <= 2^42; a 10k-row
+            # Arrow batch then sums to <= 2^55, comfortably inside int64.
+            amax = int(np.abs(q).max(initial=0))
+            if amax > (1 << 21):
+                raise ValueError(
+                    f"scaled_gram: |quantized value| {amax} exceeds 2^21 "
+                    f"(embedding magnitudes must be <= {(1 << 21) / scale:.0f}"
+                    "); normalize or rescale the vectors first"
+                )
+            g = q.T @ q
             iu, ju = np.triu_indices(dim)
             rows = [
                 (int(i) + 1, int(j) + 1, int(g[i, j])) for i, j in zip(iu, ju)

@@ -311,7 +311,26 @@ def weighted_systematic_sample(
 
     pos = df.where(F.col(weight_col) > 0)
     cum = global_running_sum(pos, order_cols, weight_col, "_cum")
-    total = pos.agg(F.sum(weight_col).cast("long").alias("w")).collect()
+    null_key = F.lit(False)
+    for c in order_cols:
+        null_key = null_key | F.col(c).isNull()
+    total = pos.agg(
+        F.sum(weight_col).cast("long").alias("w"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*order_cols)).alias("nd"),
+        F.count_if(null_key).alias("nulls"),
+    ).collect()
+    # the final hit attachment is pos.join(hits, on=order_cols): duplicate
+    # keys would FAN OUT (inflated multiplicities) and NULL keys would
+    # silently drop — global_running_sum only checks this when the input
+    # has payload columns, so enforce it here unconditionally
+    if total[0]["n"] != total[0]["nd"] or total[0]["nulls"]:
+        raise ValueError(
+            "weighted_systematic_sample: order_cols must uniquely and "
+            f"non-NULL-y key rows (order_cols={list(order_cols)}, "
+            f"rows={total[0]['n']}, distinct={total[0]['nd']}, "
+            f"null_keys={total[0]['nulls']})"
+        )
     w_total = int(total[0]["w"] or 0)
     if w_total == 0:
         return df.withColumn("multiplicity", F.lit(0).cast("long")).limit(0)

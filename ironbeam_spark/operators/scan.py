@@ -145,9 +145,13 @@ def global_running_sum(
     # per-slice distinct count is a global uniqueness proof).
     aggs = [F.sum(F.col(value_col).cast("long")).alias("__scan_total")]
     if payload_cols:
+        null_key = F.lit(False)
+        for c in order_cols:
+            null_key = null_key | F.col(c).isNull()
         aggs += [
             F.count(F.lit(1)).alias("__scan_n"),
             F.count_distinct(F.struct(*order_cols)).alias("__scan_nd"),
+            F.count_if(null_key).alias("__scan_nullkeys"),
         ]
     per_slice = stamped.groupBy("__scan_pid").agg(*aggs).collect()
     if payload_cols and any(r["__scan_n"] != r["__scan_nd"] for r in per_slice):
@@ -156,6 +160,15 @@ def global_running_sum(
             "input has payload columns (the narrow scan result joins back on "
             f"order_cols={list(order_cols)}); add a tiebreaker column or "
             "project the input down to order + value columns"
+        )
+    if payload_cols and any(r["__scan_nullkeys"] for r in per_slice):
+        # the rejoin below is a plain equi-join and NULL keys never match
+        # themselves — such rows would be SILENTLY DROPPED from the output
+        raise ValueError(
+            "global_running_sum: order_cols contain NULLs and the input has "
+            "payload columns (the narrow scan result joins back on "
+            f"order_cols={list(order_cols)}, where NULL keys never match); "
+            "filter or coalesce the NULL keys first"
         )
     acc = 0
     off_rows = []

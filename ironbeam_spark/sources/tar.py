@@ -187,22 +187,19 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     contract that a sample lives entirely inside one shard.  Within a
     shard, :func:`read_tar_members` has already applied last-wins, so
     ``map_from_entries`` (Spark's ``mapKeyDedupPolicy=EXCEPTION`` default)
-    sees unique keys.  ONE hash shuffle on the sample key; per-group memory
-    is the sample's members times the number of duplicate shard copies."""
-    agg = members.groupBy("sample").agg(
-        F.min("shard").alias("_win"),
-        F.collect_list(F.struct("shard", "field", "payload")).alias("_m"),
+    sees unique keys.
+
+    Cost shape: the winner is decided on (sample, shard) rows WITHOUT
+    payloads — one combinable min aggregate — and only the winning copy's
+    payload bytes enter the regroup shuffle (a losing multi-MB copy never
+    crosses the wire; collecting all copies and filtering in the group
+    was the round-6 review's finding).  Per-group memory is exactly one
+    sample's members."""
+    winners = members.groupBy("sample").agg(F.min("shard").alias("shard"))
+    kept = members.join(winners, on=["sample", "shard"], how="left_semi")
+    agg = kept.groupBy("sample").agg(
+        F.collect_list(F.struct("field", "payload")).alias("_m")
     )
     return agg.select(
-        "sample",
-        F.map_from_entries(
-            F.sort_array(
-                F.transform(
-                    F.filter("_m", lambda m: m["shard"] == F.col("_win")),
-                    lambda m: F.struct(
-                        m["field"].alias("field"), m["payload"].alias("payload")
-                    ),
-                )
-            )
-        ).alias("fields"),
+        "sample", F.map_from_entries(F.sort_array(F.col("_m"))).alias("fields")
     )

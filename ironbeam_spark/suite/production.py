@@ -885,12 +885,12 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HUGEINT (DuckDB) / DECIMAL(38) (Spark), exact far past 10^12 rows
     """
     WITH h AS (
-      SELECT ('0x' || substr(md5(concat_ws(chr(31),
-               coalesce(o_orderkey::VARCHAR, chr(1)),
-               coalesce(o_custkey::VARCHAR, chr(1)),
-               coalesce(o_orderstatus, chr(1)),
-               coalesce(o_orderpriority, chr(1)),
-               coalesce(epoch_us(o_orderdate)::VARCHAR, chr(1))
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               coalesce(md5(o_orderkey::VARCHAR), 'N'),
+               coalesce(md5(o_custkey::VARCHAR), 'N'),
+               coalesce(md5(o_orderstatus), 'N'),
+               coalesce(md5(o_orderpriority), 'N'),
+               coalesce(md5(epoch_us(o_orderdate)::VARCHAR), 'N')
              )), 1, 12))::BIGINT AS rh
       FROM orders
     )
@@ -926,13 +926,13 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id + 10000000, user_id, 'inserted'
       FROM events WHERE event_id % 103 = 0
     ),
-    ha AS (SELECT event_id, ('0x' || substr(md5(concat_ws(chr(31),
-             coalesce(user_id::VARCHAR, chr(1)),
-             coalesce(event_type, chr(1)))), 1, 12))::BIGINT AS h
+    ha AS (SELECT event_id, ('0x' || substr(md5(concat_ws('|',
+             coalesce(md5(user_id::VARCHAR), 'N'),
+             coalesce(md5(event_type), 'N'))), 1, 12))::BIGINT AS h
            FROM a),
-    hb AS (SELECT event_id, ('0x' || substr(md5(concat_ws(chr(31),
-             coalesce(user_id::VARCHAR, chr(1)),
-             coalesce(event_type, chr(1)))), 1, 12))::BIGINT AS h
+    hb AS (SELECT event_id, ('0x' || substr(md5(concat_ws('|',
+             coalesce(md5(user_id::VARCHAR), 'N'),
+             coalesce(md5(event_type), 'N'))), 1, 12))::BIGINT AS h
            FROM b),
     d AS (
       SELECT coalesce(ha.event_id, hb.event_id) AS event_id,
@@ -1001,7 +1001,13 @@ def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(tmp)
     build_bloom_index(tmp, spark, "event_id")
     probes = [0, 777, 4242, 9999]
-    out = None
+    # seed with an empty frame so all-probes-pruned yields the empty
+    # result the oracle would (None.orderBy was a crash, not a result)
+    out = (
+        _t(spark, sf_dir, "events")
+        .df.select("event_id", "user_id", "event_type")
+        .limit(0)
+    )
     for p in probes:
         cand = prune_files(tmp, "event_id", p)
         if not cand:
@@ -1011,7 +1017,7 @@ def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("event_id") == p)
             .select("event_id", "user_id", "event_type")
         )
-        out = part if out is None else out.unionByName(part)
+        out = out.unionByName(part)
     return out.orderBy("event_id")
 
 
