@@ -74,10 +74,10 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           Slot 15 keeps q_asof_join (temporal family representative —
 #           not otherwise present in 16-50).
 #   r6->r7 (planned): rotate in the round-6 additions — the complete,
-#           final list of the 43 never-driver-sampled round-6 queries is
+#           final list of the 44 never-driver-sampled round-6 queries is
 #           q_arrow_ipc, q_safetensors, q_editdist_join, q_frequent_pairs,
 #           q_ann_pq, q_ann_ivfpq, q_triangle_count, q_clustering_coeff,
-#           q_link_prediction, q_stream_enrich, q_jpeg_decode,
+#           q_link_prediction, q_stream_enrich, q_kcenter, q_jpeg_decode,
 #           q_flac_decode, q_substring_spans,
 #           q_substring_scrub, q_line_dedup, q_lm_score, q_collocations,
 #           q_phrase_search, q_unicode_norm, q_funnel, q_retention,

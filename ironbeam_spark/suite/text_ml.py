@@ -1209,3 +1209,49 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "q_kcenter",
+    # the greedy selection replays bit-exactly in a recursive CTE: the
+    # state row carries the selected (ids, vecs, dists) lists; each step's
+    # arg-max is max() over a payload struct ordered by (dist, -id)
+    f"""
+    WITH RECURSIVE
+    seed AS (SELECT vec_id, embedding FROM embeddings
+             ORDER BY vec_id LIMIT 1),
+    sel(r, ids, vecs, dists) AS (
+      SELECT 0, [seed.vec_id], [seed.embedding], [CAST(NULL AS DOUBLE)]
+      FROM seed
+      UNION ALL
+      SELECT q.r + 1,
+             list_append(q.ids, q.win.vid),
+             list_append(q.vecs, q.win.emb),
+             list_append(q.dists, q.win.d)
+      FROM (
+        SELECT z.r AS r, z.ids AS ids, z.vecs AS vecs, z.dists AS dists,
+               max(struct_pack(d := z.d, ni := -z.vec_id,
+                               vid := z.vec_id, emb := z.embedding)) AS win
+        FROM (
+          SELECT s.r, s.ids, s.vecs, s.dists, e.vec_id, e.embedding,
+                 list_min(list_transform(s.vecs,
+                   c -> 1.0 - ({_COS_SQL.format(a='e.embedding', b='c')}))) AS d
+          FROM sel s CROSS JOIN embeddings e
+          WHERE s.r < 5 AND NOT list_contains(s.ids, e.vec_id)
+        ) z
+        GROUP BY z.r, z.ids, z.vecs, z.dists
+      ) q
+    )
+    SELECT u.r AS sel_rank, u.i AS vec_id, u.d AS dist
+    FROM (SELECT ids, dists FROM sel ORDER BY r DESC LIMIT 1) f,
+    LATERAL (SELECT unnest(generate_series(1, len(f.ids))) - 1 AS r,
+                    unnest(f.ids) AS i, unnest(f.dists) AS d) u
+    ORDER BY sel_rank
+    """,
+    doc="greedy k-center coreset selection (Gonzalez TCS'85, the 2-approx farthest-point traversal — the diverse-subset primitive for few-shot pools and coreset curation; no ref analogue): 6 rounds, each ONE narrow literal-center distance pass + ONE TakeOrdered(1) arg-max, CheckpointPolicy lineage truncation — an ITERATIVE algorithm with an exact recursive-CTE value oracle (operators/kcenter.py; contrast q_bpe_tokenize, rows-only by nature)",
+)
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.kcenter import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    return kcenter_select(emb, "vec_id", "embedding", k=6)
