@@ -38,10 +38,13 @@ def common_neighbors_join(
     max_degree: int | None = None,
 ) -> DataFrame:
     """All pairs ``(node1 < node2)`` sharing at least ``min_common``
-    neighbors: ``(node1, node2, common, degree1, degree2, jaccard)``
-    where ``jaccard = common / (degree1 + degree2 - common)`` — the
-    neighborhood-overlap score (note: a direct edge between the pair is
-    allowed and does not count toward ``common``)."""
+    neighbors: ``(node1, node2, common, degree1, degree2, jaccard,
+    ra_micro)`` where ``jaccard = common / (degree1 + degree2 - common)``
+    (neighborhood overlap) and ``ra_micro`` is the resource-allocation
+    index Σ 1/deg(shared neighbor) in exact integer micro-units — RA
+    downweights hub-mediated connections, the reason it beats raw counts
+    on real graphs.  A direct edge between the pair is allowed and does
+    not count toward ``common``."""
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
     edges = canonical_edges(df, src_col, dst_col)
@@ -65,15 +68,29 @@ def common_neighbors_join(
         ).drop("deg")
     else:
         centers = nbrs
-    x = centers.alias("x")
-    y = centers.alias("y")
+    # resource-allocation index (Zhou/Lü/Zhang, EPJ B 2009 — public paper):
+    # RA(a,b) = Σ_{c ∈ common} 1/deg(c), in micro-units via INTEGER div so
+    # the per-pair sum is order-free and bit-exact cross-engine (a float
+    # 1/deg sum would depend on aggregation order)
+    wedge = centers.join(deg, on="c").withColumn(
+        "_ra", F.expr("1000000 div deg")
+    )
+    x = wedge.alias("x")
+    y = wedge.alias("y")
     common = (
         x.join(
             y, (F.col("x.c") == F.col("y.c")) & (F.col("x.n") < F.col("y.n"))
         )
-        .select(F.col("x.n").alias("node1"), F.col("y.n").alias("node2"))
+        .select(
+            F.col("x.n").alias("node1"),
+            F.col("y.n").alias("node2"),
+            F.col("x._ra").alias("_ra"),
+        )
         .groupBy("node1", "node2")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("_ra").cast("long").alias("ra_micro"),
+        )
         .where(F.col("common") >= min_common)
     )
     d1 = deg.select(F.col("c").alias("node1"), F.col("deg").alias("degree1"))
@@ -93,5 +110,6 @@ def common_neighbors_join(
                     "double"
                 )
             ).alias("jaccard"),
+            F.col("ra_micro"),
         )
     )

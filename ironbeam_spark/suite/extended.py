@@ -1214,14 +1214,17 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb AS (SELECT a AS c, b AS n FROM edges
            UNION ALL SELECT b AS c, a AS n FROM edges),
     deg AS (SELECT c, count(*) AS d FROM nb GROUP BY c),
-    cn AS (SELECT x.n AS node1, y.n AS node2, count(*) AS common
+    cn AS (SELECT x.n AS node1, y.n AS node2, count(*) AS common,
+                  CAST(sum(1000000 // dx.d) AS BIGINT) AS ra_micro
            FROM nb x JOIN nb y ON x.c = y.c AND x.n < y.n
+           JOIN deg dx ON dx.c = x.c
            GROUP BY 1, 2 HAVING count(*) >= 2)
     SELECT cn.node1, cn.node2,
            CAST(common AS BIGINT) AS common,
            CAST(d1.d AS BIGINT) AS degree1,
            CAST(d2.d AS BIGINT) AS degree2,
-           common::DOUBLE / (d1.d + d2.d - common)::DOUBLE AS jaccard
+           common::DOUBLE / (d1.d + d2.d - common)::DOUBLE AS jaccard,
+           ra_micro
     FROM cn JOIN deg d1 ON d1.c = cn.node1 JOIN deg d2 ON d2.c = cn.node2
     ORDER BY node1, node2
     """,

@@ -18,17 +18,25 @@ def _brute(edges: set[tuple[int, int]], min_common: int):
         nbr.setdefault(b, set()).add(a)
     out = {}
     for n1, n2 in combinations(sorted(nbr), 2):
-        c = len(nbr[n1] & nbr[n2])
+        shared = nbr[n1] & nbr[n2]
+        c = len(shared)
         if c >= min_common:
             d1, d2 = len(nbr[n1]), len(nbr[n2])
-            out[(n1, n2)] = (c, d1, d2, c / (d1 + d2 - c))
+            ra = sum(1_000_000 // len(nbr[v]) for v in shared)
+            out[(n1, n2)] = (c, d1, d2, c / (d1 + d2 - c), ra)
     return out
 
 
 def _run(spark, edges, **kw):
     df = spark.createDataFrame(list(edges), "src long, dst long")
     return {
-        (r.node1, r.node2): (r.common, r.degree1, r.degree2, r.jaccard)
+        (r.node1, r.node2): (
+            r.common,
+            r.degree1,
+            r.degree2,
+            r.jaccard,
+            r.ra_micro,
+        )
         for r in common_neighbors_join(df, **kw).collect()
     }
 
@@ -44,9 +52,9 @@ def test_fuzz_vs_brute_force(spark, seed, min_common):
     got = _run(spark, edges, min_common=min_common)
     want = _brute(edges, min_common)
     assert set(got) == set(want)
-    for k, (c, d1, d2, j) in want.items():
-        gc, gd1, gd2, gj = got[k]
-        assert (gc, gd1, gd2) == (c, d1, d2), k
+    for k, (c, d1, d2, j, ra) in want.items():
+        gc, gd1, gd2, gj, gra = got[k]
+        assert (gc, gd1, gd2, gra) == (c, d1, d2, ra), k
         assert abs(gj - j) < 1e-12, k
 
 
