@@ -3,56 +3,52 @@
 The naive Spark spelling — ``sum().over(Window.orderBy(...))`` with no
 ``partitionBy`` — plans a SINGLE task holding the entire dataset (Spark
 even warns).  At 100 TB that is not slow, it is impossible.  This module
-implements the classic two-pass parallel scan instead:
+implements a two-level parallel scan instead, with two mechanisms:
 
-1. ``repartitionByRange`` + ``sortWithinPartitions`` puts each task on a
-   contiguous, ordered slice of the total order.  Only the columns the
-   scan needs — ``order_cols`` + ``value_col`` — enter the shuffle; any
-   payload columns rejoin at the end (see 5).
-2. The slice id is STAMPED INTO THE DATA (a JVM-side
-   ``spark_partition_id()`` projection — no Python round trip) and the
-   stamped NARROW frame is eagerly ``localCheckpoint``-ed.  From that
-   point the (row -> slice) assignment is frozen data, not a property of
-   a particular job's physical partitioning — any later recompute replays
-   from the checkpoint blocks, so no pass can ever observe a re-sampled
-   RangePartitioner pairing offsets with different row ranges.
-   (``spark_partition_id`` is nondeterminism-flagged, so Catalyst cannot
-   push it below the range exchange; it is evaluated once, during the
-   checkpoint's materialization job, and is frozen thereafter.)
-3. Per-slice totals come from a plain ``groupBy("pid")`` (one row per
-   slice); the exclusive prefix over that tiny frame is a single-partition
-   window (bounded: #partitions rows, same driver-size class as k-means
-   centers), and the offsets reach the data through a **broadcast join on
-   the stamped ``pid``** — never a closure-captured dict (at 10^5-10^6
-   slices that dict would ship with every task) and never
-   ``TaskContext.partitionId()`` (which is a per-job accident, not data).
-4. The final pass is a shuffle-free Arrow-batched cumulative sum per
-   slice plus the joined offset.  ``sortWithinPartitions`` after the
-   broadcast join removes any reliance on join order preservation — it is
-   an in-partition sort, no exchange.
-5. If the input carries payload columns beyond the order + value, they
-   are NOT dragged through the range shuffle or the checkpoint — at
-   100 TB a full-row checkpoint is the difference between a cheap
-   metadata pass and writing the dataset twice.  The scan runs on the
-   narrow projection and the result joins back on ``order_cols``, which
-   must then uniquely key rows (asserted for free inside the per-slice
-   totals pass; prefix sums are partition-invariant, so the join-back
-   needs no slice bookkeeping).
+**Bucketed path (integral first order key — the default).**  Pure
+deterministic relational algebra; every step is an expression Catalyst
+can reason about, and nothing in it can vary by environment, partition
+count, task scheduling, or recompute:
 
-Cost: ONE narrow range shuffle + one narrow checkpoint materialization +
-two streaming passes over the checkpointed slices (+ one key-partitioned
-join when payload columns rejoin).  The scan pass is ``mapInArrow``
-(vectorized, no Python-per-row).  Result values are
-partition-count-invariant AND recompute-invariant: prefix sums don't
-depend on where the slice boundaries fall, and the boundaries themselves
-are frozen by the checkpoint.
+1. One aggregation pass computes ``min``/``max`` of the first order key
+   (a 1-row frame, broadcast back via a constant-key equi-join — never a
+   closure, never a collect).
+2. Each row gets a bucket id ``floor((key - min) / W)`` for a fixed
+   width ``W = ceil(range / n_buckets)`` — a deterministic, MONOTONE
+   function of the key value alone.  Monotonicity is the only property
+   correctness needs (rows of bucket ``b`` all precede bucket ``b+1`` in
+   the total order; equal keys share a bucket by construction), so even
+   decimal rounding inside the division is harmless.
+3. Per-bucket totals come from one combinable ``groupBy`` (map-side
+   partial + final, at most ``n_buckets + 1`` groups).
+4. The exclusive prefix over the tiny bucket-totals frame is a
+   single-partition window — bounded by ``n_buckets`` rows, the same
+   driver-size class as k-means centers — and rejoins the data through a
+   broadcast hash join on the bucket id.
+5. The within-bucket running sum is an ordinary partitioned window:
+   ``sum(value).over(partitionBy(bucket).orderBy(order_cols)
+   .rowsBetween(unboundedPreceding, currentRow))`` — hash-partitioned by
+   bucket, never a global single-partition sort.
 
-On a cluster with executor loss, ``localCheckpoint`` blocks can be lost —
-Spark then FAILS the job loudly (it cannot silently recompute past a
-local checkpoint), which is the correct failure mode here: wrong-but-
-quiet answers were exactly the bug this design removes.  For long-running
-production jobs prefer a reliable ``checkpoint()`` directory via
-``ironbeam_spark.operators.checkpoint``.
+Cost: two narrow column-pruned passes over the source (stats + bucket
+totals) plus ONE wide shuffle (the window's hash exchange on the bucket
+id).  Payload columns ride the window for free — no narrow projection,
+no checkpoint, no join-back, and therefore no key-uniqueness or NULL-key
+restrictions.  NULL first-order-keys map to bucket ``-1`` and sort
+first, matching Spark's ``ASC NULLS FIRST``.  Skewed key DISTRIBUTIONS
+only unbalance bucket sizes (a performance concern, tunable via
+``n_buckets``); they never affect values.
+
+**Stamped fallback (non-numeric order keys).**  The original
+range-shuffle mechanism: ``repartitionByRange`` +
+``spark_partition_id()`` stamp + eager ``localCheckpoint`` + per-slice
+totals + broadcast offsets + ``mapInArrow`` cumulative pass.  It is
+partition-invariant and recompute-invariant by construction, but it
+leans on environment-sensitive machinery (physical partition ids,
+checkpoint semantics) that the bucketed path eliminates entirely —
+which is why the bucketed path is preferred whenever the first order
+key is integral.  See ``_running_sum_stamped`` for the full design
+notes.
 
 No reference counterpart (north-star extension; the reference has no
 global-order operators at all) — this is infrastructure for token-stream
@@ -63,15 +59,18 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 __all__ = ["global_running_sum"]
 
+_INTEGRAL = ("bigint", "int", "smallint", "tinyint")
+
 # checkpointed intermediates awaiting caller release (same contract as
 # operators.dedup._PERSISTED_SHINGLE_TABLES; dropping the reference lets
-# Spark's ContextCleaner reclaim the checkpoint blocks)
+# Spark's ContextCleaner reclaim the checkpoint blocks).  Only the
+# stamped fallback path checkpoints; the bucketed path never caches.
 _PERSISTED_SCAN_TABLES: list[DataFrame] = []
 
 
@@ -87,31 +86,170 @@ def global_running_sum(
     order_cols: Sequence[str],
     value_col: str,
     out_col: str = "running_sum",
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Append ``out_col`` = inclusive prefix sum of ``value_col`` (int64)
-    under the total order ``order_cols``.  Two-pass parallel scan — see the
-    module docstring for why this is never a global single-partition window
-    and why the slice assignment is stamped + checkpointed.
+    under the total order ``order_cols``.  Two-level parallel scan — see
+    the module docstring for why this is never a global single-partition
+    window.
 
-    Ties in ``order_cols`` get an arbitrary but fixed relative order within
-    their slice; make the order total (include a unique key) when exact
-    per-row attribution matters.  When ``df`` carries payload columns
-    beyond ``order_cols`` + ``value_col``, the scan runs on the narrow
-    projection and joins back on ``order_cols`` — which must then uniquely
-    key rows (checked, at no extra pass, from the per-slice totals job)."""
+    When the FIRST order column is integral the scan is pure
+    deterministic expressions (value-range buckets + combinable totals +
+    bounded bucket-prefix window + per-bucket window); otherwise it falls
+    back to the stamped range-shuffle mechanism, which additionally
+    requires ``order_cols`` to uniquely and non-NULL-y key rows whenever
+    payload columns are present (the narrow scan result joins back on
+    them there).
+
+    Ties in ``order_cols`` get an arbitrary but fixed relative order;
+    make the order total (include a unique key) when exact per-row
+    attribution matters.
+
+    ``n_buckets`` bounds the bucket-prefix window (default 4096 — at
+    most that many rows pass through the single-partition window) and
+    sets the parallelism ceiling of the per-bucket windows; raise it on
+    large clusters so buckets stay executor-memory-sized.
+    """
     dt = df.schema[value_col].dataType.simpleString()
-    if dt not in ("bigint", "int", "smallint", "tinyint"):
+    if dt not in _INTEGRAL:
         # float accumulation would make results depend on partition
         # boundaries (addition isn't associative in FP) — the exactness
         # contract only holds for integral values
         raise TypeError(
             f"global_running_sum requires an integral value column, got {dt}"
         )
-    if "__scan_pid" in df.columns or "__scan_off" in df.columns:
-        raise ValueError("input must not contain __scan_pid/__scan_off columns")
+    if any(c.startswith("__scan") for c in df.columns):
+        raise ValueError("input must not contain __scan* columns")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
 
+    key_dt = df.schema[order_cols[0]].dataType.simpleString()
+    if key_dt in _INTEGRAL:
+        return _running_sum_bucketed(df, order_cols, value_col, out_col, n_buckets)
+    return _running_sum_stamped(df, order_cols, value_col, out_col)
+
+
+def _running_sum_bucketed(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Expression-only two-level scan (module docstring, bucketed path).
+
+    Every intermediate is a deterministic function of the DATA: no
+    ``spark_partition_id``, no checkpoint, no ``mapInArrow``, no
+    driver-side collect — nothing that can differ between environments.
+    Correctness needs only (a) the bucket id is a monotone nondecreasing
+    function of the first order key, so bucket boundaries respect the
+    total order, and (b) integer sums are exact and associative — both
+    hold regardless of how Catalyst schedules or re-plans the job.
+    """
+    # key arithmetic in DECIMAL(38,0): bigint ranges up to 2^64 would
+    # overflow (max - min) in long; decimal holds it exactly, and the
+    # division's scale-6 rounding cannot break bucket monotonicity
+    key_raw = F.col(order_cols[0])
+    key = key_raw.cast("decimal(38,0)")
+    stats = df.agg(
+        F.min(key).alias("__scan_min"),
+        F.max(key).alias("__scan_max"),
+    )
+    # 1-row broadcast cross join (the q_histogram/q_bm25 stats-row
+    # pattern): a map-side constant join, never a scale hazard — Catalyst
+    # constant-folds any fake equi-key away, so spell it honestly
+    wide = df.crossJoin(F.broadcast(stats))
+    width = F.greatest(
+        F.ceil(
+            (F.col("__scan_max") - F.col("__scan_min") + F.lit(1))
+            / F.lit(n_buckets)
+        ).cast("decimal(38,0)"),
+        F.lit(1).cast("decimal(38,0)"),
+    )
+    bucket = (
+        F.when(key_raw.isNull(), F.lit(-1))  # NULLS FIRST: before bucket 0
+        .otherwise(F.floor((key - F.col("__scan_min")) / width))
+        .cast("long")
+        .alias("__scan_bkt")
+    )
+    bucketed = wide.select(*df.columns, bucket)
+
+    # per-bucket totals: ONE combinable aggregate (<= n_buckets+1 groups);
+    # exclusive prefix over that tiny frame is the bounded single-partition
+    # window (n_buckets rows — the same driver-size class as k-means
+    # centers), and the offsets reach the data via a broadcast hash join
+    totals = bucketed.groupBy("__scan_bkt").agg(
+        F.sum(F.col(value_col).cast("long")).alias("__scan_total")
+    )
+    w_off = Window.orderBy("__scan_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__scan_bkt",
+        F.coalesce(F.sum("__scan_total").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__scan_off"),
+    )
+
+    w_in = (
+        Window.partitionBy("__scan_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__scan_bkt")
+        .withColumn(
+            out_col,
+            (
+                F.sum(F.col(value_col).cast("long")).over(w_in)
+                + F.col("__scan_off")
+            ).cast("long"),
+        )
+        .drop("__scan_bkt", "__scan_off")
+    )
+
+
+def _running_sum_stamped(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Range-shuffle fallback for non-numeric order keys.
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` puts each task
+       on a contiguous, ordered slice of the total order.  Only the
+       columns the scan needs — ``order_cols`` + ``value_col`` — enter
+       the shuffle; any payload columns rejoin at the end (see 5).
+    2. The slice id is STAMPED INTO THE DATA (a JVM-side
+       ``spark_partition_id()`` projection — no Python round trip) and
+       the stamped NARROW frame is eagerly ``localCheckpoint``-ed.  From
+       that point the (row -> slice) assignment is frozen data, not a
+       property of a particular job's physical partitioning — any later
+       recompute replays from the checkpoint blocks, so no pass can ever
+       observe a re-sampled RangePartitioner pairing offsets with
+       different row ranges.
+    3. Per-slice totals come from a plain ``groupBy("pid")`` (one row
+       per slice); the exclusive prefix over that tiny frame is computed
+       driver-side (bounded: #partitions rows) and the offsets reach the
+       data through a broadcast join on the stamped ``pid`` — never a
+       closure-captured dict and never ``TaskContext.partitionId()``.
+    4. The final pass is a shuffle-free Arrow-batched cumulative sum per
+       slice plus the joined offset.
+    5. Payload columns beyond order + value are NOT dragged through the
+       range shuffle or the checkpoint — the scan runs on the narrow
+       projection and the result joins back on ``order_cols``, which
+       must then uniquely and non-NULL-y key rows (asserted inside the
+       per-slice totals pass).
+
+    On a cluster with executor loss, ``localCheckpoint`` blocks can be
+    lost — Spark then FAILS the job loudly, which is the correct failure
+    mode (wrong-but-quiet answers are exactly what the design removes).
+    For long-running production jobs prefer a reliable ``checkpoint()``
+    directory via ``ironbeam_spark.operators.checkpoint``.
+    """
     # Only the scan's working set enters the shuffle + checkpoint; payload
-    # columns rejoin at the end (module docstring, item 5).
+    # columns rejoin at the end (docstring, item 5).
     payload_cols = [c for c in df.columns if c not in {*order_cols, value_col}]
     # dict.fromkeys: value_col may itself be an order column (a cumulative
     # sum ordered by the summed column) — a plain [*order_cols, value_col]
@@ -123,26 +261,19 @@ def global_running_sum(
 
     # Eager local checkpoint: materializes the stamped slices and truncates
     # lineage, so every downstream job reads the SAME (row, pid) pairs even
-    # under cache eviction / recompute — the recompute path replays from
-    # checkpoint blocks, never from a re-sampled range shuffle.  The stamp
-    # itself is a JVM-side projection (spark_partition_id is evaluated in
-    # the checkpoint's materialization job, after the range exchange, and
-    # its nondeterminism flag keeps Catalyst from pushing it below); the
-    # first Python round trip of the old mapInArrow stamp is gone.
+    # under cache eviction / recompute.  (spark_partition_id is
+    # nondeterminism-flagged, so Catalyst cannot push it below the range
+    # exchange; it is evaluated once, during the checkpoint's
+    # materialization job, and is frozen thereafter.)
     stamped = parted.withColumn(
         "__scan_pid", F.spark_partition_id()
     ).localCheckpoint(eager=True)
     _PERSISTED_SCAN_TABLES.append(stamped)
 
-    # Exclusive prefix offsets over the per-slice totals.  groupBy yields
-    # ONE row per slice (bounded by #partitions — the same driver-size
-    # class as k-means centers), and because it reads the frozen checkpoint
-    # the collected totals are recompute-invariant.  The tiny exclusive
-    # prefix is computed driver-side and returns to the data as a
-    # broadcast-joined DataFrame — never a closure or a global Window.
-    # The same pass carries the join-back uniqueness check when payload
-    # columns exist (equal order keys always share a range slice, so a
-    # per-slice distinct count is a global uniqueness proof).
+    # Exclusive prefix offsets over the per-slice totals; the same pass
+    # carries the join-back uniqueness check when payload columns exist
+    # (equal order keys always share a range slice, so a per-slice
+    # distinct count is a global uniqueness proof).
     aggs = [F.sum(F.col(value_col).cast("long")).alias("__scan_total")]
     if payload_cols:
         null_key = F.lit(False)

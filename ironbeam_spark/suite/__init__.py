@@ -91,27 +91,59 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           operator-family novelty — e.g. one of each of codec /
 #           substring-dedup / SCD2 / CDC / rollup / graph / profiling —
 #           and keep the bisect block until q_token_packing goes green).
-# tests/test_registry_order.py freezes the current 84-name prefix.
+#   r6->r7 (APPLIED, wave 1): CORRECTNESS_r06 was 47/50 green.  The 12
+#           green-row window queries (q_winnow_fingerprints,
+#           q_token_counts, q_audio_decode, q_semantic_dedup,
+#           q_dsir_weights, q_pretrain_pipeline, q_kmv_setops,
+#           q_stream_join, q_tfidf_topterms, q_webdataset,
+#           q_tar_image_pipeline, q_asof_join) are displaceable and move
+#           to slots 51-62 (q_asof_join's temporal-family retention is
+#           released: the family now has green rows across four rounds).
+#           KEPT: q_prefix_scan + q_token_packing (red r4-r6 — the
+#           round-7 global_running_sum rebuild must earn their green
+#           rows; adjacency preserved) and q_bpe_tokenize (no green row
+#           yet — it gained an exact segmentation oracle this round, so
+#           the slot is now convertible).  Rotated in, by family novelty,
+#           with the four streaming additions adjacent to amortize
+#           streaming bring-up: q_jpeg_decode (codec), q_substring_spans
+#           (substring dedup), q_scd2 (SCD2), q_cdc_apply (CDC),
+#           q_rollup_cascade (rollup), q_pagerank (graph),
+#           q_profile_table (profiling), q_ann_ivfpq (ANN),
+#           q_stream_enrich, q_stream_cdc, q_stream_left_join,
+#           q_stream_sink (streaming).
+#   r7->r8 (planned, wave 2): rotate in the remaining 32 round-6
+#           additions as slots free up, prioritized: q_weighted_sample
+#           (scan dependent — after the scan pair goes green),
+#           q_safetensors / q_arrow_ipc / q_orc (formats), q_flac_decode,
+#           q_triangle_count / q_clustering_coeff / q_link_prediction /
+#           q_kcenter / q_pca_gram, q_line_dedup / q_substring_scrub,
+#           q_lm_score / q_collocations / q_phrase_search, q_scd2_merge /
+#           q_cdc_merge / q_rollup_merge / q_warehouse_pipeline,
+#           q_funnel / q_retention / q_ewma / q_zscore_anomaly,
+#           q_editdist_join / q_frequent_pairs / q_ann_pq,
+#           q_price_histogram / q_fingerprint / q_table_diff /
+#           q_bloom_skip / q_compaction / q_unicode_norm.
+# tests/test_registry_order.py freezes the current 96-name prefix.
 CANONICAL_ORDER = [
-    # -- 1: r5 harness-error (no verdict row) — fixed, retrying
-    "q_winnow_fingerprints",
-    # -- 2-4: the q_token_packing bisect block (probes bracket the red query)
-    "q_token_counts",
+    # -- 1-2: the scan pair (red r4-r6; r7 bucketed-scan rebuild retrial)
     "q_prefix_scan",
     "q_token_packing",
-    # -- 5-14: rotated in for r6 — first driver verification pending
-    "q_audio_decode",
-    "q_semantic_dedup",
-    "q_dsir_weights",
+    # -- 3: first retrial with its new exact segmentation oracle
     "q_bpe_tokenize",
-    "q_pretrain_pipeline",
-    "q_kmv_setops",
-    "q_stream_join",
-    "q_tfidf_topterms",
-    "q_webdataset",
-    "q_tar_image_pipeline",
-    # -- 15: retained (temporal family not otherwise represented in 16-50)
-    "q_asof_join",
+    # -- 4-11: rotated in for r7 (wave 1 of the 44 round-6 additions)
+    "q_jpeg_decode",
+    "q_substring_spans",
+    "q_scd2",
+    "q_cdc_apply",
+    "q_rollup_cascade",
+    "q_pagerank",
+    "q_profile_table",
+    "q_ann_ivfpq",
+    # -- 12-15: streaming additions adjacent (shared session bring-up)
+    "q_stream_enrich",
+    "q_stream_cdc",
+    "q_stream_left_join",
+    "q_stream_sink",
     # -- 16-22: relational / TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -153,7 +185,20 @@ CANONICAL_ORDER = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # -- 51-62: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # -- 51-62: displaced from the r6 window (all green in CORRECTNESS_r06)
+    "q_winnow_fingerprints",
+    "q_token_counts",
+    "q_audio_decode",
+    "q_semantic_dedup",
+    "q_dsir_weights",
+    "q_pretrain_pipeline",
+    "q_kmv_setops",
+    "q_stream_join",
+    "q_tfidf_topterms",
+    "q_webdataset",
+    "q_tar_image_pipeline",
+    "q_asof_join",
+    # -- 63-74: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -166,7 +211,7 @@ CANONICAL_ORDER = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # -- 63-72: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # -- 75-84: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -177,7 +222,7 @@ CANONICAL_ORDER = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # -- 73-84: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # -- 85-96: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

@@ -640,24 +640,111 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(docs, target, "doc_id", "text").orderBy("doc_id")
 
 
+# Frozen BPE merge table: trained ONCE by operators.bpe.bpe_train
+# (24 merges, sf0.01 documents doc_id<200) and committed as a literal so
+# the SEGMENTATION pass — deterministic given merges — gets an exact SQL
+# oracle.  Training itself is inherently iterative (each round's arg-max
+# depends on the previous round's re-tokenized histogram), which DuckDB
+# SQL cannot replay; it stays verified merge-for-merge against a
+# pure-Python reference implementation in tests/test_bpe.py.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("er", "</w>"), ("n", "</w>"),
+    ("s", "t"), ("o", "r"), ("o", "w"), ("ow", "</w>"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("y", "</w>"),
+    ("a", "</w>"), ("g", "</w>"), ("i", "n"), ("t", "</w>"),
+    ("a", "r"), ("p", "ar"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er</w>"), ("at", "c"), ("atc", "h</w>"),
+]
+
+
+def _bpe_chain_sql(word_expr: str) -> str:
+    """DuckDB expression segmenting ``word_expr`` with ``_BPE_MERGES``:
+    symbols separated by DOUBLE chr(31) boundaries, merges applied as a
+    chain of left-to-right non-overlapping ``replace`` calls IN RANK
+    ORDER.
+
+    Rank-order sequential application is provably identical to the
+    engine's lowest-rank-first loop (operators/bpe.bpe_segment) for any
+    merge table produced by BPE training: a merge's constituents are
+    always base symbols or outputs of EARLIER merges, so applying a later
+    merge can never create a new occurrence of an earlier pair — an
+    independent formulation, not a transliteration, which is what makes
+    it an oracle.
+
+    The boundary is TWO separator chars and each replace pattern
+    ``<sep>a<sep><sep>b<sep>`` consumes exactly one separator from each
+    outer boundary: the full inner boundary anchors both symbol ends (a
+    single-separator scheme would false-match when the following symbol
+    merely STARTS with ``b``, e.g. ``i|n</w>`` vs pair ``(i, n)``), and
+    the surviving outer halves keep back-to-back occurrences matchable
+    after the scan resumes past the replacement (``a a a a`` under
+    ``(a, a)`` must give ``aa aa``)."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # "the" -> ^^t^^h^^e^^</w>^^ where ^ = chr(31)
+    # (regexp_replace prefixes EVERY char, including the first)
+    expr = (
+        f"regexp_replace({word_expr}, '(.)', chr(31) || chr(31) || '\\1', 'g')"
+        f" || chr(31) || chr(31) || '</w>' || chr(31) || chr(31)"
+    )
+    for a, b in _BPE_MERGES:
+        pat = (
+            f"chr(31) || {lit(a)} || chr(31) || chr(31) || {lit(b)} || chr(31)"
+        )
+        rep = f"chr(31) || {lit(a + b)} || chr(31)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+def _bpe_sql() -> str:
+    chain_w = _bpe_chain_sql("word")
+    chain_first = _bpe_chain_sql("words[1]")
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    lw AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM d
+    ),
+    w AS (SELECT doc_id, unnest(words) AS word FROM lw),
+    seg AS (SELECT doc_id, {chain_w} AS s FROM w),
+    agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             -- #separators = 2*(symbols+1) per word
+             sum((length(s) - length(replace(s, chr(31), ''))) // 2 - 1)::BIGINT
+               AS n_bpe_tokens
+      FROM seg GROUP BY doc_id
+    ),
+    fw AS (
+      SELECT doc_id,
+             replace(substr({chain_first}, 3,
+                            length({chain_first}) - 4),
+                     chr(31) || chr(31), '|') AS first_tokens
+      FROM lw WHERE len(words) > 0
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_words, 0) AS n_words,
+           coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+           coalesce(fw.first_tokens, '') AS first_tokens
+    FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN fw USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 @query(
     "q_bpe_tokenize",
-    # No SQL oracle: BPE training is inherently iterative (each merge
-    # round's arg-max depends on the previous round's re-tokenized
-    # histogram), which DuckDB SQL cannot replay — the driver records a
-    # rows-only check, and tests/test_bpe.py verifies the trainer merge-
-    # for-merge against a pure-Python reference implementation of the
-    # classic algorithm (Sennrich et al. 2016) plus segment/count
-    # equivalence.
-    None,
-    doc="BPE tokenizer induction + segmentation (Sennrich et al. 2016): word-histogram merge training (one corpus shuffle, then per-round histogram aggregations with a 1-row arg-max action and pure-expression merge folds, policy-checkpointed), Arrow-batched lowest-rank-first segmentation; per-doc word/bpe-token counts + first-word segmentation (operators/bpe; north-star training-data pipeline)",
+    None,  # assembled below (_bpe_sql — needs the frozen merge literals)
+    doc="BPE segmentation with a frozen committed merge table (Sennrich et al. 2016): Arrow-batched lowest-rank-first application per word over the corpus, per-doc word/bpe-token counts + first-word segmentation; oracle replays the merges as a rank-ordered replace chain — equivalent by the well-formedness of trained merge tables (operators/bpe; training itself is verified merge-for-merge against a pure-Python reference in tests/test_bpe.py; north-star training-data pipeline)",
 )
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ironbeam_spark.operators.bpe import bpe_segment, bpe_train
+    from ironbeam_spark.operators.bpe import bpe_segment
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    merges = bpe_train(docs, "text", num_merges=24)
-    return bpe_segment(docs, "doc_id", "text", merges).orderBy("doc_id")
+    return bpe_segment(docs, "doc_id", "text", _BPE_MERGES).orderBy("doc_id")
+
+
+QUERIES["q_bpe_tokenize"].oracle = _bpe_sql()
 
 
 def _pretrain_sql() -> str:

@@ -192,6 +192,10 @@ def test_no_scale_killers_in_any_query(spark):
         "q_price_histogram",      # 1-row min/max bounds broadcast (grid+counts)
         "q_stream_left_join",     # 1-row watermark-cutoff aggregate broadcast
         "q_collocations",         # 1-row token-total aggregate broadcast
+        "q_prefix_scan",          # 1-row key-min/max stats broadcast
+                                  # (global_running_sum bucketed path)
+        "q_token_packing",        # same scan stats row (via global_running_sum)
+        "q_weighted_sample",      # same scan stats row + 1-row W/offset row
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():

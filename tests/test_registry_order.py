@@ -13,27 +13,27 @@ move to the block immediately after slot 50.  See the rotation history in
 
 from ironbeam_spark.suite import CANONICAL_ORDER, QUERIES
 
-# Current frozen prefix (r6 rotation applied).
+# Current frozen prefix (r7 rotation wave 1 applied).
 FROZEN_PREFIX = [
-    # 1: r5 harness-error (no verdict row) — fixed ('|'-joined), retrying
-    "q_winnow_fingerprints",
-    # 2-4: the q_token_packing bisect block
-    "q_token_counts",
+    # 1-2: the scan pair (red r4-r6; r7 bucketed-scan rebuild retrial)
     "q_prefix_scan",
     "q_token_packing",
-    # 5-14: rotated in for r6 — first driver verification pending
-    "q_audio_decode",
-    "q_semantic_dedup",
-    "q_dsir_weights",
+    # 3: first retrial with its new exact segmentation oracle
     "q_bpe_tokenize",
-    "q_pretrain_pipeline",
-    "q_kmv_setops",
-    "q_stream_join",
-    "q_tfidf_topterms",
-    "q_webdataset",
-    "q_tar_image_pipeline",
-    # 15: retained (temporal family representative)
-    "q_asof_join",
+    # 4-11: rotated in for r7 (wave 1 of the 44 round-6 additions)
+    "q_jpeg_decode",
+    "q_substring_spans",
+    "q_scd2",
+    "q_cdc_apply",
+    "q_rollup_cascade",
+    "q_pagerank",
+    "q_profile_table",
+    "q_ann_ivfpq",
+    # 12-15: streaming additions adjacent (shared session bring-up)
+    "q_stream_enrich",
+    "q_stream_cdc",
+    "q_stream_left_join",
+    "q_stream_sink",
     # 16-50: IMMUTABLE cross-section
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -70,7 +70,20 @@ FROZEN_PREFIX = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # 51-62: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # 51-62: displaced from the r6 window (all green in CORRECTNESS_r06)
+    "q_winnow_fingerprints",
+    "q_token_counts",
+    "q_audio_decode",
+    "q_semantic_dedup",
+    "q_dsir_weights",
+    "q_pretrain_pipeline",
+    "q_kmv_setops",
+    "q_stream_join",
+    "q_tfidf_topterms",
+    "q_webdataset",
+    "q_tar_image_pipeline",
+    "q_asof_join",
+    # 63-74: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -83,7 +96,7 @@ FROZEN_PREFIX = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # 63-72: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # 75-84: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -94,7 +107,7 @@ FROZEN_PREFIX = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # 73-84: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # 85-96: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

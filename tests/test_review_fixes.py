@@ -13,16 +13,26 @@ from pyspark.sql import functions as F
 def test_scan_rejects_null_order_keys_with_payload(spark):
     from ironbeam_spark.operators.scan import global_running_sum
 
+    # stamped fallback path (string key): the rejoin on order_cols would
+    # silently DROP the NULL-key row — must fail fast instead
+    sdf = spark.createDataFrame(
+        [("a", 10, "pa"), (None, 20, "pb"), ("c", 30, "pc")],
+        "k string, v long, payload string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_running_sum(sdf, ["k"], "v", "cum").collect()
+    # without payload columns there is no rejoin: NULL keys flow through
+    narrow = spark.createDataFrame([("a", 10), (None, 20)], "k string, v long")
+    assert global_running_sum(narrow, ["k"], "v", "cum").count() == 2
+    # bucketed integral path: no rejoin exists, so NULL keys + payload are
+    # legal — NULLS FIRST (bucket -1), payload intact, sums exact
     df = spark.createDataFrame(
         [(1, 10, "a"), (None, 20, "b"), (3, 30, "c")],
         "k long, v long, payload string",
     )
-    # the rejoin on order_cols would silently DROP the NULL-key row
-    with pytest.raises(ValueError, match="NULL"):
-        global_running_sum(df, ["k"], "v", "cum").collect()
-    # without payload columns there is no rejoin: NULL keys flow through
-    narrow = spark.createDataFrame([(1, 10), (None, 20)], "k long, v long")
-    assert global_running_sum(narrow, ["k"], "v", "cum").count() == 2
+    rows = {r.k: (r.cum, r.payload)
+            for r in global_running_sum(df, ["k"], "v", "cum").collect()}
+    assert rows == {None: (20, "b"), 1: (30, "a"), 3: (60, "c")}
 
 
 def test_cdc_null_op_raises_instead_of_deleting(spark):

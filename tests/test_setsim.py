@@ -281,8 +281,12 @@ def test_global_running_sum_matches_single_partition(spark):
 
 
 def test_global_running_sum_plan_has_no_global_window(spark):
-    """The point of the operator: no single-partition Exchange(1) global
-    window in the plan — range partitioning + mapInArrow only."""
+    """The point of the operator: the DATA never passes through a
+    single-partition exchange.  The bucketed path's only SinglePartition
+    feeds the bucket-offsets window — bounded by n_buckets rows — while
+    the data-side window is hash-partitioned on the bucket id.  No
+    nested-loop or cartesian joins anywhere (the stats row reaches the
+    data via a constant-key broadcast HASH join)."""
     from ironbeam_spark.operators.scan import global_running_sum
 
     df = spark.range(1000).select(
@@ -292,8 +296,25 @@ def test_global_running_sum_plan_has_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan =="
     )[0]
-    assert "Window" not in plan, plan
-    assert "SinglePartition" not in plan, plan
+    # the full-data window is hash-partitioned on the bucket id
+    assert "hashpartitioning(__scan_bkt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # every SinglePartition exchange is bounded: it feeds either a global
+    # (1-row) aggregate or the n_buckets-row offsets window sort — never
+    # the data stream
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        parent = lines[i - 1] if i else ""
+        assert (
+            "HashAggregate(keys=[]" in parent or "Sort [__scan_bkt" in parent
+        ), f"unbounded single-partition exchange:\n{parent}\n{line}"
+    # deterministic machinery only: the env-sensitive fallback pieces
+    # must not appear on the integral-key path
+    assert "spark_partition_id" not in plan, plan
+    assert "MapInArrow" not in plan, plan
+    assert "Checkpoint" not in plan, plan
 
 
 def test_global_running_sum_recompute_invariant(spark):
@@ -348,25 +369,44 @@ def test_global_running_sum_payload_join_back(spark):
 
 
 def test_global_running_sum_payload_requires_unique_order(spark):
-    """With payload columns present, tied order keys would multiply rows in
-    the join-back — the per-slice totals pass must catch it and raise."""
+    """Stamped fallback path (non-numeric key): with payload columns
+    present, tied order keys would multiply rows in the join-back — the
+    per-slice totals pass must catch it and raise.  The bucketed
+    integral-key path has no join-back, so the same shape is legal there:
+    payload rides the window and ties share the documented
+    arbitrary-but-fixed relative order."""
     import pytest
 
     from ironbeam_spark.operators.scan import global_running_sum, release_scan_caches
 
-    rows = [(i % 50, i, f"p{i}") for i in range(500)]  # duplicate keys
-    df = spark.createDataFrame(rows, "k long, v long, tag string")
+    srows = [(f"k{i % 50:02d}", i, f"p{i}") for i in range(500)]  # dup string keys
+    sdf = spark.createDataFrame(srows, "k string, v long, tag string")
     with pytest.raises(ValueError, match="uniquely key"):
-        global_running_sum(df, ["k"], "v")
+        global_running_sum(sdf, ["k"], "v")
     release_scan_caches()
     # the same tied keys WITHOUT payload stay legal (documented contract)
-    narrow = df.select("k", "v")
-    total = sum(v for _, v, _ in rows)
+    narrow = sdf.select("k", "v")
+    total = sum(v for _, v, _ in srows)
     got = global_running_sum(narrow, ["k"], "v").agg(
         F.max("running_sum")
     ).collect()[0][0]
     assert got == total
     release_scan_caches()
+    # integral key + payload + ties: legal on the bucketed path — every
+    # row keeps its payload, per-key maxima equal the tie-group prefix
+    rows = [(i % 50, i, f"p{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long, tag string")
+    out = global_running_sum(df, ["k"], "v").collect()
+    assert len(out) == 500
+    assert {r.tag for r in out} == {t for _, _, t in rows}
+    acc, want_max = 0, {}
+    for k in range(50):
+        acc += sum(v for kk, v, _ in rows if kk == k)
+        want_max[k] = acc
+    got_max = {}
+    for r in out:
+        got_max[r.k] = max(got_max.get(r.k, 0), r.running_sum)
+    assert got_max == want_max
 
 
 def test_setsim_search_equals_rs_join(spark):
