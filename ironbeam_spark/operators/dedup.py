@@ -327,7 +327,14 @@ def dedup_components(
     round — the self-join reuses the aggregate's exchange).  Pointer
     jumping makes rounds **O(log diameter)** instead of O(diameter): a
     chain of 1000 near-dups converges in ~10 rounds, not 1000
-    (``max_iter`` is a safety bound)."""
+    (``max_iter`` is a safety bound).
+
+    Round 1 is SPECIALIZED: with every label still equal to its node id,
+    neighbor-min needs no labels frame at all — ``component =
+    least(node, min(neighbor))`` is ONE combinable aggregate straight
+    over the edge table (no init-labels checkpoint, no join, no union),
+    which removes a shuffle and a checkpoint materialization both at toy
+    scale (round-7 ``q_corpus_clean`` recovery) and at 100 TB."""
     from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
     policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
@@ -336,12 +343,23 @@ def dedup_components(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    labels = policy.checkpoint(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    # round 1: labels[n] == n, so min-over-neighbors is a plain aggregate
+    # over edges; _old = the node's own id (what a labels frame would hold)
+    first = policy.checkpoint(
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_minn"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("_minn")).alias("component"),
+            F.col("node").alias("_old"),
+        ),
+        eager=False,
     )
-    for _ in range(max_iter):
+    changed = first.where(F.col("component") != F.col("_old")).count()
+    labels = first.select("node", "component")
+    if changed == 0:
+        return labels
+    for _ in range(max_iter - 1):
         # candidate labels: my own + the label of every neighbor.  The self
         # row is TAGGED so the aggregate recovers the old label alongside
         # the new minimum — change detection then reads the aggregate's own
