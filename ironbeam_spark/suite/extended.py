@@ -1131,7 +1131,11 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_triangle_count",
     # the oracle closes wedges with a third equi-join on the same edge CTE;
     # orientation is a count-preserving optimization, so it needs none
-    """
+    bench=True,  # graph-family sf1 ladder sentinel: a skew regression in
+    # wedge generation (the 'last reducer' hub curse) must show up as a
+    # superlinear scale_ratio here, not hide behind q_pagerank's
+    # iteration-dominated profile
+    oracle="""
     WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
                 FROM lineitem),
     pairs AS (SELECT a.item AS i1, b.item AS i2
