@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ironbeam_spark.operators.triangles import canonical_edges
+from ironbeam_spark.operators.triangles import _materialized_edges
 
 __all__ = ["common_neighbors_join"]
 
@@ -36,6 +36,7 @@ def common_neighbors_join(
     dst_col: str = "dst",
     min_common: int = 1,
     max_degree: int | None = None,
+    checkpoint_policy=None,
 ) -> DataFrame:
     """All pairs ``(node1 < node2)`` sharing at least ``min_common``
     neighbors: ``(node1, node2, common, degree1, degree2, jaccard,
@@ -47,7 +48,12 @@ def common_neighbors_join(
     not count toward ``common``."""
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
-    edges = canonical_edges(df, src_col, dst_col)
+    # the edge set feeds SEVEN subtrees (two union branches of nbrs, the
+    # degree aggregate, the guard join, both sides of the wedge self-join,
+    # and the two final degree joins) — policy-checkpoint it once so the
+    # upstream edge construction never replays per subtree (the
+    # triangle_count convention)
+    edges = _materialized_edges(df, src_col, dst_col, checkpoint_policy)
     nbrs = edges.select(
         F.col("a").alias("c"), F.col("b").alias("n")
     ).unionAll(edges.select(F.col("b").alias("c"), F.col("a").alias("n")))

@@ -51,6 +51,18 @@ def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
+def _materialized_edges(
+    df: DataFrame, src_col: str, dst_col: str, checkpoint_policy
+) -> DataFrame:
+    """Canonical edge set, lineage-truncated per policy (default =
+    AfterEveryBarrier, the :func:`dedup_components` convention).  Lazy
+    checkpoint: the first action over the wedge plan materializes it."""
+    from ironbeam_spark.operators.checkpoint import CheckpointPolicy
+
+    policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
+    return policy.checkpoint(canonical_edges(df, src_col, dst_col), eager=False)
+
+
 def _degrees(edges: DataFrame) -> DataFrame:
     return (
         edges.select(F.col("a").alias("v"))
@@ -103,13 +115,22 @@ def triangle_count(
     src_col: str = "src",
     dst_col: str = "dst",
     orient: str = "degree",
+    checkpoint_policy=None,
 ) -> DataFrame:
     """One row ``(n_triangles long)``: the number of unordered vertex
     triples with all three edges present.  Exact; multi-edges, direction,
-    and self-loops are canonicalized away first."""
+    and self-loops are canonicalized away first.
+
+    The canonical edge set is read by FIVE plan subtrees (degree aggregate,
+    two orientation joins, both sides of the wedge self-join, the closing
+    semi-join), so it is policy-checkpointed once — without it Spark
+    replays the entire upstream edge construction per subtree (measured 5x
+    on the co-occurrence suite query; at 100 TB the upstream is the
+    expensive part, the triangle algebra runs on the much smaller edge
+    table)."""
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = canonical_edges(df, src_col, dst_col)
+    edges = _materialized_edges(df, src_col, dst_col, checkpoint_policy)
     closed = _closed_wedges(edges, orient)
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
@@ -119,16 +140,19 @@ def node_clustering(
     src_col: str = "src",
     dst_col: str = "dst",
     orient: str = "degree",
+    checkpoint_policy=None,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient:
     ``(node, degree, n_triangles, coeff)`` for every vertex with at least
     one edge; ``coeff = triangles / C(degree, 2)`` (0.0 for degree-1
     vertices).  A closed wedge ``(u, a, b)`` credits all three vertices --
     the explode is 3 rows per triangle, then ONE combinable count; the
-    coefficient is a single division, so the value oracle stays exact."""
+    coefficient is a single division, so the value oracle stays exact.
+    Edges are policy-checkpointed once (see :func:`triangle_count` — here
+    a sixth subtree, the final degree join, reads them too)."""
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = canonical_edges(df, src_col, dst_col)
+    edges = _materialized_edges(df, src_col, dst_col, checkpoint_policy)
     closed = _closed_wedges(edges, orient)
     per_node = (
         closed.select(
