@@ -15,11 +15,12 @@ metadata struct built here (``byte_len``, ``sha256``, ``modality``,
   Paeth, 8-bit gray / truecolor / palette / alpha color types, chunk CRC
   verified), and **GIF** (87a/89a: pure-Python variable-width LZW,
   interlacing, local/global color tables — still-image projection of the
-  first frame), and **baseline JPEG** (SOF0/SOF1 Huffman sequential — see
+  first frame), and **JPEG** (SOF0/SOF1 Huffman sequential AND SOF2
+  progressive with full successive approximation — see
   :mod:`ironbeam_spark.operators.jpeg`); :func:`decode_audio` parses
   **PCM WAV** (RIFF/fmt/data) plus ITU-T **G.711** µ-law/A-law companded
   WAV.  Formats/profiles that remain out of reach without native libraries
-  (progressive JPEG, MP3/...) surface a per-row ``error`` column
+  (MP3, arithmetic-coded JPEG/...) surface a per-row ``error`` column
   (dead-letter convention, like ``operators/dead_letter.try_map``) rather
   than failing the job;
 - ``fake_decode_features`` remains the format-free deterministic stand-in
@@ -83,10 +84,10 @@ def blob_metadata(blob: Column, modality: str, content_type: str) -> Column:
 # --------------------------------------------------------------- image codecs
 # Implemented from the public format specs (Windows BMP file format docs;
 # netpbm PPM spec; PNG per RFC 2083 / ISO 15948 — stdlib zlib hosts the
-# inflate; GIF87a/89a with a pure-Python variable-width LZW; baseline JPEG
-# via operators/jpeg.py).  Scope: every interchange format this container
-# can decode without native libs.  Progressive JPEG / MP3 stay behind the
-# error column.
+# inflate; GIF87a/89a with a pure-Python variable-width LZW; sequential +
+# progressive JPEG via operators/jpeg.py).  Scope: every interchange format
+# this container can decode without native libs.  MP3 and arithmetic-coded
+# JPEG stay behind the error column.
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:

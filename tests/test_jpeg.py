@@ -126,11 +126,11 @@ def test_std50_smooth_image_reasonable():
     assert np.abs(out.astype(int) - px.astype(int)).mean() < 20
 
 
-def test_progressive_and_garbage_rejected():
-    # progressive: minimal SOI + SOF2 header must raise, not misparse
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + (17).to_bytes(2, "big") + bytes(15)
+def test_unsupported_sof_and_garbage_rejected():
+    # arithmetic coding (SOF9): unsupported SOF must raise, not misparse
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + (17).to_bytes(2, "big") + bytes(15)
     with pytest.raises(ValueError, match="SOF"):
-        decode_jpeg_pixels(sof2)
+        decode_jpeg_pixels(sof9)
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"\xff\xd8\xff\xe0JFIF")  # truncated
     with pytest.raises(ValueError):
@@ -207,3 +207,99 @@ def test_dimension_bomb_rejected():
     )
     with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
         decode_jpeg_pixels(sof)
+
+
+# ------------------------------------------------- progressive (Annex G)
+
+
+def _test_image(w: int, h: int, kind: str) -> np.ndarray:
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    if kind == "grad":
+        px = np.stack([xx * 4 % 256, yy * 6 % 256, (xx + yy) * 3 % 256], axis=-1)
+    elif kind == "const":
+        px = np.full((h, w, 3), (77, 150, 33), dtype=int)
+    elif kind == "sparse":  # long zero runs -> ZRLs and EOB runs
+        px = np.full((h, w, 3), 128, dtype=int)
+        px[::7, ::5, 0] = 255
+        px[3::11, 2::9, 2] = 0
+    else:  # deterministic noise: dense AC spectra
+        s = xx * 7919 + yy * 104729 + 12345
+        px = np.stack([(s * 31) % 256, (s * 17) % 256, (s * 13) % 256], axis=-1)
+    return px.astype(np.uint8)
+
+
+@pytest.mark.parametrize("kind", ["grad", "const", "sparse", "noise"])
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("successive", [True, False])
+def test_progressive_equals_baseline(kind, sub, successive):
+    """The cross-codec invariant: a progressive encode of the same pixels
+    decodes to EXACTLY the baseline decode — both entropy layers carry the
+    same quantized coefficients, so any Annex G bug (spectral bands,
+    successive approximation, EOB runs, correction bits) breaks equality
+    bit-for-bit.  17x13 forces partial MCUs; std50 forces wide AC spectra
+    with real quantizers."""
+    from ironbeam_spark.operators.jpeg import encode_jpeg_progressive
+
+    for w, h in [(17, 13), (24, 16)]:
+        rgb = _test_image(w, h, kind).tobytes()
+        for quant in ["flat", "std50"]:
+            base = decode_jpeg_pixels(encode_jpeg(w, h, rgb, sub, quant))
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(
+                    w, h, rgb, sub, quant, successive=successive
+                )
+            )
+            assert np.array_equal(base, prog), (w, h, quant)
+
+
+def test_progressive_restart_markers():
+    """DRI + RSTn inside every progressive scan (DC predictor and EOB-run
+    reset at each interval) still decodes to the baseline output."""
+    from ironbeam_spark.operators.jpeg import encode_jpeg_progressive
+
+    w, h = 40, 24
+    rgb = _test_image(w, h, "noise").tobytes()
+    base = decode_jpeg_pixels(encode_jpeg(w, h, rgb))
+    for ri in (1, 3):
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(w, h, rgb, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A mostly-flat image makes whole AC scans one long EOB run (>> 1
+    block); the banded EOBn extension-bit path must reproduce it."""
+    from ironbeam_spark.operators.jpeg import encode_jpeg_progressive
+
+    w = h = 64  # 64 blocks per component, nearly all AC-empty
+    px = np.full((h, w, 3), 200, dtype=np.uint8)
+    px[30, 30] = (0, 0, 0)  # one busy block so the run has to break once
+    base = decode_jpeg_pixels(encode_jpeg(w, h, px.tobytes()))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(w, h, px.tobytes()))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_fuzz_value_error_only():
+    """Truncation + byte corruption over a progressive file must raise
+    ValueError and nothing else (the dead-letter contract, same tier as
+    the sequential fuzz)."""
+    import random
+
+    from ironbeam_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = random.Random(13)
+    rgb = bytes((i * 7) % 256 for i in range(16 * 16 * 3))
+    b = encode_jpeg_progressive(16, 16, rgb, restart_interval=2)
+    for cut in range(2, len(b)):
+        try:
+            decode_jpeg_pixels(b[:cut])
+        except ValueError:
+            pass
+    for _ in range(3000):
+        pos = rng.randrange(len(b))
+        bb = b[:pos] + bytes([rng.randrange(256)]) + b[pos + 1 :]
+        try:
+            decode_jpeg_pixels(bb)
+        except ValueError:
+            pass
