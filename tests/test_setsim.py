@@ -444,3 +444,36 @@ def test_setsim_search_equals_rs_join(spark):
                 strategy, blocks, slow.keys() ^ fast.keys())
             for k in fast:
                 assert abs(fast[k] - slow[k]) < 1e-12
+
+
+def test_global_running_sum_bucketed_extremes(spark):
+    """Bucketed-path edge cases: negative keys (bucket arithmetic must
+    stay monotone below zero), a key RANGE wider than int64 (max - min
+    would overflow long — the DECIMAL(38,0) width math must hold it), and
+    n_buckets=1 (every row through one in-bucket window)."""
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    # negative + positive keys, deterministic values
+    rows = [(i - 250, (i * 13) % 37) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(11)
+    got = {r.k: r.running_sum for r in global_running_sum(df, ["k"], "v").collect()}
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+    # int64 extremes: range max-min = 2^64 - 2 overflows long
+    ext = [(-(2**63), 7), (-17, 11), (0, 5), (2**63 - 1, 3)]
+    dfe = spark.createDataFrame(ext, "k long, v long").repartition(3)
+    gote = {
+        r.k: r.running_sum for r in global_running_sum(dfe, ["k"], "v").collect()
+    }
+    assert gote == {-(2**63): 7, -17: 18, 0: 23, 2**63 - 1: 26}
+
+    # n_buckets=1: degenerates to a single partitioned window, still exact
+    got1 = {
+        r.k: r.running_sum
+        for r in global_running_sum(df, ["k"], "v", n_buckets=1).collect()
+    }
+    assert got1 == want
