@@ -111,9 +111,10 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_profile_table (profiling), q_ann_ivfpq (ANN),
 #           q_stream_enrich, q_stream_cdc, q_stream_left_join,
 #           q_stream_sink (streaming).
-#   r7->r8 (planned, wave 2): rotate in the round-7 addition
+#   r7->r8 (planned, wave 2): rotate in the round-7 additions
 #           q_jpeg_progressive (Annex G codec — family-novel, local-oracle
-#           green) plus the remaining 32 round-6
+#           green) and q_mpeg_probe (MPEG audio header probing — the
+#           last multimodal family) plus the remaining 32 round-6
 #           additions as slots free up, prioritized: q_weighted_sample
 #           (scan dependent — after the scan pair goes green),
 #           q_safetensors / q_arrow_ipc / q_orc (formats), q_flac_decode,

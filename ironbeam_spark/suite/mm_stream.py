@@ -709,6 +709,88 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mpeg_probe",
+    # Exact oracle: the prober reports pure header arithmetic — duration
+    # is integer round-half-up of frames*1152/hz (mirrored with the same
+    # (2n+d)//(2d) integer form), bitrates come straight off the V1L3
+    # table (monotone, so the VBR min/max are the lo/hi indices) — and
+    # the fixtures deterministically cycle sample rates, CBR/VBR,
+    # padding cadence, CRC frames, and ID3v2/ID3v1 tags off doc_id.  The
+    # walk itself is self-verifying (each frame length must land on the
+    # next sync), so a wrong table entry or length formula reads garbage
+    # and dead-letters rather than producing plausible numbers.
+    """
+    WITH params AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS hz,
+             5 + doc_id % 40 AS frames,
+             1 + doc_id % 2 AS ch,
+             doc_id % 5 = 0 AS is_vbr,
+             1 + doc_id % 14 AS cbr_idx,
+             2 + doc_id % 6 AS lo_idx,
+             9 + doc_id % 5 AS hi_idx
+      FROM documents WHERE doc_id < 150
+    ),
+    tabled AS (
+      SELECT *,
+        [32,40,48,56,64,80,96,112,128,160,192,224,256,320] AS kbps
+      FROM params
+    )
+    SELECT doc_id, 'mp3' AS fmt, '1' AS version,
+           CAST(hz AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(frames AS BIGINT) AS frames,
+           CAST((2::BIGINT*1000*frames*1152 + hz) // (2*hz) AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN is_vbr THEN kbps[lo_idx] ELSE kbps[cbr_idx] END AS BIGINT) AS kbps_min,
+           CAST(CASE WHEN is_vbr THEN kbps[hi_idx] ELSE kbps[cbr_idx] END AS BIGINT) AS kbps_max,
+           is_vbr AS vbr
+    FROM tabled ORDER BY doc_id
+    """,
+    doc="MPEG audio (MP3) stream probing (round 7): ffprobe-style metadata without decode — frame-header walk over synthesized-but-structurally-real MPEG-1 Layer III streams (ID3v2 syncsafe skip, ID3v1 trailer, CRC frames, padding-bit cadence, CBR and VBR), reporting duration/bitrate-envelope/channel metadata against a closed-form integer oracle (operators/mpeg.py; full MP3 decode stays honestly dead-lettered — the Layer III Huffman and synthesis-window TABLES cannot be verified in this container)",
+)
+def q_mpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.mpeg import probe_mpeg_audio
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+
+    def make(batches):
+        import pandas as pd
+
+        from ironbeam_spark.operators.mpeg import synthesize_mpeg_stream
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vbr = did % 5 == 0
+                idxs = (
+                    (2 + did % 6, 9 + did % 5) if vbr else (1 + did % 14,)
+                )
+                rows.append(
+                    (
+                        did,
+                        synthesize_mpeg_stream(
+                            "1", 3, idxs, did % 3,
+                            n_frames=5 + did % 40,
+                            channels=1 + did % 2,
+                            padding_every=did % 4,
+                            crc=did % 11 == 0,
+                            id3v2_size=(did * 7) % 90 if did % 3 == 0 else 0,
+                            id3v1=did % 7 == 0,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = docs.select("doc_id").mapInPandas(make, "doc_id long, payload binary")
+    out = probe_mpeg_audio(blobs, "doc_id", "payload")
+    return out.select(
+        "doc_id", "fmt", "version", "sample_rate", "channels", "frames",
+        "duration_ms", "kbps_min", "kbps_max", "vbr",
+    ).orderBy("doc_id")
+
+
+@query(
     "q_flac_decode",
     # Exact oracle: FLAC is LOSSLESS, so whatever path the encoder picks —
     # constant/fixed-predictor subframes, Rice parameters, and (for stereo
