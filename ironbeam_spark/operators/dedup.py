@@ -334,7 +334,11 @@ def dedup_components(
     least(node, min(neighbor))`` is ONE combinable aggregate straight
     over the edge table (no init-labels checkpoint, no join, no union),
     which removes a shuffle and a checkpoint materialization both at toy
-    scale (round-7 ``q_corpus_clean`` recovery) and at 100 TB."""
+    scale (round-7 ``q_corpus_clean`` recovery) and at 100 TB.  The
+    specialized round does NOT count against ``max_iter`` (it has no
+    pointer-jumping step, so counting it would quietly weaken the bound:
+    ``max_iter=k`` still guarantees k full jump-capable rounds, exactly
+    the pre-specialization contract)."""
     from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
     policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
@@ -359,7 +363,7 @@ def dedup_components(
     labels = first.select("node", "component")
     if changed == 0:
         return labels
-    for _ in range(max_iter - 1):
+    for _ in range(max_iter):
         # candidate labels: my own + the label of every neighbor.  The self
         # row is TAGGED so the aggregate recovers the old label alongside
         # the new minimum — change detection then reads the aggregate's own

@@ -79,14 +79,9 @@ def frequent_item_pairs(
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     items = _basket_items(df, basket_col, item_col)
-    # pass 1 over the SAME distinct subtree as the pair stage (not a second
-    # _basket_items call): identical subtrees let Spark reuse the distinct's
-    # exchange instead of re-deduplicating the corpus for the item counts
-    freq1 = (
-        items.groupBy("item")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= min_support)
-    )
+    # pass 1 builds the same canonicalized distinct subtree, so Spark's
+    # ReuseExchange shares the dedup shuffle with the pair stage
+    freq1 = frequent_items(df, basket_col, item_col, min_support)
     # downward closure: only frequent items can be members of a frequent
     # pair — prune BEFORE the quadratic candidate stage
     pruned = items.join(freq1.select("item"), on="item", how="left_semi")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ironbeam_spark.operators.triangles import _materialized_edges
+from ironbeam_spark.operators.triangles import materialized_edges
 
 __all__ = ["common_neighbors_join"]
 
@@ -53,7 +53,7 @@ def common_neighbors_join(
     # and the two final degree joins) — policy-checkpoint it once so the
     # upstream edge construction never replays per subtree (the
     # triangle_count convention)
-    edges = _materialized_edges(df, src_col, dst_col, checkpoint_policy)
+    edges = materialized_edges(df, src_col, dst_col, checkpoint_policy)
     nbrs = edges.select(
         F.col("a").alias("c"), F.col("b").alias("n")
     ).unionAll(edges.select(F.col("b").alias("c"), F.col("a").alias("n")))

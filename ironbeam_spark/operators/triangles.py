@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_count", "node_clustering", "canonical_edges"]
+__all__ = [
+    "triangle_count",
+    "node_clustering",
+    "canonical_edges",
+    "materialized_edges",
+]
 
 
 def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
@@ -51,7 +56,7 @@ def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
-def _materialized_edges(
+def materialized_edges(
     df: DataFrame, src_col: str, dst_col: str, checkpoint_policy
 ) -> DataFrame:
     """Canonical edge set, lineage-truncated per policy (default =
@@ -130,7 +135,7 @@ def triangle_count(
     table)."""
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = _materialized_edges(df, src_col, dst_col, checkpoint_policy)
+    edges = materialized_edges(df, src_col, dst_col, checkpoint_policy)
     closed = _closed_wedges(edges, orient)
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
@@ -152,7 +157,7 @@ def node_clustering(
     a sixth subtree, the final degree join, reads them too)."""
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = _materialized_edges(df, src_col, dst_col, checkpoint_policy)
+    edges = materialized_edges(df, src_col, dst_col, checkpoint_policy)
     closed = _closed_wedges(edges, orient)
     per_node = (
         closed.select(
