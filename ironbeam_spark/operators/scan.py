@@ -5,20 +5,26 @@ The naive Spark spelling — ``sum().over(Window.orderBy(...))`` with no
 even warns).  At 100 TB that is not slow, it is impossible.  This module
 implements a two-level parallel scan instead, with two mechanisms:
 
-**Bucketed path (integral first order key — the default).**  Pure
-deterministic relational algebra; every step is an expression Catalyst
-can reason about, and nothing in it can vary by environment, partition
-count, task scheduling, or recompute:
+**Bucketed path (integral / string / date / timestamp first order key —
+the default).**  Pure deterministic relational algebra; every step is an
+expression Catalyst can reason about, and nothing in it can vary by
+environment, partition count, task scheduling, or recompute:
 
-1. One aggregation pass computes ``min``/``max`` of the first order key
+1. The first order key is projected to a DECIMAL(38,0) that is monotone
+   nondecreasing in its sort order (integers as-is; strings via their
+   first 8 UTF-8 bytes as a big-endian unsigned integer — bytewise
+   string comparison makes that order-consistent; date/timestamp via
+   epoch days/micros — see ``_monotone_key_projection``).  One
+   aggregation pass computes ``min``/``max`` of the projection
    (a 1-row frame, broadcast back via a constant-key equi-join — never a
    closure, never a collect).
 2. Each row gets a bucket id ``floor((key - min) / W)`` for a fixed
    width ``W = ceil(range / n_buckets)`` — a deterministic, MONOTONE
    function of the key value alone.  Monotonicity is the only property
    correctness needs (rows of bucket ``b`` all precede bucket ``b+1`` in
-   the total order; equal keys share a bucket by construction), so even
-   decimal rounding inside the division is harmless.
+   the total order; equal or projection-colliding keys share a bucket by
+   construction, and the in-bucket window orders by the TRUE key), so
+   even decimal rounding inside the division is harmless.
 3. Per-bucket totals come from one combinable ``groupBy`` (map-side
    partial + final, at most ``n_buckets + 1`` groups).
 4. The exclusive prefix over the tiny bucket-totals frame is a
@@ -39,7 +45,8 @@ first, matching Spark's ``ASC NULLS FIRST``.  Skewed key DISTRIBUTIONS
 only unbalance bucket sizes (a performance concern, tunable via
 ``n_buckets``); they never affect values.
 
-**Stamped fallback (non-numeric order keys).**  The original
+**Stamped fallback (exotic order-key types only — float, complex).**
+The original
 range-shuffle mechanism: ``repartitionByRange`` +
 ``spark_partition_id()`` stamp + eager ``localCheckpoint`` + per-slice
 totals + broadcast offsets + ``mapInArrow`` cumulative pass.  It is
@@ -93,9 +100,10 @@ def global_running_sum(
     the module docstring for why this is never a global single-partition
     window.
 
-    When the FIRST order column is integral the scan is pure
-    deterministic expressions (value-range buckets + combinable totals +
-    bounded bucket-prefix window + per-bucket window); otherwise it falls
+    When the FIRST order column is integral, string, date, or timestamp
+    the scan is pure deterministic expressions (a monotone DECIMAL(38,0)
+    key projection + value-range buckets + combinable totals + bounded
+    bucket-prefix window + per-bucket window); exotic key types fall
     back to the stamped range-shuffle mechanism, which additionally
     requires ``order_cols`` to uniquely and non-NULL-y key rows whenever
     payload columns are present (the narrow scan result joins back on
@@ -123,10 +131,46 @@ def global_running_sum(
     if n_buckets < 1:
         raise ValueError("n_buckets must be positive")
 
-    key_dt = df.schema[order_cols[0]].dataType.simpleString()
-    if key_dt in _INTEGRAL:
-        return _running_sum_bucketed(df, order_cols, value_col, out_col, n_buckets)
+    proj = _monotone_key_projection(df.schema[order_cols[0]], order_cols[0])
+    if proj is not None:
+        return _running_sum_bucketed(
+            df, order_cols, value_col, out_col, n_buckets, proj
+        )
     return _running_sum_stamped(df, order_cols, value_col, out_col)
+
+
+def _monotone_key_projection(field, name: str):
+    """A DECIMAL(38,0) expression that is monotone NONdecreasing in the
+    column's sort order, or None if the type has no cheap projection.
+    Monotone-nondecreasing is the only property the bucketed scan needs
+    (collisions just share a bucket; the in-bucket window orders by the
+    TRUE key), so even a lossy projection is exact:
+
+    - integral types: the value itself;
+    - strings: the first 8 UTF-8 bytes as a big-endian unsigned integer
+      (Spark compares strings bytewise-unsigned, and UTF-8 byte order
+      equals code-point order, so the prefix integer is order-consistent;
+      shorter strings right-pad with 0x00 — a strict prefix sorts first
+      and projects lower).  A corpus whose keys share an 8-byte prefix
+      only unbalances buckets — a performance knob, never a value change;
+    - date / timestamp: days / microseconds since the epoch.
+    """
+    dt = field.dataType.simpleString()
+    if dt in _INTEGRAL:
+        return F.col(name).cast("decimal(38,0)")
+    if dt == "string":
+        # hex() of the UTF-8 bytes, first 16 nibbles, '0'-right-padded —
+        # CONV(_, 16, 10) yields the unsigned 64-bit value as a decimal
+        # string; every step is a deterministic Catalyst expression
+        hex16 = F.rpad(
+            F.substring(F.hex(F.col(name).cast("binary")), 1, 16), 16, "0"
+        )
+        return F.conv(hex16, 16, 10).cast("decimal(38,0)")
+    if dt == "date":
+        return F.unix_date(F.col(name)).cast("decimal(38,0)")
+    if dt == "timestamp":
+        return F.unix_micros(F.col(name)).cast("decimal(38,0)")
+    return None
 
 
 def _running_sum_bucketed(
@@ -135,6 +179,7 @@ def _running_sum_bucketed(
     value_col: str,
     out_col: str,
     n_buckets: int,
+    key,
 ) -> DataFrame:
     """Expression-only two-level scan (module docstring, bucketed path).
 
@@ -142,7 +187,9 @@ def _running_sum_bucketed(
     ``spark_partition_id``, no checkpoint, no ``mapInArrow``, no
     driver-side collect — nothing that can differ between environments.
     Correctness needs only (a) the bucket id is a monotone nondecreasing
-    function of the first order key, so bucket boundaries respect the
+    function of the first order key (``key`` is the caller's monotone
+    DECIMAL(38,0) projection of it — see
+    :func:`_monotone_key_projection`), so bucket boundaries respect the
     total order, and (b) integer sums are exact and associative — both
     hold regardless of how Catalyst schedules or re-plans the job.
     """
@@ -150,7 +197,6 @@ def _running_sum_bucketed(
     # overflow (max - min) in long; decimal holds it exactly, and the
     # division's scale-6 rounding cannot break bucket monotonicity
     key_raw = F.col(order_cols[0])
-    key = key_raw.cast("decimal(38,0)")
     stats = df.agg(
         F.min(key).alias("__scan_min"),
         F.max(key).alias("__scan_max"),

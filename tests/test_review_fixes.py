@@ -13,17 +13,27 @@ from pyspark.sql import functions as F
 def test_scan_rejects_null_order_keys_with_payload(spark):
     from ironbeam_spark.operators.scan import global_running_sum
 
-    # stamped fallback path (string key): the rejoin on order_cols would
-    # silently DROP the NULL-key row — must fail fast instead
+    # stamped fallback path (float key — no monotone decimal projection):
+    # the rejoin on order_cols would silently DROP the NULL-key row —
+    # must fail fast instead
+    fdf = spark.createDataFrame(
+        [(1.0, 10, "pa"), (None, 20, "pb"), (3.0, 30, "pc")],
+        "k double, v long, payload string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_running_sum(fdf, ["k"], "v", "cum").collect()
+    # without payload columns there is no rejoin: NULL keys flow through
+    narrow = spark.createDataFrame([(1.0, 10), (None, 20)], "k double, v long")
+    assert global_running_sum(narrow, ["k"], "v", "cum").count() == 2
+    # string keys route to the bucketed path since round 7: no rejoin, so
+    # NULL keys + payload are legal — NULLS FIRST, payload intact
     sdf = spark.createDataFrame(
         [("a", 10, "pa"), (None, 20, "pb"), ("c", 30, "pc")],
         "k string, v long, payload string",
     )
-    with pytest.raises(ValueError, match="NULL"):
-        global_running_sum(sdf, ["k"], "v", "cum").collect()
-    # without payload columns there is no rejoin: NULL keys flow through
-    narrow = spark.createDataFrame([("a", 10), (None, 20)], "k string, v long")
-    assert global_running_sum(narrow, ["k"], "v", "cum").count() == 2
+    srows = {r.k: (r.cum, r.payload)
+             for r in global_running_sum(sdf, ["k"], "v", "cum").collect()}
+    assert srows == {None: (20, "pb"), "a": (30, "pa"), "c": (60, "pc")}
     # bucketed integral path: no rejoin exists, so NULL keys + payload are
     # legal — NULLS FIRST (bucket -1), payload intact, sums exact
     df = spark.createDataFrame(

@@ -369,29 +369,36 @@ def test_global_running_sum_payload_join_back(spark):
 
 
 def test_global_running_sum_payload_requires_unique_order(spark):
-    """Stamped fallback path (non-numeric key): with payload columns
-    present, tied order keys would multiply rows in the join-back — the
-    per-slice totals pass must catch it and raise.  The bucketed
-    integral-key path has no join-back, so the same shape is legal there:
-    payload rides the window and ties share the documented
+    """Stamped fallback path (float key — the one type family without a
+    monotone decimal projection): with payload columns present, tied
+    order keys would multiply rows in the join-back — the per-slice
+    totals pass must catch it and raise.  The bucketed paths (integral
+    AND string since round 7) have no join-back, so the same shape is
+    legal there: payload rides the window and ties share the documented
     arbitrary-but-fixed relative order."""
     import pytest
 
     from ironbeam_spark.operators.scan import global_running_sum, release_scan_caches
 
-    srows = [(f"k{i % 50:02d}", i, f"p{i}") for i in range(500)]  # dup string keys
-    sdf = spark.createDataFrame(srows, "k string, v long, tag string")
+    frows = [(float(i % 50), i, f"p{i}") for i in range(500)]  # dup float keys
+    fdf = spark.createDataFrame(frows, "k double, v long, tag string")
     with pytest.raises(ValueError, match="uniquely key"):
-        global_running_sum(sdf, ["k"], "v")
+        global_running_sum(fdf, ["k"], "v")
     release_scan_caches()
     # the same tied keys WITHOUT payload stay legal (documented contract)
-    narrow = sdf.select("k", "v")
-    total = sum(v for _, v, _ in srows)
+    narrow = fdf.select("k", "v")
+    total = sum(v for _, v, _ in frows)
     got = global_running_sum(narrow, ["k"], "v").agg(
         F.max("running_sum")
     ).collect()[0][0]
     assert got == total
     release_scan_caches()
+    # string keys + ties + payload: legal on the round-7 bucketed path
+    srows = [(f"k{i % 50:02d}", i, f"p{i}") for i in range(500)]
+    sdf = spark.createDataFrame(srows, "k string, v long, tag string")
+    out = global_running_sum(sdf, ["k"], "v").collect()
+    assert len(out) == 500
+    assert max(r.running_sum for r in out) == sum(v for _, v, _ in srows)
     # integral key + payload + ties: legal on the bucketed path — every
     # row keeps its payload, per-key maxima equal the tie-group prefix
     rows = [(i % 50, i, f"p{i}") for i in range(500)]
@@ -477,3 +484,63 @@ def test_global_running_sum_bucketed_extremes(spark):
         for r in global_running_sum(df, ["k"], "v", n_buckets=1).collect()
     }
     assert got1 == want
+
+
+def test_global_running_sum_string_date_timestamp_bucketed(spark):
+    """Round 7: string/date/timestamp first order keys route to the
+    deterministic bucketed path (monotone 8-byte-prefix / epoch
+    projections — plan-asserted: none of the stamped machinery), and the
+    values match the single-partition reference under any partitioning.
+    The string set stresses the projection: multibyte UTF-8, shared
+    8-byte prefixes (a projection COLLISION — same bucket, real order
+    restored by the in-bucket sort), the empty string, ties + payload,
+    and a NULL (sorts first)."""
+    import datetime
+
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    rows = [("", 1, "e"), ("a", 2, "p1"), ("a", 3, "p2"), ("ab", 4, "x"),
+            ("abcdefghij", 5, "l1"), ("abcdefghiz", 6, "l2"),
+            ("z", 7, "z"), ("é", 8, "acc"), ("日本語", 9, "cjk"),
+            (None, 10, "n")]
+    ref = sorted(
+        [r for r in rows if r[0] is not None],
+        key=lambda r: (r[0].encode(), r[2]),
+    )
+    acc, want = 10, []  # the NULL-key row (v=10) sorts first
+    for k, v, t in ref:
+        acc += v
+        want.append((k, t, acc))
+    for nparts in (1, 5, 32):
+        df = spark.createDataFrame(
+            rows, "k string, v long, tag string"
+        ).repartition(nparts)
+        out = global_running_sum(df, ["k", "tag"], "v")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "spark_partition_id" not in plan and "MapInArrow" not in plan
+        got = sorted(
+            (r.k, r.tag, r.running_sum) for r in out.collect() if r.k is not None
+        )
+        assert got == sorted(want), nparts
+
+    d0 = datetime.date(2020, 1, 1)
+    drows = [(d0 + datetime.timedelta(days=i), (i * 7) % 5 + 1) for i in range(200)]
+    ddf = spark.createDataFrame(drows, "k date, v long").repartition(7)
+    got = {r.k: r.running_sum for r in global_running_sum(ddf, ["k"], "v").collect()}
+    acc, dwant = 0, {}
+    for k, v in sorted(drows):
+        acc += v
+        dwant[k] = acc
+    assert got == dwant
+
+    trows = [
+        (datetime.datetime(2021, 3, 4, 5, 6, i % 60, i), i % 11 + 1)
+        for i in range(300)
+    ]
+    tdf = spark.createDataFrame(trows, "k timestamp, v long").repartition(13)
+    got = {r.k: r.running_sum for r in global_running_sum(tdf, ["k"], "v").collect()}
+    acc, twant = 0, {}
+    for k, v in sorted(trows):
+        acc += v
+        twant[k] = acc
+    assert got == twant
