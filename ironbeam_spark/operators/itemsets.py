@@ -76,11 +76,10 @@ def frequent_item_pairs(
     *frequent* items in a single basket (raises mid-job if exceeded) —
     the guard against quadratic blow-up on pathological baskets.
     """
-    if min_support < 1:
-        raise ValueError(f"min_support must be >= 1, got {min_support}")
     items = _basket_items(df, basket_col, item_col)
     # pass 1 builds the same canonicalized distinct subtree, so Spark's
-    # ReuseExchange shares the dedup shuffle with the pair stage
+    # ReuseExchange shares the dedup shuffle with the pair stage (it also
+    # validates min_support before any plan is built)
     freq1 = frequent_items(df, basket_col, item_col, min_support)
     # downward closure: only frequent items can be members of a frequent
     # pair — prune BEFORE the quadratic candidate stage

@@ -45,8 +45,8 @@ first, matching Spark's ``ASC NULLS FIRST``.  Skewed key DISTRIBUTIONS
 only unbalance bucket sizes (a performance concern, tunable via
 ``n_buckets``); they never affect values.
 
-**Stamped fallback (exotic order-key types only — float, complex).**
-The original
+**Stamped fallback (key types with no monotone decimal projection —
+float/double and complex types).**  The original
 range-shuffle mechanism: ``repartitionByRange`` +
 ``spark_partition_id()`` stamp + eager ``localCheckpoint`` + per-slice
 totals + broadcast offsets + ``mapInArrow`` cumulative pass.  It is
@@ -54,8 +54,8 @@ partition-invariant and recompute-invariant by construction, but it
 leans on environment-sensitive machinery (physical partition ids,
 checkpoint semantics) that the bucketed path eliminates entirely —
 which is why the bucketed path is preferred whenever the first order
-key is integral.  See ``_running_sum_stamped`` for the full design
-notes.
+key admits a monotone decimal projection (integral/decimal/string/date/
+timestamp).  See ``_running_sum_stamped`` for the full design notes.
 
 No reference counterpart (north-star extension; the reference has no
 global-order operators at all) — this is infrastructure for token-stream
@@ -156,7 +156,9 @@ def _monotone_key_projection(field, name: str):
     - date / timestamp: days / microseconds since the epoch.
     """
     dt = field.dataType.simpleString()
-    if dt in _INTEGRAL:
+    if dt in _INTEGRAL or dt.startswith("decimal("):
+        # any decimal's integer part fits decimal(38,0), and the cast's
+        # HALF_UP rounding is monotone — collisions just share a bucket
         return F.col(name).cast("decimal(38,0)")
     if dt == "string":
         # hex() of the UTF-8 bytes, first 16 nibbles, '0'-right-padded —
@@ -261,7 +263,8 @@ def _running_sum_stamped(
     value_col: str,
     out_col: str,
 ) -> DataFrame:
-    """Range-shuffle fallback for non-numeric order keys.
+    """Range-shuffle fallback for order-key types with no monotone
+    decimal projection (float/double, complex types).
 
     1. ``repartitionByRange`` + ``sortWithinPartitions`` puts each task
        on a contiguous, ordered slice of the total order.  Only the

@@ -25,6 +25,11 @@ def test_scan_rejects_null_order_keys_with_payload(spark):
     # without payload columns there is no rejoin: NULL keys flow through
     narrow = spark.createDataFrame([(1.0, 10), (None, 20)], "k double, v long")
     assert global_running_sum(narrow, ["k"], "v", "cum").count() == 2
+    # the stamped calls above checkpointed slices — honor the release
+    # contract so blocks don't bleed into later tests
+    from ironbeam_spark.operators.scan import release_scan_caches
+
+    release_scan_caches()
     # string keys route to the bucketed path since round 7: no rejoin, so
     # NULL keys + payload are legal — NULLS FIRST, payload intact
     sdf = spark.createDataFrame(

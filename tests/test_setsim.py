@@ -544,3 +544,21 @@ def test_global_running_sum_string_date_timestamp_bucketed(spark):
         acc += v
         twant[k] = acc
     assert got == twant
+
+    # decimal keys: the cast's HALF_UP rounding is monotone, so fractional
+    # and negative decimals ride the same bucketed path
+    from decimal import Decimal
+
+    crows = [
+        (Decimal(i) - Decimal("250.55"), (i * 13) % 7 + 1) for i in range(500)
+    ]
+    cdf = spark.createDataFrame(crows, "k decimal(18,2), v long").repartition(11)
+    out = global_running_sum(cdf, ["k"], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "spark_partition_id" not in plan
+    got = {r.k: r.running_sum for r in out.collect()}
+    acc, cwant = 0, {}
+    for k, v in sorted(crows):
+        acc += v
+        cwant[k] = acc
+    assert got == cwant
