@@ -26,7 +26,11 @@ environment, partition count, task scheduling, or recompute:
    construction, and the in-bucket window orders by the TRUE key), so
    even decimal rounding inside the division is harmless.
 3. Per-bucket totals come from one combinable ``groupBy`` (map-side
-   partial + final, at most ``n_buckets + 1`` groups).
+   partial + final, at most ``n_buckets + 2`` groups: the NULL bucket,
+   plus the width division's HALF_UP rounding at scale 6 can nudge a
+   quotient infinitesimally below an integer up across it, yielding ids
+   up to ``n_buckets`` rather than ``n_buckets - 1`` — harmless, the
+   offsets join covers whatever buckets exist).
 4. The exclusive prefix over the tiny bucket-totals frame is a
    single-partition window — bounded by ``n_buckets`` rows, the same
    driver-size class as k-means centers — and rejoins the data through a
@@ -43,7 +47,16 @@ no checkpoint, no join-back, and therefore no key-uniqueness or NULL-key
 restrictions.  NULL first-order-keys map to bucket ``-1`` and sort
 first, matching Spark's ``ASC NULLS FIRST``.  Skewed key DISTRIBUTIONS
 only unbalance bucket sizes (a performance concern, tunable via
-``n_buckets``); they never affect values.
+``n_buckets``); they never affect values.  **Outlier caveat**: the
+bucket width derives from the global min/max RANGE, so a single extreme
+key (one row at 2^63 with the rest clustered) inflates the range and
+funnels virtually the whole dataset into one bucket — recreating the
+single-task window hazard, and ``n_buckets`` cannot compensate.  For
+outlier-heavy key distributions pass ``mechanism="stamped"``: the
+stamped path's ``repartitionByRange`` draws its slice boundaries from a
+reservoir SAMPLE of the actual key distribution (Spark's
+RangePartitioner), i.e. quantile-based boundaries, which outliers
+cannot skew.
 
 **Stamped fallback (key types with no monotone decimal projection —
 float/double and complex types).**  The original
@@ -70,7 +83,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-__all__ = ["global_running_sum"]
+__all__ = ["global_running_sum", "pack_layout"]
 
 _INTEGRAL = ("bigint", "int", "smallint", "tinyint")
 
@@ -94,6 +107,7 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     n_buckets: int = 4096,
+    mechanism: str = "auto",
 ) -> DataFrame:
     """Append ``out_col`` = inclusive prefix sum of ``value_col`` (int64)
     under the total order ``order_cols``.  Two-level parallel scan — see
@@ -117,6 +131,16 @@ def global_running_sum(
     most that many rows pass through the single-partition window) and
     sets the parallelism ceiling of the per-bucket windows; raise it on
     large clusters so buckets stay executor-memory-sized.
+
+    ``mechanism`` selects the scan path: ``"auto"`` (default) picks
+    bucketed when the first order key admits a monotone decimal
+    projection, stamped otherwise; ``"stamped"`` forces the
+    range-shuffle fallback — use it when the key distribution has
+    extreme outliers that would inflate the bucketed path's min/max
+    range and funnel the data into one bucket (RangePartitioner's
+    sampled boundaries are outlier-robust; see the module docstring);
+    ``"bucketed"`` forces the expression-only path and raises for key
+    types without a monotone projection.
     """
     dt = df.schema[value_col].dataType.simpleString()
     if dt not in _INTEGRAL:
@@ -130,13 +154,60 @@ def global_running_sum(
         raise ValueError("input must not contain __scan* columns")
     if n_buckets < 1:
         raise ValueError("n_buckets must be positive")
+    if mechanism not in ("auto", "bucketed", "stamped"):
+        raise ValueError(
+            f"mechanism must be 'auto', 'bucketed', or 'stamped', got {mechanism!r}"
+        )
 
     proj = _monotone_key_projection(df.schema[order_cols[0]], order_cols[0])
-    if proj is not None:
+    if mechanism == "bucketed" and proj is None:
+        raise TypeError(
+            "mechanism='bucketed' requires a first order key with a monotone "
+            "decimal projection (integral/decimal/string/date/timestamp); "
+            f"{order_cols[0]} has type "
+            f"{df.schema[order_cols[0]].dataType.simpleString()}"
+        )
+    if proj is not None and mechanism != "stamped":
         return _running_sum_bucketed(
             df, order_cols, value_col, out_col, n_buckets, proj
         )
     return _running_sum_stamped(df, order_cols, value_col, out_col)
+
+
+def pack_layout(
+    df: DataFrame, n_col: str, cum_col: str, cap: int
+) -> DataFrame:
+    """Fixed-window packing columns from an inclusive prefix sum: append
+    ``pack_id`` (which ``cap``-sized window the element starts in),
+    ``offset_in_pack`` and ``n_packs_spanned`` (zero-size elements span 1
+    by convention) given ``cum_col`` = inclusive running total of
+    ``n_col`` — the cross-document token-packing layout
+    (q_token_packing's arithmetic, factored here so it is unit-testable
+    past the double-precision cliff).
+
+    All divisions are integer ``DIV``, never ``/`` + cast: ``/`` is
+    DOUBLE division, exact only while the numerator stays below ~2^52.
+    A 100 TB token stream has cumulative counts ~10^13 and beyond, where
+    ``(2048k - 1) / 2048`` can round UP across the integer boundary and
+    misassign ``pack_id``/``n_packs_spanned`` at pack edges
+    (tests/test_scan.py proves exactness at offsets > 2^53).
+    """
+    if cap < 1:
+        raise ValueError("cap must be positive")
+    start = F.col(cum_col) - F.col(n_col)
+    return df.withColumn("__scan_start", start).select(
+        *df.columns,
+        F.expr(f"__scan_start DIV {cap}").alias("pack_id"),
+        (F.col("__scan_start") % F.lit(cap)).alias("offset_in_pack"),
+        (
+            F.when(F.col(n_col) == 0, F.lit(1))
+            .otherwise(
+                F.expr(f"({cum_col} - 1) DIV {cap}")
+                - F.expr(f"__scan_start DIV {cap}")
+                + 1
+            )
+        ).alias("n_packs_spanned"),
+    )
 
 
 def _monotone_key_projection(field, name: str):
@@ -222,7 +293,8 @@ def _running_sum_bucketed(
     )
     bucketed = wide.select(*df.columns, bucket)
 
-    # per-bucket totals: ONE combinable aggregate (<= n_buckets+1 groups);
+    # per-bucket totals: ONE combinable aggregate (<= n_buckets+2 groups:
+    # NULL bucket + a possible rounding-spawned top bucket, see module doc);
     # exclusive prefix over that tiny frame is the bounded single-partition
     # window (n_buckets rows — the same driver-size class as k-means
     # centers), and the offsets reach the data via a broadcast hash join

@@ -40,7 +40,24 @@ __all__ = [
     "node_clustering",
     "canonical_edges",
     "materialized_edges",
+    "release_edge_caches",
 ]
+
+# checkpointed canonical-edge frames awaiting caller release (same contract
+# as operators.scan._PERSISTED_SCAN_TABLES / pagerank's rank caches: a
+# long-lived gate or bench process calls release_edge_caches() between
+# queries so repeated triangle/clustering/link-prediction invocations don't
+# accumulate lazy-localCheckpoint blocks until garbage collection — block
+# loss after eviction fails jobs loudly, and pinned blocks crowd executor
+# storage the next query needs)
+_PERSISTED_EDGE_TABLES: list[DataFrame] = []
+
+
+def release_edge_caches() -> int:
+    n = len(_PERSISTED_EDGE_TABLES)
+    while _PERSISTED_EDGE_TABLES:
+        _PERSISTED_EDGE_TABLES.pop().unpersist()
+    return n
 
 
 def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
@@ -61,11 +78,17 @@ def materialized_edges(
 ) -> DataFrame:
     """Canonical edge set, lineage-truncated per policy (default =
     AfterEveryBarrier, the :func:`dedup_components` convention).  Lazy
-    checkpoint: the first action over the wedge plan materializes it."""
+    checkpoint: the first action over the wedge plan materializes it.
+    The checkpointed frame is tracked in ``_PERSISTED_EDGE_TABLES`` for
+    explicit release via :func:`release_edge_caches`."""
     from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
     policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
-    return policy.checkpoint(canonical_edges(df, src_col, dst_col), eager=False)
+    canonical = canonical_edges(df, src_col, dst_col)
+    edges = policy.checkpoint(canonical, eager=False)
+    if edges is not canonical:  # the policy fired -> checkpoint blocks exist
+        _PERSISTED_EDGE_TABLES.append(edges)
+    return edges
 
 
 def _degrees(edges: DataFrame) -> DataFrame:

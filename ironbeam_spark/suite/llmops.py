@@ -392,25 +392,19 @@ QUERIES["q_crossshard_dedup"].oracle = _cs_oracle()
 )
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.functions.text import token_count
-    from ironbeam_spark.operators.scan import global_running_sum
+    from ironbeam_spark.operators.scan import global_running_sum, pack_layout
 
-    cap = 2048
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").alias("n_tokens")
     )
     scanned = global_running_sum(docs, ["doc_id"], "n_tokens", "cum_end")
-    start = F.col("cum_end") - F.col("n_tokens")
-    return scanned.select(
-        "doc_id",
-        "n_tokens",
-        (start / cap).cast("long").alias("pack_id"),
-        (start % cap).alias("offset_in_pack"),
-        # packs this doc spans (long docs cross window boundaries)
-        (
-            F.when(F.col("n_tokens") == 0, F.lit(1))
-            .otherwise(((F.col("cum_end") - 1) / cap).cast("long") - (start / cap).cast("long") + 1)
-        ).alias("n_packs_spanned"),
-    ).orderBy("doc_id")
+    # pack arithmetic lives in operators/scan.pack_layout — integer DIV
+    # throughout (exact past 2^53 cumulative tokens; tests/test_scan.py)
+    return (
+        pack_layout(scanned, "n_tokens", "cum_end", cap=2048)
+        .select("doc_id", "n_tokens", "pack_id", "offset_in_pack", "n_packs_spanned")
+        .orderBy("doc_id")
+    )
 
 
 def _tp_oracle() -> str:
@@ -421,10 +415,13 @@ def _tp_oracle() -> str:
       SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens FROM documents
     ),
     s AS (
+      -- ::BIGINT: DuckDB's window sum is HUGEINT (Arrow decimal128(38,0));
+      -- uncast, the derived pack columns inherit it and a dtype-sensitive
+      -- hash mismatches Spark's int64 on type with equal values
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_end
+             (sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::BIGINT AS cum_end
       FROM t
     )
     SELECT doc_id, n_tokens,
@@ -479,11 +476,16 @@ QUERIES["q_token_counts"].oracle = _tc_oracle()
 
 @query(
     "q_prefix_scan",
+    # NOTE the ::BIGINT on the window sum: DuckDB types sum(BIGINT) OVER as
+    # HUGEINT, which its Arrow surface emits as decimal128(38,0) while Spark
+    # emits int64 — a dtype-sensitive comparison then fails on TYPE with
+    # equal values (tests/test_oracle_dtypes.py lints the whole registry
+    # against this class).
     """
     SELECT o_orderkey, o_custkey AS v,
-           sum(o_custkey) OVER (ORDER BY o_orderkey
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_v
+           (sum(o_custkey) OVER (ORDER BY o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             )::BIGINT AS running_v
     FROM orders ORDER BY o_orderkey
     """,
     doc="bisect probe B: the distributed two-pass prefix scan (operators/scan.py) alone, over orders keyed by o_orderkey on a clean integer column — no tokenizer anywhere in the plan",
@@ -657,6 +659,34 @@ _BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _assert_bpe_oracle_well_formed(merges: list[tuple[str, str]]) -> None:
+    """Import-time guard for the oracle-equivalence precondition (round-7
+    advice): the rank-ordered replace chain equals the engine's
+    lowest-rank-first loop only when applying a LATER merge can never
+    create a new occurrence of an EARLIER pair.  A merge creates new
+    adjacencies only around its output symbol ``a+b``, so it suffices
+    that every output is distinct from all other outputs and from every
+    earlier pair's constituents (e.g. ``(a, bc)`` and ``(ab, c)`` both
+    yielding ``'abc'`` would violate it).  True of this committed table;
+    re-freeze a table only if it still satisfies this check."""
+    outputs = [a + b for a, b in merges]
+    assert len(set(outputs)) == len(outputs), (
+        "BPE oracle precondition broken: duplicate merge outputs "
+        f"{[o for o in outputs if outputs.count(o) > 1]}"
+    )
+    for j, out in enumerate(outputs):
+        earlier = {s for a, b in merges[:j] for s in (a, b)}
+        assert out not in earlier, (
+            f"BPE oracle precondition broken: merge {j} output {out!r} "
+            "equals a constituent of an earlier merge — a later pass could "
+            "recreate that earlier pair and the replace-chain oracle "
+            "diverges from the lowest-rank-first engine loop"
+        )
+
+
+_assert_bpe_oracle_well_formed(_BPE_MERGES)
+
+
 def _bpe_chain_sql(word_expr: str) -> str:
     """DuckDB expression segmenting ``word_expr`` with ``_BPE_MERGES``:
     symbols separated by DOUBLE chr(31) boundaries, merges applied as a
@@ -664,12 +694,16 @@ def _bpe_chain_sql(word_expr: str) -> str:
     ORDER.
 
     Rank-order sequential application is provably identical to the
-    engine's lowest-rank-first loop (operators/bpe.bpe_segment) for any
-    merge table produced by BPE training: a merge's constituents are
-    always base symbols or outputs of EARLIER merges, so applying a later
-    merge can never create a new occurrence of an earlier pair — an
-    independent formulation, not a transliteration, which is what makes
-    it an oracle.
+    engine's lowest-rank-first loop (operators/bpe.bpe_segment) for merge
+    tables satisfying the well-formedness invariant asserted at import by
+    ``_assert_bpe_oracle_well_formed``: every merge output is distinct
+    from all other outputs and from every earlier pair's constituents.
+    Under that invariant applying a later merge can never create a new
+    occurrence of an earlier pair (new adjacencies only form around the
+    output symbol), so one pass per rank suffices — an independent
+    formulation, not a transliteration, which is what makes it an oracle.
+    (Without the invariant the claim fails: ``(a, bc)`` and ``(ab, c)``
+    both yielding ``'abc'`` lets a later merge recreate an earlier pair.)
 
     The boundary is TWO separator chars and each replace pattern
     ``<sep>a<sep><sep>b<sep>`` consumes exactly one separator from each

@@ -13,27 +13,28 @@ move to the block immediately after slot 50.  See the rotation history in
 
 from ironbeam_spark.suite import CANONICAL_ORDER, QUERIES
 
-# Current frozen prefix (r7 rotation wave 1 applied).
+# Current frozen prefix (r8 rotation wave 2 applied).
 FROZEN_PREFIX = [
-    # 1-2: the scan pair (red r4-r6; r7 bucketed-scan rebuild retrial)
+    # 1-2: the scan pair (red r4-r7; r8 retrial with BIGINT-cast oracles)
     "q_prefix_scan",
     "q_token_packing",
-    # 3: first retrial with its new exact segmentation oracle
-    "q_bpe_tokenize",
-    # 4-11: rotated in for r7 (wave 1 of the 44 round-6 additions)
-    "q_jpeg_decode",
-    "q_substring_spans",
-    "q_scd2",
-    "q_cdc_apply",
-    "q_rollup_cascade",
-    "q_pagerank",
-    "q_profile_table",
-    "q_ann_ivfpq",
-    # 12-15: streaming additions adjacent (shared session bring-up)
-    "q_stream_enrich",
-    "q_stream_cdc",
-    "q_stream_left_join",
-    "q_stream_sink",
+    # 3: scan-dependent
+    "q_weighted_sample",
+    # 4-7: codecs + formats (wave 2)
+    "q_jpeg_progressive",
+    "q_mpeg_probe",
+    "q_flac_decode",
+    "q_safetensors",
+    # 8-10: graph trio adjacent (share materialized_edges)
+    "q_triangle_count",
+    "q_clustering_coeff",
+    "q_link_prediction",
+    # 11-15: coreset / editdist / merge / line-dedup / inverted index
+    "q_kcenter",
+    "q_editdist_join",
+    "q_scd2_merge",
+    "q_line_dedup",
+    "q_phrase_search",
     # 16-50: IMMUTABLE cross-section
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -70,7 +71,21 @@ FROZEN_PREFIX = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # 51-62: displaced from the r6 window (all green in CORRECTNESS_r06)
+    # 51-63: displaced from the r7 window (all green in CORRECTNESS_r07)
+    "q_bpe_tokenize",
+    "q_jpeg_decode",
+    "q_substring_spans",
+    "q_scd2",
+    "q_cdc_apply",
+    "q_rollup_cascade",
+    "q_pagerank",
+    "q_profile_table",
+    "q_ann_ivfpq",
+    "q_stream_enrich",
+    "q_stream_cdc",
+    "q_stream_left_join",
+    "q_stream_sink",
+    # 64-75: displaced from the r6 window (all green in CORRECTNESS_r06)
     "q_winnow_fingerprints",
     "q_token_counts",
     "q_audio_decode",
@@ -83,7 +98,7 @@ FROZEN_PREFIX = [
     "q_webdataset",
     "q_tar_image_pipeline",
     "q_asof_join",
-    # 63-74: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # 76-87: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -96,7 +111,7 @@ FROZEN_PREFIX = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # 75-84: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # 88-97: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -107,7 +122,7 @@ FROZEN_PREFIX = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # 85-96: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # 98-109: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

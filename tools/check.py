@@ -25,6 +25,7 @@ if _REPO not in sys.path:
 from ironbeam_spark.session import get_spark  # noqa: E402
 from ironbeam_spark.sources.io import TPCH_TABLES  # noqa: E402
 from ironbeam_spark.suite import QUERIES  # noqa: E402
+from tools.oracle_dtypes import dtype_mismatches, oracle_arrow_schema  # noqa: E402
 
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
@@ -105,6 +106,17 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             msgs.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        # dtype lint: fetchall() above coerces DuckDB HUGEINT/DECIMAL to
+        # Python int, hiding output-typing divergence a dtype-sensitive
+        # external hash WILL see (the four-round q_prefix_scan lesson);
+        # re-type-check the oracle through Arrow (LIMIT 0 — no re-run)
+        try:
+            dmm = dtype_mismatches(sdf.schema, oracle_arrow_schema(con, q.oracle))
+        except Exception as e:  # never let the probe mask the value verdict
+            dmm = [f"dtype probe error: {e}"]
+        if dmm:
+            ok = False
+            msgs.append("dtype: " + "; ".join(dmm))
         if len(s_rows) != len(d_rows):
             ok = False
             msgs.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
@@ -136,11 +148,13 @@ def main() -> int:
     from ironbeam_spark.operators.dedup import release_shingle_caches
     from ironbeam_spark.operators.pagerank import release_rank_caches
     from ironbeam_spark.operators.scan import release_scan_caches
+    from ironbeam_spark.operators.triangles import release_edge_caches
     from ironbeam_spark.sources.compression import release_codec_caches
 
     release_shingle_caches()
     release_scan_caches()
     release_rank_caches()
+    release_edge_caches()
     release_codec_caches()
     return 1 if n_fail else 0
 
