@@ -194,6 +194,8 @@ def pack_layout(
     """
     if cap < 1:
         raise ValueError("cap must be positive")
+    if any(c.startswith("__scan") for c in df.columns):
+        raise ValueError("input must not contain __scan* columns")
     start = F.col(cum_col) - F.col(n_col)
     return df.withColumn("__scan_start", start).select(
         *df.columns,

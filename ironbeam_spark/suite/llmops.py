@@ -502,6 +502,26 @@ def q_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_string_key",
+    """
+    SELECT p_partkey, p_name, p_size,
+           (sum(p_size) OVER (ORDER BY p_name, p_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             )::BIGINT AS running_size
+    FROM part ORDER BY p_partkey
+    """,
+    doc="distributed prefix scan over a STRING first order key (operators/scan.py string monotone projection: first 8 UTF-8 bytes as a big-endian unsigned decimal — bytewise order-consistent): running p_size total over parts ordered by (p_name, p_partkey); duplicate names tiebreak on the key, so the order is total; ::BIGINT keeps the oracle's window-sum typing aligned with Spark int64",
+)
+def q_scan_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    return global_running_sum(
+        part, ["p_name", "p_partkey"], "p_size", "running_size"
+    ).orderBy("p_partkey")
+
+
+@query(
     "q_repetition_filter",
     None,  # assembled below — needs the shared tokenizer SQL
     doc="repetition-based quality signals (Gopher-rule family, Rae et al. 2021 §A1.1 — public): per-doc top-token fraction, top-bigram fraction, distinct-token ratio, thresholded keep verdict; explode + partial-agg per (doc, gram), linear shuffles only",

@@ -195,6 +195,7 @@ def test_no_scale_killers_in_any_query(spark):
         "q_prefix_scan",          # 1-row key-min/max stats broadcast
                                   # (global_running_sum bucketed path)
         "q_token_packing",        # same scan stats row (via global_running_sum)
+        "q_scan_string_key",      # same scan stats row (string-key bucketed path)
         "q_weighted_sample",      # same scan stats row + 1-row W/offset row
     }
     bnlj_hits, cartesian_hits = set(), set()
