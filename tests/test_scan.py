@@ -128,3 +128,105 @@ def test_pack_layout_validates_cap(spark):
         raise AssertionError("cap=0 must be rejected")
     except ValueError:
         pass
+
+
+# -- property-based models (hypothesis): adversarial key distributions ------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# keys mix a clustered range with int64-scale outliers (the distribution
+# the mechanism override exists for) and negatives
+_LONG_KEY = st.one_of(
+    st.integers(-50, 50),
+    st.integers(-(1 << 62), 1 << 62),
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_LONG_KEY, st.integers(-(10**9), 10**9)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.sampled_from([1, 3, 64]),
+    mechanism=st.sampled_from(["auto", "stamped"]),
+)
+@settings(**_HSETTINGS)
+def test_running_sum_long_key_model(spark, rows, n_buckets, mechanism):
+    """Both scan mechanisms == Python prefix sum, for ANY mix of clustered,
+    outlier, and negative int64 keys and signed values."""
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["rs"]
+        for r in global_running_sum(
+            df, ["k"], "v", "rs", n_buckets=n_buckets, mechanism=mechanism
+        ).collect()
+    }
+    cum, expect = 0, {}
+    for k, v in sorted(rows):
+        cum += v
+        expect[k] = cum
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.text(max_size=12), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_HSETTINGS)
+def test_running_sum_string_key_model(spark, rows):
+    """The string monotone projection (first 8 UTF-8 bytes) == Python
+    prefix sum under code-point order, for arbitrary unicode keys —
+    including shared prefixes, empty strings, and astral-plane chars
+    (valid-UTF-8 byte order equals code-point order, so Python's sorted()
+    IS the spec here)."""
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: r["rs"]
+        for r in global_running_sum(df, ["k"], "v", "rs").collect()
+    }
+    cum, expect = 0, {}
+    for k, v in sorted(rows):
+        cum += v
+        expect[k] = cum
+    assert got == expect
+
+
+@given(
+    sizes=st.lists(
+        st.one_of(st.integers(0, 5000), st.just(0)),
+        min_size=1,
+        max_size=30,
+    ),
+    cap=st.sampled_from([1, 7, 2048]),
+    base=st.sampled_from([0, (1 << 53) + 12345]),
+)
+@settings(**_HSETTINGS)
+def test_pack_layout_model(spark, sizes, cap, base):
+    """pack_layout == the Python integer model for ANY size sequence
+    (zero-size runs, cap=1 degenerate, sub-cap and multi-pack spans), both
+    from offset 0 and from a base past the double-precision cliff."""
+    rows = []
+    if base:
+        rows.append((0, base))  # shifts every later start past 2^53
+    rows += [(i + 1, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    scanned = global_running_sum(df, ["doc_id"], "n", "cum")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["offset_in_pack"], r["n_packs_spanned"])
+        for r in pack_layout(scanned, "n", "cum", cap).collect()
+    }
+    expect = {_id: (p, o, s) for _id, p, o, s in _py_layout(rows, cap)}
+    assert got == expect
