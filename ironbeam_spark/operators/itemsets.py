@@ -76,11 +76,18 @@ def frequent_item_pairs(
     *frequent* items in a single basket (raises mid-job if exceeded) —
     the guard against quadratic blow-up on pathological baskets.
     """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
     items = _basket_items(df, basket_col, item_col)
-    # pass 1 builds the same canonicalized distinct subtree, so Spark's
-    # ReuseExchange shares the dedup shuffle with the pair stage (it also
-    # validates min_support before any plan is built)
-    freq1 = frequent_items(df, basket_col, item_col, min_support)
+    # pass 1 aggregates the SAME items frame (not a rebuilt subtree):
+    # identical plan objects make the dedup exchange reuse unconditional,
+    # where two structurally-equal-but-separately-built subtrees were
+    # observed to re-scan the input and re-shuffle the distinct
+    freq1 = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
     # downward closure: only frequent items can be members of a frequent
     # pair — prune BEFORE the quadratic candidate stage
     pruned = items.join(freq1.select("item"), on="item", how="left_semi")

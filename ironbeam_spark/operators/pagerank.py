@@ -80,10 +80,28 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     if symmetrize:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # dedup over CANONICAL pairs BEFORE mirroring — half the distinct's
+        # shuffle volume vs distinct-after-union, same edge set: mirrored
+        # rows are disjoint from canonical ones (a != b guard keeps a
+        # self-loop from appearing twice)
+        # NULL-endpoint edges are dropped (least/greatest IGNORE nulls, so
+        # canonicalizing (NULL, v) would otherwise fabricate a (v, v)
+        # self-loop out of a malformed edge)
+        canon = (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
         )
-    e = e.distinct()
+        e = canon.unionByName(
+            canon.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    else:
+        e = e.distinct()
     # UNCONDITIONALLY checkpoint the tables every round rejoins (the policy
     # only governs the iterative ranks — routing these through it would
     # leave them un-materialized whenever the policy doesn't fire, and
@@ -95,19 +113,26 @@ def pagerank(
     e = e.repartition("src").localCheckpoint(eager=False)
     _PERSISTED_RANK_TABLES.append(e)
 
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
-    nodes = (
-        nodes.join(outdeg, on="node", how="left")
-        .repartition("node")
-        .localCheckpoint(eager=False)
-    )
+    if symmetrize:
+        # a symmetric edge set means every node appears as a src, so the
+        # outdeg aggregate IS the node list (outdeg never NULL) — the
+        # separate union+distinct over both endpoint columns and the
+        # left join back would be two extra shuffles for the same frame;
+        # groupBy already hash-partitions on node, which localCheckpoint
+        # preserves for the per-round contribs join
+        nodes = outdeg.localCheckpoint(eager=False)
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(outdeg, on="node", how="left")
+            .repartition("node")
+            .localCheckpoint(eager=False)
+        )
     _PERSISTED_RANK_TABLES.append(nodes)
     n_nodes = nodes.count()  # bounded scalar: drives the base-rank literal
     if n_nodes == 0:

@@ -75,3 +75,18 @@ def test_fuzz_against_reference(spark):
     edges = [(a, b) for a, b in edges if a != b]
     for sym in (False, True):
         assert _run(spark, edges, 4, sym) == _ref(edges, 4, sym)
+
+
+def test_null_endpoint_edges_dropped_symmetrized(spark):
+    """least/greatest ignore NULLs — the canonical-pair dedup must DROP a
+    malformed (NULL, v) edge rather than fabricate a (v, v) self-loop."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", iterations=2, symmetrize=True).collect()
+    }
+    # node 3 gained no self-loop: only {1, 2} remain connected
+    assert set(got) == {1, 2}
+    assert got == _ref([(1, 2)], 2, symmetrize=True)
