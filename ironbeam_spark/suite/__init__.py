@@ -136,7 +136,9 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_pca_gram, q_frequent_pairs / q_ann_pq, q_substring_scrub /
 #           q_lm_score / q_collocations, q_price_histogram /
 #           q_fingerprint / q_table_diff / q_bloom_skip / q_compaction /
-#           q_unicode_norm, plus any round-8 additions.
+#           q_unicode_norm, plus the round-8 additions (q_scan_string_key,
+#           q_shard_export — schedule them adjacent to whichever scan-family
+#           query stays pinned, they share global_running_sum bring-up).
 # tests/test_registry_order.py freezes the current 109-name prefix.
 CANONICAL_ORDER = [
     # -- 1-2: the scan pair (red r4-r7; r8 retrial with BIGINT-cast oracles)

@@ -437,6 +437,51 @@ def _tp_oracle() -> str:
 QUERIES["q_token_packing"].oracle = _tp_oracle()
 
 
+@query(
+    "q_shard_export",
+    None,  # assembled below — the oracle embeds the seed's affine params
+    doc="deterministic shard export (operators/sharding.py, beyond ref — the training-data write step): seeded affine permutation over Z_(2^61-1) de-clusters doc ids (bijective below p, exact DECIMAL(38,0)/HUGEINT arithmetic both engines), sizes prefix-summed by the two-level distributed scan in permuted order, shard_id/offset_in_shard from integer-DIV pack arithmetic; same seed == same layout, reproducibly",
+)
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.sharding import shard_assignment
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = shard_assignment(
+        docs, "doc_id", "n_chars", shard_capacity=16384, seed=7
+    )
+    return out.select(
+        "doc_id", "n_chars", "shuffle_key", "shard_id", "offset_in_shard"
+    ).orderBy("doc_id")
+
+
+def _shard_oracle() -> str:
+    from ironbeam_spark.operators.sharding import affine_params
+
+    a, b, p = affine_params(7)
+    return f"""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             CAST(((CAST(doc_id % {p} AS HUGEINT) * {a} + {b}) % {p})
+                  AS BIGINT) AS shuffle_key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars, shuffle_key,
+             (sum(n_chars) OVER (ORDER BY shuffle_key, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::BIGINT AS cum
+      FROM k
+    )
+    SELECT doc_id, n_chars, shuffle_key,
+           ((cum - n_chars) // 16384)::BIGINT AS shard_id,
+           ((cum - n_chars) % 16384)::BIGINT AS offset_in_shard
+    FROM s ORDER BY doc_id
+    """
+
+
+QUERIES["q_shard_export"].oracle = _shard_oracle()
+
+
 # -- q_token_packing driver-bisect probes (round 6) -------------------------
 # q_token_packing has been hash-red in the external gate two rounds running
 # while bit-exact in every local replication (isolation, full canonical-order

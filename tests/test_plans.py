@@ -196,6 +196,8 @@ def test_no_scale_killers_in_any_query(spark):
                                   # (global_running_sum bucketed path)
         "q_token_packing",        # same scan stats row (via global_running_sum)
         "q_scan_string_key",      # same scan stats row (string-key bucketed path)
+        "q_shard_export",         # same scan stats row (shard_assignment rides
+                                  # global_running_sum)
         "q_weighted_sample",      # same scan stats row + 1-row W/offset row
     }
     bnlj_hits, cartesian_hits = set(), set()
