@@ -132,17 +132,9 @@ def main() -> None:
         # drop the sf0.1 block's persisted operator intermediates first:
         # the 10x ladder should measure the sf1 corpus, not compete with
         # pinned sf0.1 shingle/posting/scan caches for executor memory
-        from ironbeam_spark.operators.dedup import release_shingle_caches
-        from ironbeam_spark.operators.pagerank import release_rank_caches
-        from ironbeam_spark.operators.scan import release_scan_caches
-        from ironbeam_spark.operators.triangles import release_edge_caches
-        from ironbeam_spark.sources.compression import release_codec_caches
+        from ironbeam_spark.caches import release_all_caches
 
-        release_shingle_caches()
-        release_scan_caches()
-        release_rank_caches()
-        release_edge_caches()
-        release_codec_caches()
+        release_all_caches()
 
         factor = 10
         # full bench set (round-4 verdict ask #5): super-linear drift in
@@ -197,17 +189,9 @@ def main() -> None:
     # (shingles, posting lists) that CacheManager reuses across the timed
     # passes; release them at exit so a long-lived driver process doesn't
     # keep sf0.1 + sf1 cache copies pinned in storage
-    from ironbeam_spark.operators.dedup import release_shingle_caches
-    from ironbeam_spark.operators.pagerank import release_rank_caches
-    from ironbeam_spark.operators.scan import release_scan_caches
-    from ironbeam_spark.operators.triangles import release_edge_caches
-    from ironbeam_spark.sources.compression import release_codec_caches
+    from ironbeam_spark.caches import release_all_caches
 
-    release_shingle_caches()
-    release_scan_caches()
-    release_rank_caches()
-    release_edge_caches()
-    release_codec_caches()
+    release_all_caches()
 
 
 if __name__ == "__main__":

@@ -196,7 +196,27 @@ def pack_layout(
         raise ValueError("cap must be positive")
     if any(c.startswith("__scan") for c in df.columns):
         raise ValueError("input must not contain __scan* columns")
-    start = F.col(cum_col) - F.col(n_col)
+    # guard: the window arithmetic is only defined for non-negative sizes
+    # and starts (Spark DIV truncates toward zero and % follows the
+    # dividend's sign, so a negative start would yield a silently-wrong
+    # layout instead of the floor/pmod a signed semantics would need) —
+    # raise mid-job rather than mis-pack
+    raw_start = F.col(cum_col) - F.col(n_col)
+    start = F.when(
+        (raw_start >= 0) & (F.col(n_col) >= 0), raw_start
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pack_layout: negative size or start ({n_col}, "
+                    f"{cum_col} - {n_col}): "
+                ),
+                F.col(n_col).cast("string"),
+                F.lit(", "),
+                raw_start.cast("string"),
+            )
+        )
+    )
     return df.withColumn("__scan_start", start).select(
         *df.columns,
         F.expr(f"__scan_start DIV {cap}").alias("pack_id"),

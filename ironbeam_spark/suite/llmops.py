@@ -460,9 +460,11 @@ def _shard_oracle() -> str:
     a, b, p = affine_params(7)
     return f"""
     WITH k AS (
+      -- ((x % p) + p) % p: DuckDB % is sign-preserving where the engine
+      -- uses pmod; the wrap keeps the oracle correct for negative ids too
       SELECT doc_id, n_chars,
-             CAST(((CAST(doc_id % {p} AS HUGEINT) * {a} + {b}) % {p})
-                  AS BIGINT) AS shuffle_key
+             CAST(((CAST(((doc_id % {p}) + {p}) % {p} AS HUGEINT) * {a} + {b})
+                   % {p}) AS BIGINT) AS shuffle_key
       FROM documents
     ),
     s AS (
@@ -734,19 +736,23 @@ def _assert_bpe_oracle_well_formed(merges: list[tuple[str, str]]) -> None:
     earlier pair's constituents (e.g. ``(a, bc)`` and ``(ab, c)`` both
     yielding ``'abc'`` would violate it).  True of this committed table;
     re-freeze a table only if it still satisfies this check."""
+    # explicit raises, not assert: a guard that vanishes under python -O
+    # is no guard at all
     outputs = [a + b for a, b in merges]
-    assert len(set(outputs)) == len(outputs), (
-        "BPE oracle precondition broken: duplicate merge outputs "
-        f"{[o for o in outputs if outputs.count(o) > 1]}"
-    )
+    if len(set(outputs)) != len(outputs):
+        raise ValueError(
+            "BPE oracle precondition broken: duplicate merge outputs "
+            f"{[o for o in outputs if outputs.count(o) > 1]}"
+        )
     for j, out in enumerate(outputs):
         earlier = {s for a, b in merges[:j] for s in (a, b)}
-        assert out not in earlier, (
-            f"BPE oracle precondition broken: merge {j} output {out!r} "
-            "equals a constituent of an earlier merge — a later pass could "
-            "recreate that earlier pair and the replace-chain oracle "
-            "diverges from the lowest-rank-first engine loop"
-        )
+        if out in earlier:
+            raise ValueError(
+                f"BPE oracle precondition broken: merge {j} output {out!r} "
+                "equals a constituent of an earlier merge — a later pass "
+                "could recreate that earlier pair and the replace-chain "
+                "oracle diverges from the lowest-rank-first engine loop"
+            )
 
 
 _assert_bpe_oracle_well_formed(_BPE_MERGES)

@@ -26,7 +26,6 @@ def test_float_nan_distinct_from_null():
 def test_float_bit_exact():
     t = pa.float64()
     assert _canon_value(0.1, t) == _canon_value(0.1, t)
-    assert _canon_value(0.1, t) != _canon_value(0.1 + 1e-17 * 0, t) or True
     # adjacent doubles differ
     import math
 

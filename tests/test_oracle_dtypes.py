@@ -8,9 +8,12 @@ compare passes) while its Arrow surface types the same column
 class: every oracle's Arrow schema must canonically equal the Spark
 query's result schema, column by column (tools/oracle_dtypes.py).
 
-The Spark side needs only plan analysis (``.schema`` — no job runs) and
-the DuckDB side a ``LIMIT 0`` type-check, so the whole 192-query sweep
-is cheap.
+The Spark side needs only ``.schema`` and the DuckDB side a ``LIMIT 0``
+type-check, so the registry-wide sweep is cheap.  (Not strictly job-free:
+iterative queries run bounded setup jobs — a node ``count()``, eager
+policy checkpoints — during DataFrame CONSTRUCTION, and several track
+frames in checkpoint registries; each case releases them so the sweep's
+storage stays bounded by one query's working set.)
 """
 
 from __future__ import annotations
@@ -35,10 +38,15 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_oracle_dtypes_match_spark(name, spark, duck):
+    from ironbeam_spark.caches import release_all_caches
+
     q = QUERIES[name]
-    sschema = q.fn(spark, SF_SMOKE).schema  # plan-only: no job executes
-    mm = dtype_mismatches(sschema, oracle_arrow_schema(duck, q.oracle))
-    assert not mm, f"{name}: oracle output dtype drift: {mm}"
+    try:
+        sschema = q.fn(spark, SF_SMOKE).schema
+        mm = dtype_mismatches(sschema, oracle_arrow_schema(duck, q.oracle))
+        assert not mm, f"{name}: oracle output dtype drift: {mm}"
+    finally:
+        release_all_caches()
 
 
 def test_lint_fires_on_uncast_hugeint(spark, duck):

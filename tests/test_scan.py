@@ -230,3 +230,15 @@ def test_pack_layout_model(spark, sizes, cap, base):
     }
     expect = {_id: (p, o, s) for _id, p, o, s in _py_layout(rows, cap)}
     assert got == expect
+
+
+def test_pack_layout_rejects_negative_midjob(spark):
+    """Negative sizes/starts would silently mis-pack (DIV truncates toward
+    zero, % follows the dividend) — the guard must raise instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, -2, -2), (2, 3, 1)], "doc_id long, n long, cum long"
+    )
+    with pytest.raises(Exception, match="negative size or start"):
+        pack_layout(df, "n", "cum", 2048).collect()

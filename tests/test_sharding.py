@@ -67,6 +67,13 @@ def test_out_of_range_ids_still_total_order(spark):
     assert _got(spark, rows, 8, seed=0) == _model(rows, 8, 0)
 
 
+def test_negative_ids_use_pmod(spark):
+    """Engine pmod == Python floored %; a negative id must land where the
+    model says (and collide with id + p, the pmod wrap)."""
+    rows = [(-5, 10), (-5 + AFFINE_P, 20), (3, 1), (-1, 4)]
+    assert _got(spark, rows, 8, seed=2) == _model(rows, 8, 2)
+
+
 def test_negative_size_raises_midjob(spark):
     df = spark.createDataFrame([(1, 5), (2, -1)], "doc_id long, n long")
     with pytest.raises(Exception, match="negative n"):
@@ -121,7 +128,9 @@ def test_write_shards_requires_assignment_cols(spark, tmp_path):
 @given(
     rows=st.lists(
         st.tuples(
-            st.one_of(st.integers(0, 100), st.integers(0, (1 << 62))),
+            st.one_of(
+                st.integers(-100, 100), st.integers(-(1 << 62), 1 << 62)
+            ),
             st.integers(0, 500),
         ),
         min_size=1,

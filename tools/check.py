@@ -145,17 +145,9 @@ def main() -> int:
     print(f"\n{n_pass} passed, {n_fail} failed")
     # hygiene: dedup/similarity operators persist shingle/posting tables
     # per invocation; release them so the gate process exits clean
-    from ironbeam_spark.operators.dedup import release_shingle_caches
-    from ironbeam_spark.operators.pagerank import release_rank_caches
-    from ironbeam_spark.operators.scan import release_scan_caches
-    from ironbeam_spark.operators.triangles import release_edge_caches
-    from ironbeam_spark.sources.compression import release_codec_caches
+    from ironbeam_spark.caches import release_all_caches
 
-    release_shingle_caches()
-    release_scan_caches()
-    release_rank_caches()
-    release_edge_caches()
-    release_codec_caches()
+    release_all_caches()
     return 1 if n_fail else 0
 
 

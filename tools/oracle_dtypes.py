@@ -11,7 +11,7 @@ with equal values.  That exact signature kept ``q_prefix_scan`` /
 
 This module is the shared fix: canonicalize BOTH engines' output types
 into one token space and require exact equality per output column.  The
-empirical baseline (round 8, all 192 oracles at sf0.001) is that the
+empirical baseline (round 8, every registry oracle at sf0.001) is that the
 registry satisfies STRICT equality — only five pairs occur:
 ``bigint==int64``, ``int==int32``, ``double==float64``,
 ``string==string``, ``boolean==bool`` — so anything looser would only
