@@ -147,8 +147,10 @@ def write_shards(
 ) -> None:
     """Write a :func:`shard_assignment` result as one directory per shard
     (``shard_id=N/``), each shard's rows sorted by their in-shard offset.
-    One task per shard (the repartition is ON shard_id), so a shard is
-    one output file — the layout training loaders expect."""
+    The repartition is ON shard_id, so all of a shard's rows land in one
+    task and each shard directory holds ONE file — the layout training
+    loaders expect.  (A task may write several shards when there are more
+    shards than partitions; each still gets its own single file.)"""
     for c in ("shard_id", "offset_in_shard"):
         if c not in df.columns:
             raise ValueError(f"write_shards input missing {c!r} — "
