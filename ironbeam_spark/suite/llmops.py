@@ -440,6 +440,7 @@ QUERIES["q_token_packing"].oracle = _tp_oracle()
 @query(
     "q_shard_export",
     None,  # assembled below — the oracle embeds the seed's affine params
+    bench=True,
     doc="deterministic shard export (operators/sharding.py, beyond ref — the training-data write step): seeded affine permutation over Z_(2^61-1) de-clusters doc ids (bijective below p, exact DECIMAL(38,0)/HUGEINT arithmetic both engines), sizes prefix-summed by the two-level distributed scan in permuted order, shard_id/offset_in_shard from integer-DIV pack arithmetic; same seed == same layout, reproducibly",
 )
 def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
