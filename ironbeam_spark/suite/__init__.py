@@ -129,39 +129,61 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_editdist_join (edit-distance join), q_scd2_merge (merge
 #           family), q_line_dedup (line-level dedup), q_phrase_search
 #           (inverted index).
-#   r8->r9 (planned, wave 3): remaining never-driver-sampled, by family:
-#           q_arrow_ipc / q_orc (formats), q_funnel / q_retention /
-#           q_ewma / q_zscore_anomaly (ops analytics), q_cdc_merge /
-#           q_rollup_merge / q_warehouse_pipeline (merge family),
-#           q_pca_gram, q_frequent_pairs / q_ann_pq, q_substring_scrub /
-#           q_lm_score / q_collocations, q_price_histogram /
-#           q_fingerprint / q_table_diff / q_bloom_skip / q_compaction /
-#           q_unicode_norm, plus the round-8 additions (q_scan_string_key,
-#           q_shard_export — schedule them adjacent to whichever scan-family
-#           query stays pinned, they share global_running_sum bring-up).
-# tests/test_registry_order.py freezes the current 109-name prefix.
+#   r8->r9 (APPLIED, wave 3): CORRECTNESS_r08 was 50/50 green — the first
+#           fully-green window.  All 15 window queries are displaceable by
+#           policy, but slots 1-2 KEEP q_prefix_scan + q_token_packing for
+#           one more round (r8 verdict ask #2: they earned their first
+#           green after four red rounds via the oracle BIGINT-cast fix, so
+#           one round of regression watch before release).  The 13 r8-green
+#           queries in slots 3-15 (q_weighted_sample, q_jpeg_progressive,
+#           q_mpeg_probe, q_flac_decode, q_safetensors, q_triangle_count,
+#           q_clustering_coeff, q_link_prediction, q_kcenter,
+#           q_editdist_join, q_scd2_merge, q_line_dedup, q_phrase_search)
+#           move to slots 51-63.  Rotated in, by family novelty, with the
+#           committed adjacency asks honored: q_scan_string_key +
+#           q_shard_export adjacent to the pinned scan pair (slots 3-4 —
+#           shared global_running_sum bring-up), q_arrow_ipc + q_orc
+#           (formats), the merge family ADJACENT (q_cdc_merge,
+#           q_rollup_merge, q_warehouse_pipeline — slots 7-9), q_funnel
+#           (ops-analytics representative), q_pca_gram (linear algebra),
+#           q_frequent_pairs (itemsets), q_substring_scrub (substring
+#           scrub), q_bloom_skip (skipping index), q_unicode_norm (text
+#           normalization).
+#   r9->r10 (planned, wave 4 — the FINAL never-sampled tail, 11 queries):
+#           q_retention / q_ewma / q_zscore_anomaly (ops analytics),
+#           q_ann_pq (ANN codes), q_lm_score / q_collocations (language
+#           modeling), q_price_histogram / q_fingerprint / q_table_diff /
+#           q_compaction (warehouse ops), plus the round-9 addition
+#           q_scan_float_key (the stamped scan path's end-to-end driver
+#           evidence — schedule it adjacent to whatever scan-family query
+#           remains pinned, if any).  11 queries fit one 15-slot window
+#           with room to spare; after wave 4 every registry query has a
+#           driver row and the rotation retires.
+# tests/test_registry_order.py freezes the current 122-name prefix.
 CANONICAL_ORDER = [
-    # -- 1-2: the scan pair (red r4-r7; r8 retrial with BIGINT-cast oracles)
+    # -- 1-2: the scan pair (first green in r8 after four red rounds —
+    #         kept one more round as a regression watch per the r8 verdict)
     "q_prefix_scan",
     "q_token_packing",
-    # -- 3: scan-dependent (rides global_running_sum; oracle casts outputs)
-    "q_weighted_sample",
-    # -- 4-7: codecs + formats (wave 2 of the round-6/7 additions)
-    "q_jpeg_progressive",
-    "q_mpeg_probe",
-    "q_flac_decode",
-    "q_safetensors",
-    # -- 8-10: graph trio adjacent (share materialized_edges — one window
-    #          amortizes canonical-edge-set construction)
-    "q_triangle_count",
-    "q_clustering_coeff",
-    "q_link_prediction",
-    # -- 11-15: coreset / editdist / merge / line-dedup / inverted index
-    "q_kcenter",
-    "q_editdist_join",
-    "q_scd2_merge",
-    "q_line_dedup",
-    "q_phrase_search",
+    # -- 3-4: scan family adjacent to the pinned pair (shared
+    #         global_running_sum bring-up; both never driver-sampled)
+    "q_scan_string_key",
+    "q_shard_export",
+    # -- 5-6: formats
+    "q_arrow_ipc",
+    "q_orc",
+    # -- 7-9: merge family adjacent (scd2/cdc/rollup merge machinery)
+    "q_cdc_merge",
+    "q_rollup_merge",
+    "q_warehouse_pipeline",
+    # -- 10-15: ops analytics / linear algebra / itemsets / substring
+    #           scrub / skipping index / text normalization
+    "q_funnel",
+    "q_pca_gram",
+    "q_frequent_pairs",
+    "q_substring_scrub",
+    "q_bloom_skip",
+    "q_unicode_norm",
     # -- 16-22: relational / TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -203,7 +225,21 @@ CANONICAL_ORDER = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # -- 51-63: displaced from the r7 window (all green in CORRECTNESS_r07)
+    # -- 51-63: displaced from the r8 window (all green in CORRECTNESS_r08)
+    "q_weighted_sample",
+    "q_jpeg_progressive",
+    "q_mpeg_probe",
+    "q_flac_decode",
+    "q_safetensors",
+    "q_triangle_count",
+    "q_clustering_coeff",
+    "q_link_prediction",
+    "q_kcenter",
+    "q_editdist_join",
+    "q_scd2_merge",
+    "q_line_dedup",
+    "q_phrase_search",
+    # -- 64-76: displaced from the r7 window (all green in CORRECTNESS_r07)
     "q_bpe_tokenize",
     "q_jpeg_decode",
     "q_substring_spans",
@@ -217,7 +253,7 @@ CANONICAL_ORDER = [
     "q_stream_cdc",
     "q_stream_left_join",
     "q_stream_sink",
-    # -- 64-75: displaced from the r6 window (all green in CORRECTNESS_r06)
+    # -- 77-88: displaced from the r6 window (all green in CORRECTNESS_r06)
     "q_winnow_fingerprints",
     "q_token_counts",
     "q_audio_decode",
@@ -230,7 +266,7 @@ CANONICAL_ORDER = [
     "q_webdataset",
     "q_tar_image_pipeline",
     "q_asof_join",
-    # -- 76-87: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # -- 89-100: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -243,7 +279,7 @@ CANONICAL_ORDER = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # -- 88-97: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # -- 101-110: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -254,7 +290,7 @@ CANONICAL_ORDER = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # -- 98-109: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # -- 111-122: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

@@ -13,28 +13,28 @@ move to the block immediately after slot 50.  See the rotation history in
 
 from ironbeam_spark.suite import CANONICAL_ORDER, QUERIES
 
-# Current frozen prefix (r8 rotation wave 2 applied).
+# Current frozen prefix (r9 rotation wave 3 applied).
 FROZEN_PREFIX = [
-    # 1-2: the scan pair (red r4-r7; r8 retrial with BIGINT-cast oracles)
+    # 1-2: the scan pair (first green r8 — kept one round as regression watch)
     "q_prefix_scan",
     "q_token_packing",
-    # 3: scan-dependent
-    "q_weighted_sample",
-    # 4-7: codecs + formats (wave 2)
-    "q_jpeg_progressive",
-    "q_mpeg_probe",
-    "q_flac_decode",
-    "q_safetensors",
-    # 8-10: graph trio adjacent (share materialized_edges)
-    "q_triangle_count",
-    "q_clustering_coeff",
-    "q_link_prediction",
-    # 11-15: coreset / editdist / merge / line-dedup / inverted index
-    "q_kcenter",
-    "q_editdist_join",
-    "q_scd2_merge",
-    "q_line_dedup",
-    "q_phrase_search",
+    # 3-4: scan family adjacent (shared global_running_sum bring-up)
+    "q_scan_string_key",
+    "q_shard_export",
+    # 5-6: formats
+    "q_arrow_ipc",
+    "q_orc",
+    # 7-9: merge family adjacent
+    "q_cdc_merge",
+    "q_rollup_merge",
+    "q_warehouse_pipeline",
+    # 10-15: ops analytics / PCA / itemsets / scrub / bloom index / unicode
+    "q_funnel",
+    "q_pca_gram",
+    "q_frequent_pairs",
+    "q_substring_scrub",
+    "q_bloom_skip",
+    "q_unicode_norm",
     # 16-50: IMMUTABLE cross-section
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -71,7 +71,21 @@ FROZEN_PREFIX = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # 51-63: displaced from the r7 window (all green in CORRECTNESS_r07)
+    # 51-63: displaced from the r8 window (all green in CORRECTNESS_r08)
+    "q_weighted_sample",
+    "q_jpeg_progressive",
+    "q_mpeg_probe",
+    "q_flac_decode",
+    "q_safetensors",
+    "q_triangle_count",
+    "q_clustering_coeff",
+    "q_link_prediction",
+    "q_kcenter",
+    "q_editdist_join",
+    "q_scd2_merge",
+    "q_line_dedup",
+    "q_phrase_search",
+    # 64-76: displaced from the r7 window (all green in CORRECTNESS_r07)
     "q_bpe_tokenize",
     "q_jpeg_decode",
     "q_substring_spans",
@@ -85,7 +99,7 @@ FROZEN_PREFIX = [
     "q_stream_cdc",
     "q_stream_left_join",
     "q_stream_sink",
-    # 64-75: displaced from the r6 window (all green in CORRECTNESS_r06)
+    # 77-88: displaced from the r6 window (all green in CORRECTNESS_r06)
     "q_winnow_fingerprints",
     "q_token_counts",
     "q_audio_decode",
@@ -98,7 +112,7 @@ FROZEN_PREFIX = [
     "q_webdataset",
     "q_tar_image_pipeline",
     "q_asof_join",
-    # 76-87: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # 89-100: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -111,7 +125,7 @@ FROZEN_PREFIX = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # 88-97: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # 101-110: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -122,7 +136,7 @@ FROZEN_PREFIX = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # 98-109: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # 111-122: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",
