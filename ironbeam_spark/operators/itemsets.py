@@ -47,6 +47,21 @@ def _basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     ).distinct()
 
 
+def _support(items: DataFrame, min_support: int) -> DataFrame:
+    """Pass-1 support filter over a PREBUILT distinct ``(basket, item)``
+    frame — the single definition of item-support semantics, shared by
+    :func:`frequent_items` and :func:`frequent_item_pairs` so the two
+    paths cannot drift.  Taking the items frame (not the raw input)
+    preserves the identical-plan-object reuse in the pair path: Spark
+    reuses the distinct's exchange only when the aggregate is built on
+    the SAME plan object the candidate stage joins against."""
+    return (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
 def frequent_items(
     df: DataFrame, basket_col: str, item_col: str, min_support: int
 ) -> DataFrame:
@@ -54,12 +69,7 @@ def frequent_items(
     least ``min_support`` distinct baskets."""
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
-    return (
-        _basket_items(df, basket_col, item_col)
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= min_support)
-    )
+    return _support(_basket_items(df, basket_col, item_col), min_support)
 
 
 def frequent_item_pairs(
@@ -83,11 +93,7 @@ def frequent_item_pairs(
     # identical plan objects make the dedup exchange reuse unconditional,
     # where two structurally-equal-but-separately-built subtrees were
     # observed to re-scan the input and re-shuffle the distinct
-    freq1 = (
-        items.groupBy("item")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= min_support)
-    )
+    freq1 = _support(items, min_support)
     # downward closure: only frequent items can be members of a frequent
     # pair — prune BEFORE the quadratic candidate stage
     pruned = items.join(freq1.select("item"), on="item", how="left_semi")

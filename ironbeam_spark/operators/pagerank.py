@@ -76,25 +76,25 @@ def pagerank(
         raise ValueError("pagerank: need 0 < damping_num < damping_den")
     policy = checkpoint_policy or CheckpointPolicy.every_n(2)
 
+    # Uniform malformed-edge policy for BOTH modes: a NULL endpoint is a
+    # broken edge, not a node — dropped here so the directed path doesn't
+    # fabricate a NULL node with base rank while the symmetrized path
+    # (which must drop them anyway: least/greatest would turn (NULL, v)
+    # into a fake (v, v) self-loop) silently disagrees.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if symmetrize:
         # dedup over CANONICAL pairs BEFORE mirroring — half the distinct's
         # shuffle volume vs distinct-after-union, same edge set: mirrored
         # rows are disjoint from canonical ones (a != b guard keeps a
-        # self-loop from appearing twice)
-        # NULL-endpoint edges are dropped (least/greatest IGNORE nulls, so
-        # canonicalizing (NULL, v) would otherwise fabricate a (v, v)
-        # self-loop out of a malformed edge)
-        canon = (
-            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-            .select(
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
-            )
-            .distinct()
-        )
+        # self-loop from appearing twice); NULL endpoints already dropped
+        # above (least/greatest IGNORE nulls, so canonicalizing (NULL, v)
+        # would otherwise fabricate a (v, v) self-loop)
+        canon = e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).distinct()
         e = canon.unionByName(
             canon.where(F.col("src") != F.col("dst")).select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -106,10 +106,18 @@ def pagerank(
     # only governs the iterative ranks — routing these through it would
     # leave them un-materialized whenever the policy doesn't fire, and
     # every round would re-derive the edge list from its source joins).
-    # Partition by the join key FIRST — localCheckpoint preserves output
-    # partitioning, so the per-round rank⋈edges join never re-exchanges
-    # the edge side: steady-state rounds pay ONE shuffle (the contribution
-    # groupBy), not three
+    # KNOWN TRADE (measured, r9 — see SCALE.md "PageRank iteration
+    # sizing"): a checkpointed frame scans as ExistingRDD with
+    # UnknownPartitioning, so the planner re-exchanges the edge side on
+    # src each iteration even though the data is already partitioned
+    # right.  The persist() alternative keeps hashpartitioning(src)
+    # visible and elides those exchanges, but re-analyzes the cached
+    # frame's full logical tree every iteration — measured 20% SLOWER
+    # end-to-end at bench scale, where AQE broadcast-joins these frames
+    # and the "saved" exchange is a nearly-free local shuffle read.
+    # Checkpoint wins locally; on a real cluster with billions of nodes
+    # (no broadcast), flip e/nodes to .persist() so co-partitioning
+    # reaches the planner — the iteration loop is agnostic to which.
     e = e.repartition("src").localCheckpoint(eager=False)
     _PERSISTED_RANK_TABLES.append(e)
 
@@ -120,9 +128,9 @@ def pagerank(
         # a symmetric edge set means every node appears as a src, so the
         # outdeg aggregate IS the node list (outdeg never NULL) — the
         # separate union+distinct over both endpoint columns and the
-        # left join back would be two extra shuffles for the same frame;
-        # groupBy already hash-partitions on node, which localCheckpoint
-        # preserves for the per-round contribs join
+        # left join back would be two extra shuffles for the same frame
+        # (the checkpoint hides the groupBy's hashpartitioning(node) from
+        # the planner — same measured trade as the edge table above)
         nodes = outdeg.localCheckpoint(eager=False)
     else:
         nodes = (

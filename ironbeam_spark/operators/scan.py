@@ -138,9 +138,18 @@ def global_running_sum(
     range-shuffle fallback — use it when the key distribution has
     extreme outliers that would inflate the bucketed path's min/max
     range and funnel the data into one bucket (RangePartitioner's
-    sampled boundaries are outlier-robust; see the module docstring);
-    ``"bucketed"`` forces the expression-only path and raises for key
-    types without a monotone projection.
+    sampled boundaries are outlier-robust; see the module docstring).
+    The stamped path is STRICTER than the bucketed one whenever payload
+    columns (columns beyond ``order_cols`` + ``value_col``) are present:
+    the narrow scan result joins back on ``order_cols``, so they must
+    then (a) uniquely key rows — add a tiebreaker column (e.g. a
+    primary key) or project the input down to order + value columns —
+    and (b) contain no NULLs (the bucketed path's NULL-key bucket -1
+    handling does not apply; NULL keys never match an equi-join).  Both
+    violations raise mid-job rather than mis-scan, but data the default
+    bucketed path accepts can therefore fail under ``"stamped"`` — see
+    SCALE.md.  ``"bucketed"`` forces the expression-only path and
+    raises for key types without a monotone projection.
     """
     dt = df.schema[value_col].dataType.simpleString()
     if dt not in _INTEGRAL:
@@ -323,6 +332,13 @@ def _running_sum_bucketed(
     totals = bucketed.groupBy("__scan_bkt").agg(
         F.sum(F.col(value_col).cast("long")).alias("__scan_total")
     )
+    # NOTE: this un-partitioned window triggers Spark's "No Partition
+    # Defined for Window operation / moving all data to a single
+    # partition" WindowExec warning in logs.  That is EXPECTED and
+    # bounded by design: the frame is the bucket-totals aggregate, at
+    # most n_buckets + 2 rows (never the data), the same driver-size
+    # class as k-means centers — do not "fix" it into a partitioned
+    # window, which would break the exclusive global prefix.
     w_off = Window.orderBy("__scan_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )

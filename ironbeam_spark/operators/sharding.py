@@ -150,11 +150,26 @@ def write_shards(
     The repartition is ON shard_id, so all of a shard's rows land in one
     task and each shard directory holds ONE file — the layout training
     loaders expect.  (A task may write several shards when there are more
-    shards than partitions; each still gets its own single file.)"""
+    shards than partitions; each still gets its own single file.)
+
+    The one-file guarantee requires ``spark.sql.files.maxRecordsPerFile``
+    to be unset/0 (the default): a nonzero value makes Spark split a
+    task's output into multiple files per shard directory, silently
+    breaking the advertised layout — so this function asserts it and
+    raises up front rather than write a layout the loader can't stream.
+    """
     for c in ("shard_id", "offset_in_shard"):
         if c not in df.columns:
             raise ValueError(f"write_shards input missing {c!r} — "
                              "run shard_assignment first")
+    max_rec = df.sparkSession.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    if str(max_rec) not in ("0", "", "None"):
+        raise ValueError(
+            "write_shards: spark.sql.files.maxRecordsPerFile="
+            f"{max_rec} would split a shard directory into multiple files, "
+            "breaking the one-file-per-shard layout — unset it (or set 0) "
+            "before writing shards"
+        )
     (
         df.repartition(F.col("shard_id"))
         .sortWithinPartitions("shard_id", "offset_in_shard")

@@ -90,3 +90,19 @@ def test_null_endpoint_edges_dropped_symmetrized(spark):
     # node 3 gained no self-loop: only {1, 2} remain connected
     assert set(got) == {1, 2}
     assert got == _ref([(1, 2)], 2, symmetrize=True)
+
+
+def test_null_endpoint_edges_dropped_directed(spark):
+    """The DIRECTED path shares the symmetrized path's malformed-edge
+    policy: a (NULL, v) / (v, NULL) edge is dropped, never surfaced as a
+    NULL node row with base rank (the r8-advice inconsistency)."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", iterations=2).collect()
+    }
+    assert None not in got
+    assert set(got) == {1, 2}
+    assert got == _ref([(1, 2)], 2)

@@ -125,6 +125,23 @@ def test_write_shards_requires_assignment_cols(spark, tmp_path):
         write_shards(df, str(tmp_path / "x"))
 
 
+def test_write_shards_rejects_max_records_per_file(spark, tmp_path):
+    """A nonzero spark.sql.files.maxRecordsPerFile would split a shard
+    directory into multiple files, silently breaking the advertised
+    one-file-per-shard layout — the writer must refuse up front."""
+    df = spark.createDataFrame([(i, 7) for i in range(20)], "doc_id long, n long")
+    assigned = shard_assignment(df, "doc_id", "n", 35, seed=1)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5")
+    try:
+        with pytest.raises(ValueError, match="maxRecordsPerFile"):
+            write_shards(assigned, str(tmp_path / "split"))
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    # back at the default the same frame writes fine
+    write_shards(assigned, str(tmp_path / "ok"))
+    assert spark.read.parquet(str(tmp_path / "ok")).count() == 20
+
+
 @given(
     rows=st.lists(
         st.tuples(
