@@ -570,6 +570,28 @@ def q_scan_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_float_key",
+    """
+    SELECT p_partkey, p_retailprice, p_size,
+           (sum(p_size) OVER (ORDER BY p_retailprice, p_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             )::BIGINT AS running_size
+    FROM part ORDER BY p_partkey
+    """,
+    doc="distributed prefix scan over a DOUBLE first order key — doubles have no monotone decimal projection, so mechanism='auto' takes the STAMPED range-shuffle path (operators/scan.py:_running_sum_stamped — RangePartitioner slices + stamped pid + localCheckpoint + mapInArrow cumulative pass), giving the declared outlier escape hatch the same end-to-end driver-evidence class as the bucketed default; p_partkey tiebreaks equal prices so the order is total; ::BIGINT keeps the oracle window-sum typing aligned with Spark int64",
+)
+def q_scan_float_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.scan import global_running_sum
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return global_running_sum(
+        part, ["p_retailprice", "p_partkey"], "p_size", "running_size"
+    ).orderBy("p_partkey")
+
+
+@query(
     "q_repetition_filter",
     None,  # assembled below — needs the shared tokenizer SQL
     doc="repetition-based quality signals (Gopher-rule family, Rae et al. 2021 §A1.1 — public): per-doc top-token fraction, top-bigram fraction, distinct-token ratio, thresholded keep verdict; explode + partial-agg per (doc, gram), linear shuffles only",

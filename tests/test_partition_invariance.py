@@ -28,6 +28,10 @@ REPRESENTATIVES = [
     "q_token_packing",
     "q_shard_export",
     "q_scan_string_key",
+    # the stamped fallback (double key): RangePartitioner slice count and
+    # spark_partition_id stamps are exactly the env-sensitive machinery
+    # this differential exists to catch
+    "q_scan_float_key",
     "q_weighted_sample",
     "q_pagerank",
     "q_triangle_count",
