@@ -41,6 +41,7 @@ __all__ = [
     "char_ngrams",
     "minhash_signature",
     "minhash_signature_from_ints",
+    "minhash_band_keys",
     "minhash_candidates",
     "minhash_dedup_pairs",
     "release_shingle_caches",
@@ -174,15 +175,16 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
     )
 
 
-def minhash_candidates(
+def minhash_band_keys(
     df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: two docs are candidates iff they agree on ALL minhashes of
-    at least one band.  Emits distinct candidate pairs (id_a < id_b).
-
-    Plan shape: explode to (band_key, id) — band_key is the concatenated band
-    slice — then an equi self-join on band_key.  At scale the join is
-    hash-partitioned on band_key; hot buckets are bounded by band width."""
+    """Band-signature postings ``(id, band_key)``: one row per (doc, band),
+    where ``band_key`` is the band index concatenated with that band's slice
+    of the signature.  Two docs share a ``band_key`` iff they agree on ALL
+    minhashes of that band — the LSH collision predicate.  This is the
+    persistable corpus-index shape consumed by
+    :func:`~ironbeam_spark.operators.incremental.minhash_dedup_incremental`
+    and both sides of :func:`minhash_candidates`' self-join."""
     band_key = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -196,7 +198,19 @@ def minhash_candidates(
             ),
         )
     ).alias("band_key")
-    keyed = df.select(F.col(id_col), band_key)
+    return df.select(F.col(id_col), band_key)
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding: two docs are candidates iff they agree on ALL minhashes of
+    at least one band.  Emits distinct candidate pairs (id_a < id_b).
+
+    Plan shape: explode to (band_key, id) — band_key is the concatenated band
+    slice — then an equi self-join on band_key.  At scale the join is
+    hash-partitioned on band_key; hot buckets are bounded by band width."""
+    keyed = minhash_band_keys(df, id_col, sig_col, bands, rows_per_band)
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = (

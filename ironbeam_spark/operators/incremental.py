@@ -1,0 +1,204 @@
+"""Incremental (delta) near-duplicate detection against a persisted corpus
+index — the production dedup shape for a continuously-ingested corpus.
+
+Batch dedup (:func:`~ironbeam_spark.operators.dedup.minhash_dedup_pairs`)
+re-shingles and re-joins the WHOLE corpus every run: at 100 TB that is a
+full-corpus shuffle to admit a 0.1 TB crawl delta.  The incremental shape
+amortizes it:
+
+1. **Index build, once per corpus version** (:func:`minhash_index`): the
+   corpus's MinHash *band-signature postings* ``(id, band_key)`` — a plain
+   DataFrame, written as parquet partitioned however the warehouse likes.
+   It is ~``bands`` rows per document of a few dozen bytes: thousands of
+   times smaller than the corpus text.
+2. **Per-delta dedup** (:func:`minhash_dedup_incremental`): shingle and
+   sign ONLY the new batch, equi-join its band keys against the index
+   (new-vs-corpus candidates) and against itself (new-vs-new candidates),
+   then verify candidates with exact Jaccard.  Corpus text is touched only
+   for the candidate docs — a LEFT SEMI prune runs before re-shingling, so
+   the full-corpus scan reads just the id/text of docs that actually
+   collided.
+3. Survivors' band keys are appended to the index (it is just a DataFrame
+   union + parquet append), keeping the next delta's join warm.
+
+Everything is an equi-join on ``band_key`` or an aggregate on the new-doc
+id — no full-corpus shuffle, no cross product; hot band buckets are the
+same bounded LSH buckets as the batch path.
+
+Classification contract (deterministic, exact-oracle-able):
+
+- ``dup_of_corpus``: the new doc verifies (Jaccard >= threshold) against at
+  least one indexed doc; ``dup_of`` = the MINIMUM such corpus id,
+  ``jaccard_sim`` = that pair's similarity.  Corpus matches take priority
+  over batch matches (the corpus copy is the canonical survivor).
+- ``dup_in_batch``: no corpus match, but the doc verifies against a batch
+  doc with a SMALLER id (keep-first-by-id within the delta, the same
+  min-winner contract as ``dedup_exact``); ``dup_of`` = the minimum such
+  batch id.  Note this is the greedy by-id rule, NOT transitive grouping —
+  a chain a~b~c (a<b<c, a!~c) marks b dup-of-a and c dup-of-b; route pairs
+  through :func:`~ironbeam_spark.operators.dedup.dedup_components` when
+  group semantics are needed.
+- ``unique``: neither (including docs too short to shingle); ``dup_of`` and
+  ``jaccard_sim`` are NULL.
+
+No reference analogue (the reference's only dedup is exact ``distinct``,
+``src/helpers/distinct.rs``); this extends the north-star dedup family with
+the index/delta lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ironbeam_spark.operators.dedup import (
+    hashed_word_shingles,
+    jaccard,
+    minhash_band_keys,
+    minhash_signature_from_ints,
+)
+from ironbeam_spark.scale import ensure_min_parallelism
+
+__all__ = ["minhash_index", "minhash_dedup_incremental"]
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
+    """(id, shingles) for docs with at least one shingle — docs shorter than
+    ``shingle_words`` tokens carry no signal and classify as ``unique``."""
+    return docs.select(
+        F.col(id_col),
+        hashed_word_shingles(text_col, shingle_words).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Corpus fingerprint index: band-signature postings ``(id, band_key)``,
+    ``bands`` rows per shingleable doc.  Pure projection + explode — one
+    linear pass, no shuffle — so building it rides along with any corpus
+    write.  Persist as parquet; the delta join reads it back as a plain
+    DataFrame (parquet bloom filters / bucketing on ``band_key`` compose in
+    the usual way).  Hash parameters must match the delta side exactly —
+    pass the same ``shingle_words`` / ``k`` / ``bands`` to
+    :func:`minhash_dedup_incremental`."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    base = _shingled(docs, id_col, text_col, shingle_words)
+    signed = base.select(
+        F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
+    )
+    return minhash_band_keys(signed, id_col, "sig", bands, k // bands)
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify every row of ``new_docs`` against a corpus fingerprint
+    ``index`` (from :func:`minhash_index`, same hash parameters) plus the
+    batch itself.  Returns one row per new doc:
+    ``(id_col, status string, dup_of long?, jaccard_sim double?)`` — see the
+    module docstring for the contract.
+
+    ``corpus_docs`` supplies ``(id, text)`` for exact-Jaccard verification;
+    only docs named by a band collision are re-shingled (LEFT SEMI prune
+    first), so its scan cost is proportional to the candidate set, not the
+    corpus.  Ids must be unique within the union of corpus and batch.
+    """
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    rows_per_band = k // bands
+
+    new_base = ensure_min_parallelism(_shingled(new_docs, id_col, text_col, shingle_words))
+    signed = new_base.select(
+        F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
+    )
+    new_keys = minhash_band_keys(signed, id_col, "sig", bands, rows_per_band)
+
+    # -- candidates ---------------------------------------------------------
+    # new-vs-corpus: equi-join the delta's postings against the index
+    cand_corpus = (
+        new_keys.withColumnRenamed(id_col, "_new_id")
+        .join(index.withColumnRenamed(id_col, "_old_id"), on="band_key")
+        .select("_new_id", "_old_id")
+        .distinct()
+    )
+    # new-vs-new: self-join within the delta, keep-first orientation
+    a = new_keys.withColumnRenamed(id_col, "_first_id").alias("a")
+    b = new_keys.withColumnRenamed(id_col, "_new_id").alias("b")
+    cand_batch = (
+        a.join(b, on="band_key")
+        .where(F.col("_first_id") < F.col("_new_id"))
+        .select("_new_id", "_first_id")
+        .distinct()
+    )
+
+    # -- exact verification --------------------------------------------------
+    new_sh = new_base.select(F.col(id_col).alias("_new_id"), F.col("shingles").alias("_sh_new"))
+
+    # corpus text is scanned only for docs that collided: semi-prune, then
+    # re-shingle just those (at 100 TB this is the step that keeps the delta
+    # run proportional to the delta, not the corpus)
+    cand_old_ids = cand_corpus.select(F.col("_old_id").alias(id_col)).distinct()
+    old_sh = _shingled(
+        corpus_docs.join(cand_old_ids, on=id_col, how="left_semi"),
+        id_col,
+        text_col,
+        shingle_words,
+    ).select(F.col(id_col).alias("_old_id"), F.col("shingles").alias("_sh_old"))
+
+    corpus_match = (
+        cand_corpus.join(new_sh, on="_new_id")
+        .join(old_sh, on="_old_id")
+        .withColumn("_j", jaccard(F.col("_sh_new"), F.col("_sh_old")))
+        .where(F.col("_j") >= threshold)
+        .groupBy("_new_id")
+        .agg(
+            F.min("_old_id").alias("_c_dup_of"),
+            F.min_by("_j", "_old_id").alias("_c_jac"),
+        )
+    )
+
+    first_sh = new_base.select(F.col(id_col).alias("_first_id"), F.col("shingles").alias("_sh_first"))
+    batch_match = (
+        cand_batch.join(new_sh, on="_new_id")
+        .join(first_sh, on="_first_id")
+        .withColumn("_j", jaccard(F.col("_sh_new"), F.col("_sh_first")))
+        .where(F.col("_j") >= threshold)
+        .groupBy("_new_id")
+        .agg(
+            F.min("_first_id").alias("_b_dup_of"),
+            F.min_by("_j", "_first_id").alias("_b_jac"),
+        )
+    )
+
+    # -- classification ------------------------------------------------------
+    all_new = new_docs.select(F.col(id_col).alias("_new_id"))
+    return (
+        all_new.join(corpus_match, on="_new_id", how="left")
+        .join(batch_match, on="_new_id", how="left")
+        .select(
+            F.col("_new_id").alias(id_col),
+            F.when(F.col("_c_dup_of").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("_b_dup_of").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce(F.col("_c_dup_of"), F.col("_b_dup_of")).alias("dup_of"),
+            F.when(F.col("_c_dup_of").isNotNull(), F.col("_c_jac"))
+            .otherwise(F.col("_b_jac"))
+            .alias("jaccard_sim"),
+        )
+    )

@@ -156,7 +156,9 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_compaction (warehouse ops), plus the round-9 addition
 #           q_scan_float_key (the stamped scan path's end-to-end driver
 #           evidence — schedule it adjacent to whatever scan-family query
-#           remains pinned, if any).  11 queries fit one 15-slot window
+#           remains pinned, if any), plus the round-9 addition
+#           q_dedup_incremental (delta-vs-index dedup).  12 queries fit one
+#           15-slot window
 #           with room to spare; after wave 4 every registry query has a
 #           driver row and the rotation retires.
 # tests/test_registry_order.py freezes the current 122-name prefix.

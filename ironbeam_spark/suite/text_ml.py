@@ -318,6 +318,49 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_incremental",
+    f"""
+    WITH {_MINHASH_CTES},
+    newd AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    cross_pairs AS (
+      SELECT CASE WHEN id_a % 3 = 1 THEN id_a ELSE id_b END AS n,
+             CASE WHEN id_a % 3 = 1 THEN id_b ELSE id_a END AS o,
+             jaccard_sim AS j
+      FROM pairs WHERE (id_a % 3 = 1) <> (id_b % 3 = 1)),
+    cm AS (SELECT n AS doc_id, min(o) AS dup_of, arg_min(j, o) AS jac
+           FROM cross_pairs GROUP BY n),
+    bm AS (SELECT id_b AS doc_id, min(id_a) AS dup_of,
+                  arg_min(jaccard_sim, id_a) AS jac
+           FROM pairs WHERE id_a % 3 = 1 AND id_b % 3 = 1 GROUP BY id_b)
+    SELECT nd.doc_id,
+           CASE WHEN cm.dup_of IS NOT NULL THEN 'dup_of_corpus'
+                WHEN bm.dup_of IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'unique' END AS status,
+           coalesce(cm.dup_of, bm.dup_of) AS dup_of,
+           CASE WHEN cm.dup_of IS NOT NULL THEN cm.jac ELSE bm.jac END AS jaccard_sim
+    FROM newd nd LEFT JOIN cm ON cm.doc_id = nd.doc_id
+                 LEFT JOIN bm ON bm.doc_id = nd.doc_id
+    ORDER BY nd.doc_id
+    """,
+    doc="incremental dedup of a delta batch (doc_id%3=1) against a corpus fingerprint index: band-posting equi-joins (delta-vs-index + delta self), exact-Jaccard verify on semi-pruned candidates only, corpus-priority min-id winner; oracle = the shared minhash CTE chain classified by batch membership",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.incremental import (
+        minhash_dedup_incremental,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").df
+    corpus = docs.where(F.col("doc_id") % 3 != 1)
+    batch = docs.where(F.col("doc_id") % 3 == 1)
+    idx = minhash_index(corpus, "doc_id", "text", shingle_words=3, k=8, bands=4)
+    return minhash_dedup_incremental(
+        batch, idx, corpus, "doc_id", "text",
+        shingle_words=3, k=8, bands=4, threshold=0.5,
+    ).orderBy("doc_id")
+
+
+@query(
     "q_dedup_ngram",
     """
     WITH g AS (SELECT doc_id, lang, source,

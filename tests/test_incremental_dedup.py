@@ -1,0 +1,127 @@
+"""Incremental minhash dedup: index build + delta classification.
+
+The suite query (q_dedup_incremental) proves the operator against the exact
+DuckDB oracle on real data, but the testdata split yields no in-batch dups —
+these unit tests pin every branch of the classification contract on crafted
+docs, plus the index parquet persist/reload lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ironbeam_spark.operators.incremental import (
+    minhash_dedup_incremental,
+    minhash_index,
+)
+
+# Long repeated-text docs so 3-word shingle Jaccard is 1.0 for exact copies
+# and ~0 for unrelated text.
+_A = "the quick brown fox jumps over the lazy dog again and again " * 5
+_B = "entirely different content about distributed query planning engines " * 5
+_C = "a third unrelated document concerning parquet footer statistics " * 5
+
+
+def _classify(spark, corpus_rows, batch_rows, threshold=0.5):
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    idx = minhash_index(corpus, "doc_id", "text")
+    out = minhash_dedup_incremental(
+        batch, idx, corpus, "doc_id", "text", threshold=threshold
+    )
+    return {r["doc_id"]: (r["status"], r["dup_of"], r["jaccard_sim"]) for r in out.collect()}
+
+
+def test_corpus_dup_batch_dup_and_unique(spark):
+    got = _classify(
+        spark,
+        corpus_rows=[(1, _A), (2, _B)],
+        batch_rows=[(10, _A), (11, _C), (12, _C), (13, "short")],
+    )
+    assert got[10] == ("dup_of_corpus", 1, 1.0)
+    assert got[11] == ("unique", None, None)
+    # 12 duplicates 11 within the batch: keep-first-by-id
+    assert got[12] == ("dup_in_batch", 11, 1.0)
+    # too short to shingle -> unique, NULL dup_of
+    assert got[13] == ("unique", None, None)
+
+
+def test_corpus_match_takes_priority_over_batch_match(spark):
+    got = _classify(
+        spark,
+        corpus_rows=[(5, _A)],
+        batch_rows=[(20, _A), (21, _A)],
+    )
+    # both new docs match corpus doc 5; 21 also matches 20 in-batch, but the
+    # corpus copy is the canonical survivor
+    assert got[20] == ("dup_of_corpus", 5, 1.0)
+    assert got[21] == ("dup_of_corpus", 5, 1.0)
+
+
+def test_dup_of_is_minimum_matching_corpus_id(spark):
+    got = _classify(
+        spark,
+        corpus_rows=[(7, _A), (3, _A), (9, _A)],
+        batch_rows=[(30, _A)],
+    )
+    assert got[30] == ("dup_of_corpus", 3, 1.0)
+
+
+def test_index_parquet_roundtrip(spark, tmp_path):
+    corpus = spark.createDataFrame([(1, _A), (2, _B)], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, _A), (11, _C)], "doc_id long, text string")
+    path = str(tmp_path / "minhash_index.parquet")
+    minhash_index(corpus, "doc_id", "text").write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    out = minhash_dedup_incremental(batch, reloaded, corpus, "doc_id", "text")
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {10: "dup_of_corpus", 11: "unique"}
+
+
+def test_index_row_shape(spark):
+    # bands rows per shingleable doc; short docs emit none
+    corpus = spark.createDataFrame(
+        [(1, _A), (2, "tiny")], "doc_id long, text string"
+    )
+    idx = minhash_index(corpus, "doc_id", "text", k=8, bands=4)
+    rows = idx.collect()
+    assert len(rows) == 4 and all(r["doc_id"] == 1 for r in rows)
+
+
+def test_matches_batch_pairs_differential(spark, documents_df=None):
+    """Differential vs the proven batch operator: classifying the delta with
+    the index must agree with minhash_dedup_pairs run over corpus+batch."""
+    from ironbeam_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    corpus = docs.where(F.col("doc_id") % 3 != 1)
+    batch = docs.where(F.col("doc_id") % 3 == 1)
+    idx = minhash_index(corpus, "doc_id", "text")
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in minhash_dedup_incremental(
+            batch, idx, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+    ).collect()
+    corpus_match: dict[int, int] = {}
+    batch_match: dict[int, int] = {}
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if (a % 3 == 1) != (b % 3 == 1):
+            n, o = (a, b) if a % 3 == 1 else (b, a)
+            corpus_match[n] = min(corpus_match.get(n, o), o)
+        elif a % 3 == 1 and b % 3 == 1:
+            batch_match[b] = min(batch_match.get(b, a), a)
+    for doc_id, (status, dup_of) in got.items():
+        if doc_id in corpus_match:
+            assert (status, dup_of) == ("dup_of_corpus", corpus_match[doc_id])
+        elif doc_id in batch_match:
+            assert (status, dup_of) == ("dup_in_batch", batch_match[doc_id])
+        else:
+            assert (status, dup_of) == ("unique", None)
