@@ -42,6 +42,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signature_from_ints",
     "minhash_band_keys",
+    "guard_band_buckets",
     "minhash_candidates",
     "minhash_dedup_pairs",
     "release_shingle_caches",
@@ -176,7 +177,12 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
 
 
 def minhash_band_keys(
-    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    payload_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Band-signature postings ``(id, band_key)``: one row per (doc, band),
     where ``band_key`` is the band index concatenated with that band's slice
@@ -184,7 +190,13 @@ def minhash_band_keys(
     minhashes of that band — the LSH collision predicate.  This is the
     persistable corpus-index shape consumed by
     :func:`~ironbeam_spark.operators.incremental.minhash_dedup_incremental`
-    and both sides of :func:`minhash_candidates`' self-join."""
+    and both sides of :func:`minhash_candidates`' self-join.
+
+    ``payload_cols`` ride along on every posting row — streaming callers
+    keep the shingle array on the row this way, because joining the
+    postings back to their own source frame would be a stream-stream
+    self-join (watermark-bounded state Spark refuses in a plain pipeline,
+    and pointless state here)."""
     band_key = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -198,19 +210,61 @@ def minhash_band_keys(
             ),
         )
     ).alias("band_key")
-    return df.select(F.col(id_col), band_key)
+    return df.select(F.col(id_col), *[F.col(c) for c in payload_cols], band_key)
+
+
+def guard_band_buckets(
+    keyed: DataFrame, max_band_bucket: int, what: str = "minhash"
+) -> DataFrame:
+    """Fail-fast bound on LSH bucket size: raises MID-JOB if any ``band_key``
+    holds more than ``max_band_bucket`` postings, instead of silently melting
+    a task on the quadratic bucket join.  The hazard is real at corpus
+    scale — a boilerplate template shared by 10^6 docs collapses them into
+    ONE bucket and the candidate join emits 5·10^11 pairs from a single key.
+    Same contract as ``frequent_item_pairs(max_basket_items=...)``: opt-in,
+    one extra combinable count + equi-join when enabled, plan untouched when
+    not.  (The right FIX for a corpus like that is upstream: strip the
+    boilerplate or raise ``rows_per_band``; the guard makes the failure loud
+    and attributable.)"""
+    sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bkn"))
+    return (
+        keyed.join(sizes, on="band_key")
+        .where(
+            F.when(F.col("_bkn") <= max_band_bucket, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{what}: band bucket exceeds max_band_bucket="
+                            f"{max_band_bucket} postings: band_key "
+                        ),
+                        F.col("band_key"),
+                    )
+                )
+            )
+        )
+        .drop("_bkn")
+    )
 
 
 def minhash_candidates(
-    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: two docs are candidates iff they agree on ALL minhashes of
     at least one band.  Emits distinct candidate pairs (id_a < id_b).
 
     Plan shape: explode to (band_key, id) — band_key is the concatenated band
     slice — then an equi self-join on band_key.  At scale the join is
-    hash-partitioned on band_key; hot buckets are bounded by band width."""
+    hash-partitioned on band_key; a hot bucket (boilerplate cluster) is
+    quadratic in its size — bound it with ``max_band_bucket``
+    (:func:`guard_band_buckets`)."""
     keyed = minhash_band_keys(df, id_col, sig_col, bands, rows_per_band)
+    if max_band_bucket is not None:
+        keyed = guard_band_buckets(keyed, max_band_bucket)
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = (
@@ -270,9 +324,12 @@ def minhash_dedup_pairs(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.2,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    pairs → exact-Jaccard verification ≥ threshold."""
+    pairs → exact-Jaccard verification ≥ threshold.  ``max_band_bucket``
+    opts into the :func:`guard_band_buckets` fail-fast bound on hot LSH
+    buckets."""
     rows_per_band = k // bands
     docs = ensure_min_parallelism(docs)
     base = (
@@ -305,7 +362,9 @@ def minhash_dedup_pairs(
     signed = base.select(
         F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
     )
-    cands = minhash_candidates(signed, id_col, "sig", bands, rows_per_band)
+    cands = minhash_candidates(
+        signed, id_col, "sig", bands, rows_per_band, max_band_bucket=max_band_bucket
+    )
     sh = base.select(F.col(id_col), F.col("shingles"))
     verified = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), on="id_a")

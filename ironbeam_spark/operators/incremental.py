@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ironbeam_spark.operators.dedup import (
+    guard_band_buckets,
     hashed_word_shingles,
     jaccard,
     minhash_band_keys,
@@ -59,7 +60,7 @@ from ironbeam_spark.operators.dedup import (
 )
 from ironbeam_spark.scale import ensure_min_parallelism
 
-__all__ = ["minhash_index", "minhash_dedup_incremental"]
+__all__ = ["minhash_index", "minhash_verify_table", "minhash_dedup_incremental"]
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
@@ -96,6 +97,20 @@ def minhash_index(
     return minhash_band_keys(signed, id_col, "sig", bands, k // bands)
 
 
+def minhash_verify_table(
+    docs: DataFrame, id_col: str, text_col: str, shingle_words: int = 3
+) -> DataFrame:
+    """Companion verify table ``(id, shingles)`` for the corpus, persisted
+    alongside :func:`minhash_index`.  The batch path re-shingles candidate
+    corpus docs on demand (it has the corpus text at hand); a STREAMING
+    delta cannot semi-prune a static table by stream content per
+    micro-batch, so
+    :func:`~ironbeam_spark.streaming.dedup.stream_dedup_against_index`
+    joins candidates against this precomputed table instead — build it once
+    per corpus version, same ``shingle_words`` as the index."""
+    return _shingled(docs, id_col, text_col, shingle_words)
+
+
 def minhash_dedup_incremental(
     new_docs: DataFrame,
     index: DataFrame,
@@ -106,6 +121,7 @@ def minhash_dedup_incremental(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Classify every row of ``new_docs`` against a corpus fingerprint
     ``index`` (from :func:`minhash_index`, same hash parameters) plus the
@@ -117,6 +133,12 @@ def minhash_dedup_incremental(
     only docs named by a band collision are re-shingled (LEFT SEMI prune
     first), so its scan cost is proportional to the candidate set, not the
     corpus.  Ids must be unique within the union of corpus and batch.
+
+    ``max_band_bucket`` opts into the
+    :func:`~ironbeam_spark.operators.dedup.guard_band_buckets` fail-fast
+    bound on BOTH posting sides — per-bucket candidate volume is
+    |delta bucket| x |index bucket|, so bounding each side bounds the
+    product.
     """
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
@@ -127,6 +149,9 @@ def minhash_dedup_incremental(
         F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
     )
     new_keys = minhash_band_keys(signed, id_col, "sig", bands, rows_per_band)
+    if max_band_bucket is not None:
+        new_keys = guard_band_buckets(new_keys, max_band_bucket, "delta postings")
+        index = guard_band_buckets(index, max_band_bucket, "index postings")
 
     # -- candidates ---------------------------------------------------------
     # new-vs-corpus: equi-join the delta's postings against the index

@@ -25,7 +25,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["stream_distinct", "stream_dedup_within_watermark"]
+__all__ = [
+    "stream_distinct",
+    "stream_dedup_within_watermark",
+    "stream_dedup_against_index",
+]
 
 
 def stream_distinct(sdf: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -52,4 +56,83 @@ def stream_dedup_within_watermark(
     content key and project it, as :func:`stream_distinct` does."""
     return sdf.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
+    )
+
+
+def stream_dedup_against_index(
+    sdf: DataFrame,
+    index: DataFrame,
+    corpus_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming NEAR-dup admission check against a static corpus
+    fingerprint index: the ingestion-time complement of
+    :func:`~ironbeam_spark.operators.incremental.minhash_dedup_incremental`.
+
+    ``sdf`` is a stream of ``(id, text)`` docs; ``index`` is the corpus's
+    band-posting table (:func:`~ironbeam_spark.operators.incremental.
+    minhash_index`) and ``corpus_shingles`` its verify companion
+    (:func:`~ironbeam_spark.operators.incremental.minhash_verify_table`) —
+    both STATIC DataFrames (reload + restart the query on corpus version
+    bump).  Returns a streaming aggregate with one row per arriving doc
+    that verifies (exact Jaccard >= ``threshold``) against at least one
+    indexed doc: ``(id_col, dup_of long, jaccard_sim double)`` with
+    ``dup_of`` = the minimum matching corpus id.  Docs absent from the
+    output are new-to-corpus; run the result in ``update``/``complete``
+    mode (it is a streaming groupBy).
+
+    Scale shape: shingle/sign/band are per-row expressions on the
+    micro-batch; candidates come from a stream-static equi-join on
+    ``band_key`` (the index side is the big one — bucket or sort it on
+    ``band_key`` at write time so the per-batch join prunes); the verify
+    join touches only candidate corpus rows.  Stream-internal (new-vs-new)
+    duplicates are out of contract here — stream-stream self-joins need
+    watermark bounds the banding key doesn't have; compose with
+    :func:`stream_distinct` on a content hash upstream, or run the batch
+    operator over the landed delta.
+    """
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.operators.dedup import jaccard, minhash_band_keys
+    from ironbeam_spark.operators.dedup import (
+        hashed_word_shingles,
+        minhash_signature_from_ints,
+    )
+
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    shingled = sdf.select(
+        F.col(id_col), hashed_word_shingles(text_col, shingle_words).alias("_sh_new")
+    ).where(F.size("_sh_new") > 0)
+    signed = shingled.select(
+        F.col(id_col),
+        F.col("_sh_new"),
+        minhash_signature_from_ints(F.col("_sh_new"), k).alias("sig"),
+    )
+    # band keys per doc; the shingles ride along as payload so verify needs
+    # no join back to the stream (that would be a stream-stream self-join)
+    keys = minhash_band_keys(
+        signed, id_col, "sig", bands, k // bands, payload_cols=("_sh_new",)
+    )
+    cands = keys.join(
+        index.withColumnRenamed(id_col, "_old_id"), on="band_key"
+    ).select(id_col, "_sh_new", "_old_id")
+    verified = (
+        cands.join(
+            corpus_shingles.select(
+                F.col(id_col).alias("_old_id"), F.col("shingles").alias("_sh_old")
+            ),
+            on="_old_id",
+        )
+        .withColumn("_j", jaccard(F.col("_sh_new"), F.col("_sh_old")))
+        .where(F.col("_j") >= threshold)
+    )
+    return verified.groupBy(id_col).agg(
+        F.min("_old_id").alias("dup_of"),
+        F.min_by("_j", "_old_id").alias("jaccard_sim"),
     )

@@ -361,6 +361,78 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup_index",
+    f"""
+    WITH {_MINHASH_CTES},
+    newd AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    cross_pairs AS (
+      SELECT CASE WHEN id_a % 3 = 1 THEN id_a ELSE id_b END AS n,
+             CASE WHEN id_a % 3 = 1 THEN id_b ELSE id_a END AS o,
+             jaccard_sim AS j
+      FROM pairs WHERE (id_a % 3 = 1) <> (id_b % 3 = 1)),
+    cm AS (SELECT n AS doc_id, min(o) AS dup_of, arg_min(j, o) AS jac
+           FROM cross_pairs GROUP BY n)
+    SELECT nd.doc_id,
+           CASE WHEN cm.dup_of IS NOT NULL THEN 'dup_of_corpus'
+                ELSE 'unique' END AS status,
+           cm.dup_of AS dup_of,
+           cm.jac AS jaccard_sim
+    FROM newd nd LEFT JOIN cm ON cm.doc_id = nd.doc_id
+    ORDER BY nd.doc_id
+    """,
+    doc="ingestion-time near-dup admission check: a STREAM of delta docs (doc_id%3=1) classified against the static corpus fingerprint index + verify table via stream-static band-key equi-joins and exact-Jaccard verify; new-vs-new pairs are out of stream contract (composed with stream_distinct upstream), so the oracle is the cross-pair branch of the shared minhash CTE chain",
+)
+def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.operators.incremental import (
+        minhash_index,
+        minhash_verify_table,
+    )
+    from ironbeam_spark.streaming.dedup import stream_dedup_against_index
+
+    static = _t(spark, sf_dir, "documents").df
+    corpus = static.where(F.col("doc_id") % 3 != 1)
+    idx = minhash_index(corpus, "doc_id", "text", shingle_words=3, k=8, bands=4)
+    ver = minhash_verify_table(corpus, "doc_id", "text", shingle_words=3)
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+    )
+    matches = stream_dedup_against_index(
+        sdf, idx, ver, "doc_id", "text",
+        shingle_words=3, k=8, bands=4, threshold=0.5,
+    )
+    name = "q_stream_dedup_index_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_ckpt_")
+    q = (
+        matches.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch_ids = static.where(F.col("doc_id") % 3 == 1).select("doc_id")
+    return (
+        batch_ids.join(spark.table(name), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup_of_corpus"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            "dup_of",
+            "jaccard_sim",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_dedup_ngram",
     """
     WITH g AS (SELECT doc_id, lang, source,

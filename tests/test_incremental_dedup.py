@@ -88,6 +88,91 @@ def test_index_row_shape(spark):
     assert len(rows) == 4 and all(r["doc_id"] == 1 for r in rows)
 
 
+def test_max_band_bucket_guard_raises_on_hot_bucket(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    # five identical docs share every band bucket -> bucket size 5 > 3
+    corpus = spark.createDataFrame(
+        [(i, _A) for i in range(5)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(10, _A)], "doc_id long, text string")
+    idx = minhash_index(corpus, "doc_id", "text")
+    out = minhash_dedup_incremental(
+        batch, idx, corpus, "doc_id", "text", max_band_bucket=3
+    )
+    with pytest.raises(SparkRuntimeException, match="max_band_bucket"):
+        out.collect()
+    # same data under the bound passes
+    ok = minhash_dedup_incremental(
+        batch, idx, corpus, "doc_id", "text", max_band_bucket=5
+    )
+    assert {r["status"] for r in ok.collect()} == {"dup_of_corpus"}
+
+
+def test_max_band_bucket_guard_in_batch_pairs(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from ironbeam_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, _A) for i in range(4)], "doc_id long, text string"
+    )
+    guarded = minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_band_bucket=2
+    )
+    with pytest.raises(SparkRuntimeException, match="max_band_bucket"):
+        guarded.collect()
+    # default (no guard) still returns all C(4,2) exact-dup pairs
+    assert minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).count() == 6
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """Streaming admission check agrees with the batch classifier's
+    corpus branch on the same split of real testdata."""
+    import tempfile
+
+    from ironbeam_spark.operators.incremental import minhash_verify_table
+    from ironbeam_spark.streaming.dedup import stream_dedup_against_index
+
+    static = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = static.where(F.col("doc_id") % 3 != 1)
+    batch = static.where(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    idx = minhash_index(corpus, "doc_id", "text")
+    ver = minhash_verify_table(corpus, "doc_id", "text")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .where(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+    )
+    matches = stream_dedup_against_index(sdf, idx, ver, "doc_id", "text")
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_test_ckpt_", dir=str(tmp_path))
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("t_stream_dedup_idx")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["dup_of"], r["jaccard_sim"])
+        for r in spark.table("t_stream_dedup_idx").collect()
+    }
+    expected = {
+        r["doc_id"]: (r["dup_of"], r["jaccard_sim"])
+        for r in minhash_dedup_incremental(
+            batch, idx, corpus, "doc_id", "text"
+        ).collect()
+        if r["status"] == "dup_of_corpus"
+    }
+    assert got == expected
+
+
 def test_matches_batch_pairs_differential(spark, documents_df=None):
     """Differential vs the proven batch operator: classifying the delta with
     the index must agree with minhash_dedup_pairs run over corpus+batch."""
