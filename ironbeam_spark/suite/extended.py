@@ -1155,7 +1155,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.triangles import triangle_count
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, prune=False
+    )
     return triangle_count(edges, "item1", "item2", orient="degree")
 
 
@@ -1197,7 +1199,9 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.triangles import node_clustering
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, prune=False
+    )
     return node_clustering(edges, "item1", "item2", orient="degree").orderBy(
         "node"
     )
@@ -1239,7 +1243,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.linkpred import common_neighbors_join
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, prune=False
+    )
     return common_neighbors_join(
         edges, "item1", "item2", min_common=2, max_degree=10_000
     ).orderBy("node1", "node2")

@@ -84,6 +84,37 @@ def test_basket_guard(spark):
         bad.collect()
 
 
+@pytest.mark.parametrize("seed,min_support", [(0, 2), (1, 3), (2, 1)])
+def test_unpruned_path_matches_brute_force(spark, seed, min_support):
+    """prune=False (array-expansion plan) must be result-identical to the
+    pruned A-priori plan and to brute force — the pair-support filter alone
+    implies downward closure."""
+    rng = random.Random(seed)
+    baskets = {
+        b: {rng.randrange(12) for _ in range(rng.randrange(1, 7))}
+        for b in range(40)
+    }
+    _, want_pairs = _brute(baskets, min_support)
+    df = _df(spark, baskets, dup_rows=(seed == 0))
+    got = {
+        (r.item1, r.item2, r.support)
+        for r in frequent_item_pairs(
+            df, "basket", "item", min_support, prune=False
+        ).collect()
+    }
+    assert got == want_pairs
+
+
+def test_basket_guard_unpruned(spark):
+    baskets = {1: {1, 2, 3, 4, 5}, 2: {1, 2}}
+    df = _df(spark, baskets)
+    ok = frequent_item_pairs(df, "basket", "item", 1, max_basket_items=5, prune=False)
+    assert ok.count() == 10
+    bad = frequent_item_pairs(df, "basket", "item", 1, max_basket_items=4, prune=False)
+    with pytest.raises(Exception, match="max_basket_items"):
+        bad.collect()
+
+
 def test_min_support_validation(spark):
     df = _df(spark, {1: {1}})
     with pytest.raises(ValueError, match="min_support"):

@@ -36,6 +36,9 @@ REPRESENTATIVES = [
     "q_pagerank",
     "q_triangle_count",
     "q_dedup_minhash",
+    # delta-vs-index classification: min-id winner + min_by jaccard picks
+    # must not depend on which partition delivers a candidate first
+    "q_dedup_incremental",
     "q_corpus_clean",
     "q_kmv_distinct",
     "q_sample_reservoir",
