@@ -330,6 +330,11 @@ def minhash_dedup_pairs(
     pairs → exact-Jaccard verification ≥ threshold.  ``max_band_bucket``
     opts into the :func:`guard_band_buckets` fail-fast bound on hot LSH
     buckets."""
+    if k % bands != 0:
+        # silently truncating (k // bands leaves k % bands minhashes out of
+        # every band) would weaken LSH recall below what the caller asked
+        # for — and the incremental-index sibling raises on the same params
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows_per_band = k // bands
     docs = ensure_min_parallelism(docs)
     base = (

@@ -67,11 +67,21 @@ __all__ = ["minhash_index", "minhash_verify_table", "minhash_dedup_incremental"]
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
     """(id, shingles) for docs with at least one shingle — docs shorter than
-    ``shingle_words`` tokens carry no signal and classify as ``unique``."""
-    return docs.select(
+    ``shingle_words`` tokens carry no signal and classify as ``unique``.
+
+    The short-doc predicate tests the TOKEN count, not
+    ``size(shingles) > 0`` (equivalent: a doc has >= 1 n-gram shingle iff
+    it has >= n tokens): Catalyst pushes the filter below the projection,
+    and a predicate built on the shingle expression would re-run the whole
+    interpreted shingle+md5 chain once for the filter and once for the
+    projection on every surviving row — the pushdown anti-pattern
+    documented at the ``minhash_dedup_pairs`` persist."""
+    from ironbeam_spark.functions.text import tokens
+
+    return docs.where(F.size(tokens(text_col)) >= shingle_words).select(
         F.col(id_col),
         hashed_word_shingles(text_col, shingle_words).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    )
 
 
 def minhash_index(
@@ -122,7 +132,7 @@ def minhash_dedup_incremental(
     shingle_words: int = 3,
     k: int = 8,
     bands: int = 4,
-    threshold: float = 0.5,
+    threshold: float = 0.2,
     max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Classify every row of ``new_docs`` against a corpus fingerprint
@@ -150,9 +160,13 @@ def minhash_dedup_incremental(
     # verify side twice — vs-corpus and vs-batch — and the vs-batch "first"
     # side): persist once instead of re-running the interpreted shingle
     # expression per subtree, same rationale and registry as
-    # minhash_dedup_pairs (release via caches.release_all_caches)
-    new_base = ensure_min_parallelism(
-        _shingled(new_docs, id_col, text_col, shingle_words)
+    # minhash_dedup_pairs (release via caches.release_all_caches).
+    # Parallelism is raised on the RAW docs so the parallelizing exchange
+    # sits BELOW the interpreted shingle projection — a single-file delta
+    # must not shingle on one core (the measured ordering from
+    # minhash_dedup_pairs).
+    new_base = _shingled(
+        ensure_min_parallelism(new_docs), id_col, text_col, shingle_words
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED_SHINGLE_TABLES.append(new_base)
     signed = new_base.select(

@@ -68,7 +68,7 @@ def stream_dedup_against_index(
     shingle_words: int = 3,
     k: int = 8,
     bands: int = 4,
-    threshold: float = 0.5,
+    threshold: float = 0.2,
 ) -> DataFrame:
     """Streaming NEAR-dup admission check against a static corpus
     fingerprint index: the ingestion-time complement of
@@ -98,17 +98,21 @@ def stream_dedup_against_index(
     """
     from pyspark.sql import functions as F
 
-    from ironbeam_spark.operators.dedup import jaccard, minhash_band_keys
     from ironbeam_spark.operators.dedup import (
-        hashed_word_shingles,
+        jaccard,
+        minhash_band_keys,
         minhash_signature_from_ints,
     )
+    from ironbeam_spark.operators.incremental import _shingled
 
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
-    shingled = sdf.select(
-        F.col(id_col), hashed_word_shingles(text_col, shingle_words).alias("_sh_new")
-    ).where(F.size("_sh_new") > 0)
+    # same projection+short-doc predicate as the index / verify-table build
+    # (_shingled is the single definition — the stream-static join is only
+    # sound if both sides shingle identically)
+    shingled = _shingled(sdf, id_col, text_col, shingle_words).withColumnRenamed(
+        "shingles", "_sh_new"
+    )
     signed = shingled.select(
         F.col(id_col),
         F.col("_sh_new"),

@@ -22,7 +22,12 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
-_GATE = os.environ.get("IRONBEAM_ARROW_SWEEP", "")
+_GATE = os.environ.get("IRONBEAM_ARROW_SWEEP", "").strip().lower() not in (
+    "",
+    "0",
+    "false",
+    "no",
+)
 
 pytestmark = pytest.mark.skipif(
     not _GATE,

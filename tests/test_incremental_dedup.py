@@ -173,7 +173,7 @@ def test_stream_dedup_against_index(spark, tmp_path):
     assert got == expected
 
 
-def test_matches_batch_pairs_differential(spark, documents_df=None):
+def test_matches_batch_pairs_differential(spark):
     """Differential vs the proven batch operator: classifying the delta with
     the index must agree with minhash_dedup_pairs run over corpus+batch."""
     from ironbeam_spark.operators.dedup import minhash_dedup_pairs
