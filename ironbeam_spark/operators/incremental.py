@@ -62,7 +62,12 @@ from ironbeam_spark.operators.dedup import (
 )
 from ironbeam_spark.scale import ensure_min_parallelism
 
-__all__ = ["minhash_index", "minhash_verify_table", "minhash_dedup_incremental"]
+__all__ = [
+    "minhash_index",
+    "minhash_verify_table",
+    "minhash_dedup_incremental",
+    "minhash_index_admit",
+]
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_words: int) -> DataFrame:
@@ -255,4 +260,37 @@ def minhash_dedup_incremental(
             .otherwise(F.col("_b_jac"))
             .alias("jaccard_sim"),
         )
+    )
+
+
+def minhash_index_admit(
+    index: DataFrame,
+    new_docs: DataFrame,
+    classification: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Next corpus-index version: ``index`` plus the band postings of the
+    delta docs that were ADMITTED (``status == 'unique'`` in
+    ``classification``, the output of :func:`minhash_dedup_incremental` for
+    the same delta).  Duplicates are NOT indexed — their canonical survivor
+    already is, and indexing both would double every future candidate hit
+    on the group.  Hash parameters must match the existing index.
+
+    Plain union — in production, write just the new postings
+    (``minhash_index(admitted, ...)``) as a parquet APPEND to the index
+    path instead of rewriting it; this helper is the in-memory spelling of
+    the same step, closing the per-delta loop:
+    classify → admit survivors → next delta joins the grown index.
+    """
+    admitted = new_docs.join(
+        classification.where(F.col("status") == "unique").select(id_col),
+        on=id_col,
+        how="left_semi",
+    )
+    return index.unionByName(
+        minhash_index(admitted, id_col, text_col, shingle_words, k, bands)
     )

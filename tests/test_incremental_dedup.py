@@ -173,6 +173,52 @@ def test_stream_dedup_against_index(spark, tmp_path):
     assert got == expected
 
 
+def test_two_delta_lifecycle_with_admit(spark, tmp_path):
+    """The full per-delta loop: classify delta 1, admit its survivors into
+    the index, and delta 2's dup of a delta-1 SURVIVOR classifies as
+    dup_of_corpus against the grown index."""
+    from ironbeam_spark.operators.incremental import minhash_index_admit
+
+    corpus = spark.createDataFrame([(1, _A)], "doc_id long, text string")
+    delta1 = spark.createDataFrame(
+        [(10, _B), (11, _A)], "doc_id long, text string"
+    )
+    idx1 = minhash_index(corpus, "doc_id", "text")
+    cls1 = minhash_dedup_incremental(
+        delta1, idx1, corpus, "doc_id", "text", threshold=0.5
+    )
+    got1 = {r["doc_id"]: r["status"] for r in cls1.collect()}
+    assert got1 == {10: "unique", 11: "dup_of_corpus"}
+
+    # admit delta-1 survivors; duplicates are NOT indexed
+    idx2 = minhash_index_admit(idx1, delta1, cls1, "doc_id", "text")
+    indexed_ids = {r["doc_id"] for r in idx2.select("doc_id").distinct().collect()}
+    assert indexed_ids == {1, 10}
+
+    # delta 2: a dup of the admitted doc 10, and a dup of the original corpus
+    corpus2 = corpus.unionByName(
+        delta1.join(
+            cls1.where(F.col("status") == "unique").select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    )
+    delta2 = spark.createDataFrame(
+        [(20, _B), (21, _A), (22, _C)], "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in minhash_dedup_incremental(
+            delta2, idx2, corpus2, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got2 == {
+        20: ("dup_of_corpus", 10),
+        21: ("dup_of_corpus", 1),
+        22: ("unique", None),
+    }
+
+
 def test_matches_batch_pairs_differential(spark):
     """Differential vs the proven batch operator: classifying the delta with
     the index must agree with minhash_dedup_pairs run over corpus+batch."""
