@@ -43,6 +43,17 @@ REPRESENTATIVES = [
     "q_kmv_distinct",
     "q_sample_reservoir",
     "q1_pricing_summary",
+    # iterative greedy argmax: each round's farthest-point pick must not
+    # depend on which partition reports its max first
+    "q_kcenter",
+    # q-gram prefix-filter join: candidate generation order varies with
+    # partitioning; the verified output must not
+    "q_editdist_join",
+    # corpus-wide keep-first line winner: min-by aggregate across shuffles
+    "q_line_dedup",
+    # BPE merge induction: the argmax pair each round is a global decision
+    # assembled from partial counts
+    "q_bpe_tokenize",
 ]
 
 
