@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split", "dsir_importance_weights", "weighted_systematic_sample"]
+__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split", "dsir_importance_weights", "weighted_systematic_sample", "contrastive_negatives"]
 
 
 def priority(seed: int, key: Column) -> Column:
@@ -265,6 +265,80 @@ def dsir_importance_weights(
             F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
             F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias("dsir_weight"),
         )
+    )
+
+
+def contrastive_negatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    k: int = 5,
+    seed: int = 7,
+    pool_margin: int = 16,
+    anchor_col: str = "id_a",
+    positive_col: str = "id_b",
+) -> DataFrame:
+    """Contrastive training triples from a near-dup pair table:
+    ``(anchor, positive, negatives array)`` — one row per input pair, with
+    up to ``k`` seeded negatives drawn from a SHARED candidate pool (the
+    in-batch-negatives contract used when training embedding / retrieval
+    models on mined duplicate pairs).
+
+    Scale shape — the naive spelling ranks every (anchor, candidate) pair
+    and is quadratic; this one is linear: ONE global seeded priority sort
+    picks a pool of ``k + 1 + pool_margin`` candidate ids (a bounded
+    driver-side collect, same class as the PQ codebooks), every anchor
+    filters that broadcast pool against its OWN dup-partner set (a
+    collect_set aggregate over the pair table — bounded by the anchor's
+    duplicate degree) in a pure array expression, and takes the first
+    ``k`` survivors in pool-priority order.  No join against the corpus,
+    no per-anchor shuffle beyond the partner aggregate.
+
+    An anchor whose exclusions (itself + its partners) exceed
+    ``pool_margin + 1`` gets FEWER than ``k`` negatives — deterministic
+    and visible in the output rather than silently re-sampling; raise
+    ``pool_margin`` for corpora with large duplicate groups.
+    ``pairs`` is treated as undirected: both endpoints' partner sets
+    exclude each other.
+    """
+    if k < 1:
+        raise ValueError(f"contrastive_negatives: k must be >= 1, got {k}")
+    pool_size = k + 1 + pool_margin
+    id_type = dict(docs.dtypes)[id_col]
+    # bounded scalar collect: pool_size rows of one id column
+    pool_rows = (
+        docs.select(F.col(id_col), priority(seed, F.col(id_col)).alias("_p"))
+        .orderBy("_p", id_col)
+        .limit(pool_size)
+        .collect()
+    )
+    pool_arr = F.array(*[F.lit(r[id_col]) for r in pool_rows]).cast(
+        f"array<{id_type}>"
+    )
+    partners = (
+        pairs.select(F.col(anchor_col).alias("anchor"), F.col(positive_col).alias("_b"))
+        .unionByName(
+            pairs.select(F.col(positive_col).alias("anchor"), F.col(anchor_col).alias("_b"))
+        )
+        .groupBy("anchor")
+        .agg(F.collect_set("_b").alias("_excl"))
+    )
+    anchors = pairs.select(
+        F.col(anchor_col).alias("anchor"), F.col(positive_col).alias("positive")
+    )
+    empty = F.array().cast(f"array<{id_type}>")
+    return anchors.join(partners, on="anchor", how="left").select(
+        "anchor",
+        "positive",
+        F.slice(
+            F.filter(
+                pool_arr,
+                lambda c: (c != F.col("anchor"))
+                & ~F.array_contains(F.coalesce(F.col("_excl"), empty), c),
+            ),
+            1,
+            k,
+        ).alias("negatives"),
     )
 
 

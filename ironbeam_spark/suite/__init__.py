@@ -157,9 +157,11 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_scan_float_key (the stamped scan path's end-to-end driver
 #           evidence — schedule it adjacent to whatever scan-family query
 #           remains pinned, if any), plus the round-9 additions
-#           q_dedup_incremental (delta-vs-index dedup) and
+#           q_dedup_incremental (delta-vs-index dedup),
 #           q_stream_dedup_index (its streaming admission-check variant,
-#           ADJACENT — shared index bring-up).  13 queries fit one
+#           ADJACENT — shared index bring-up), and q_contrastive_pairs
+#           (seeded negative sampling; shares the minhash pair subtree —
+#           schedule adjacent to the dedup pair).  14 queries fit one
 #           15-slot window
 #           with room to spare; after wave 4 every registry query has a
 #           driver row and the rotation retires.

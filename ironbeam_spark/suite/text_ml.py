@@ -433,6 +433,45 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_contrastive_pairs",
+    f"""
+    WITH {_MINHASH_CTES},
+    pool AS (SELECT list(doc_id) AS pl FROM (
+               SELECT doc_id FROM documents
+               ORDER BY md5(concat('7', '|', CAST(doc_id AS VARCHAR))), doc_id
+               LIMIT 22)),
+    excl AS (SELECT a, list(b) AS ex FROM (
+               SELECT id_a AS a, id_b AS b FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs) GROUP BY a)
+    SELECT id_a AS anchor, id_b AS positive,
+           array_to_string(list_slice(list_filter((SELECT pl FROM pool),
+             c -> c <> id_a AND NOT list_contains(coalesce(e.ex, CAST([] AS BIGINT[])), c)),
+             1, 5), '|') AS negatives
+    FROM pairs LEFT JOIN excl e ON e.a = id_a
+    ORDER BY anchor, positive
+    """,
+    doc="contrastive training triples (north-star training-data gen): anchor/positive from the minhash near-dup miner, up to 5 seeded negatives from a SHARED 22-id priority pool (in-batch-negatives contract — one global seeded sort + per-anchor array filter against its dup-partner set; linear, no per-anchor corpus join); oracle = same pool/exclusion algebra in list form",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.sampling import contrastive_negatives
+
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+    )
+    out = contrastive_negatives(
+        docs.select("doc_id"), pairs, "doc_id", k=5, seed=7, pool_margin=16
+    )
+    return out.select(
+        "anchor",
+        "positive",
+        F.array_join(F.transform("negatives", lambda x: x.cast("string")), "|").alias(
+            "negatives"
+        ),
+    ).orderBy("anchor", "positive")
+
+
+@query(
     "q_dedup_ngram",
     """
     WITH g AS (SELECT doc_id, lang, source,
