@@ -78,17 +78,22 @@ def main() -> None:
         print(f"# cold {name}: {cold[name]:.3f}s", file=sys.stderr)
         _release_checkpoint_registries()
 
-    # timed steady-state: best of 2, plus a THIRD run for queries whose
-    # best is still > 0.5s — the driver's r7 number was 1.4x a same-
-    # protocol local rerun (shared-box load noise), and the expensive
-    # queries dominate that swing; a third sample on just those costs
-    # little and stabilizes the headline (round-7 verdict ask #5)
+    # timed steady-state: best of 2, a THIRD run for queries whose best is
+    # still > 0.5s, and a FOURTH for > 1.5s — the driver's r7 number was
+    # 1.4x a same-protocol local rerun (shared-box load noise); the handful
+    # of expensive queries dominate that swing (observed r9: ±15% between
+    # same-code best-of-3 runs on the heaviest), and extra samples on just
+    # those cost seconds while stabilizing the headline
     times: dict[str, float] = {}
     total = 0.0
     for name in names:
         best, n = None, 0
         runs = 0
-        while runs < 2 or (runs < 3 and best > 0.5):
+        while (
+            runs < 2
+            or (runs < 3 and best > 0.5)
+            or (runs < 4 and best > 1.5)
+        ):
             t0 = time.perf_counter()
             df = QUERIES[name].fn(spark, sf_dir)
             n = df.count()
