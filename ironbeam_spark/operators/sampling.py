@@ -300,18 +300,28 @@ def contrastive_negatives(
     ``pool_margin`` for corpora with large duplicate groups.
     ``pairs`` is treated as undirected: both endpoints' partner sets
     exclude each other.
+
+    NULL-id policy: NULL ids are excluded from the candidate pool up
+    front — ``concat_ws`` in :func:`priority` would silently hash a NULL
+    id as the bare seed (diverging from a SQL mirror's ``||``, which
+    yields NULL), and a NULL could never be emitted anyway (``c !=
+    anchor`` evaluates to NULL), so admitting one would waste a pool slot
+    invisibly.  Same explicit-policy contract as
+    :func:`train_val_test_split`.
     """
     if k < 1:
         raise ValueError(f"contrastive_negatives: k must be >= 1, got {k}")
     pool_size = k + 1 + pool_margin
     id_type = dict(docs.dtypes)[id_col]
-    # bounded scalar collect: pool_size rows of one id column
-    pool_rows = (
-        docs.select(F.col(id_col), priority(seed, F.col(id_col)).alias("_p"))
-        .orderBy("_p", id_col)
-        .limit(pool_size)
-        .collect()
-    )
+    # bounded scalar collect (pool_size rows of one id column), in priority
+    # order — the pool IS a seeded reservoir sample, so reuse its single
+    # definition of the priority/tie-break spelling
+    pool_rows = sample_reservoir(
+        docs.select(id_col).where(F.col(id_col).isNotNull()),
+        pool_size,
+        seed,
+        id_col,
+    ).collect()
     pool_arr = F.array(*[F.lit(r[id_col]) for r in pool_rows]).cast(
         f"array<{id_type}>"
     )

@@ -436,10 +436,10 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_contrastive_pairs",
     f"""
     WITH {_MINHASH_CTES},
-    pool AS (SELECT list(doc_id) AS pl FROM (
-               SELECT doc_id FROM documents
-               ORDER BY md5(concat('7', '|', CAST(doc_id AS VARCHAR))), doc_id
-               LIMIT 22)),
+    pool AS (SELECT list(doc_id ORDER BY md5(concat('7', '|', CAST(doc_id AS VARCHAR))), doc_id) AS pl
+             FROM (SELECT doc_id FROM documents
+                   ORDER BY md5(concat('7', '|', CAST(doc_id AS VARCHAR))), doc_id
+                   LIMIT 22)),
     excl AS (SELECT a, list(b) AS ex FROM (
                SELECT id_a AS a, id_b AS b FROM pairs
                UNION ALL SELECT id_b, id_a FROM pairs) GROUP BY a)

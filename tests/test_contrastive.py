@@ -69,6 +69,21 @@ def test_negatives_never_contain_anchor_positive_or_partner(spark):
         assert not (set(r["negatives"]) & partners[r["anchor"]])
 
 
+def test_null_ids_never_enter_the_pool(spark):
+    """Pinned NULL-id policy: a NULL id must not win a pool slot (it could
+    never be emitted — c != anchor is NULL — so it would silently shrink
+    the usable pool)."""
+    docs = spark.createDataFrame([(i,) for i in range(6)] + [(None,)], "doc_id long")
+    out = contrastive_negatives(
+        docs, _pairs(spark, [(1, 2)]), "doc_id", k=5, seed=3, pool_margin=1
+    ).collect()
+    (row,) = out
+    # pool size 7 covers all 6 non-null ids; excluding anchor+positive
+    # leaves exactly 4 usable negatives — a NULL pool slot would make it 3
+    assert len(row["negatives"]) == 4
+    assert None not in row["negatives"]
+
+
 def test_k_validation(spark):
     with pytest.raises(ValueError, match="k must be"):
         contrastive_negatives(_docs(spark, 5), _pairs(spark, [(1, 2)]), "doc_id", k=0)
