@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split", "dsir_importance_weights", "weighted_systematic_sample", "contrastive_negatives"]
+__all__ = ["priority", "sample_reservoir", "sample_fraction", "sample_per_key", "training_mix", "train_val_test_split", "leakage_safe_split", "dsir_importance_weights", "weighted_systematic_sample", "contrastive_negatives"]
 
 
 def priority(seed: int, key: Column) -> Column:
@@ -138,6 +138,48 @@ def train_val_test_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(split_col, split)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    seed: int,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+    group_col: str = "group_key",
+) -> DataFrame:
+    """Group-aware train/val/test split: every member of a near-duplicate
+    GROUP lands in the same split, so an eval doc can never have a
+    near-copy in train.  :func:`train_val_test_split` keyed on the doc id
+    co-assigns only EXACT-key duplicates; near-dups (paraphrases, boiler-
+    plate variants, the pairs a MinHash miner emits) straddle splits and
+    leak — the standard contamination failure in LM eval.
+
+    ``pairs`` is a near-dup pair table (``id_a``/``id_b``, e.g. from
+    :func:`~ironbeam_spark.operators.dedup.minhash_dedup_pairs`).  Groups
+    are its connected components
+    (:func:`~ironbeam_spark.operators.dedup.dedup_components` — min-id
+    canonical label, O(log diameter) pointer-jumping rounds); unpaired
+    docs form singleton groups keyed by their own id.  The split is then
+    the same stateless md5-bucket assignment as
+    :func:`train_val_test_split`, applied to the GROUP key — one extra
+    left join over the (tiny) component table, everything else identical.
+
+    Returns ``docs`` plus ``group_col`` (the component label / own id) and
+    ``split_col``.  Deterministic under any partitioning; exact-oracle-able
+    (recursive-CTE reachability + identical hash arithmetic).
+    """
+    from ironbeam_spark.operators.dedup import dedup_components
+
+    comp = dedup_components(pairs).withColumnRenamed("node", id_col)
+    joined = docs.join(comp, on=id_col, how="left").withColumn(
+        group_col, F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return train_val_test_split(
+        joined, group_col, seed=seed, train=train, val=val, split_col=split_col
+    )
 
 
 def dsir_importance_weights(

@@ -159,10 +159,11 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           remains pinned, if any), plus the round-9 additions
 #           q_dedup_incremental (delta-vs-index dedup),
 #           q_stream_dedup_index (its streaming admission-check variant,
-#           ADJACENT — shared index bring-up), and q_contrastive_pairs
-#           (seeded negative sampling; shares the minhash pair subtree —
-#           schedule adjacent to the dedup pair).  14 queries fit one
-#           15-slot window
+#           ADJACENT — shared index bring-up), q_contrastive_pairs
+#           (seeded negative sampling), and q_leakage_safe_split
+#           (group-aware split) — the latter two share the minhash pair
+#           subtree, so schedule all the round-9 dedup-family additions
+#           adjacent.  15 queries exactly fill the 15-slot window
 #           with room to spare; after wave 4 every registry query has a
 #           driver row and the rotation retires.
 # tests/test_registry_order.py freezes the current 122-name prefix.

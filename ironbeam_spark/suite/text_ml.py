@@ -472,6 +472,46 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    r(n, m) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n),
+    g AS (SELECT d.doc_id,
+                 CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, group_key,
+           CASE WHEN ('0x' || substr(md5('31|' || group_key::VARCHAR), 1, 12))::BIGINT
+                     < CAST(floor(0.8 * 281474976710656) AS BIGINT) THEN 'train'
+                WHEN ('0x' || substr(md5('31|' || group_key::VARCHAR), 1, 12))::BIGINT
+                     < CAST(floor(0.9 * 281474976710656) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    ORDER BY doc_id
+    """,
+    doc="leakage-safe train/val/test split (north-star eval-contamination guard): near-dup GROUPS (minhash pairs -> connected components, min-id label; singletons = own id) are co-assigned by md5-bucketing the GROUP key, so no eval doc has a near-copy in train; oracle = recursive-CTE reachability + identical hash arithmetic, per-doc assignment verified",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+    )
+    out = leakage_safe_split(
+        docs.select("doc_id"), pairs, "doc_id", seed=31, train=0.8, val=0.1
+    )
+    return out.select("doc_id", "group_key", "split").orderBy("doc_id")
+
+
+@query(
     "q_dedup_ngram",
     """
     WITH g AS (SELECT doc_id, lang, source,
