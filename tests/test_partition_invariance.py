@@ -54,6 +54,9 @@ REPRESENTATIVES = [
     # BPE merge induction: the argmax pair each round is a global decision
     # assembled from partial counts
     "q_bpe_tokenize",
+    # group-aware split: component labels (iterative min-propagation) and
+    # the md5 bucket assignment must agree across shuffle widths
+    "q_leakage_safe_split",
 ]
 
 
