@@ -250,3 +250,40 @@ def test_running_sum_value_col_is_order_col(spark):
         ).collect()
     )
     assert got == [(1, 1), (2, 3), (3, 6), (4, 10), (5, 15)]
+
+
+def test_incremental_dedup_survives_cache_release(spark):
+    """The delta shingle table and candidate set are persisted for multi-
+    consumer reuse (operators/incremental.py); classification must be
+    identical when every consumer replays full lineage instead."""
+    from ironbeam_spark.operators.incremental import (
+        minhash_dedup_incremental,
+        minhash_index,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") % 3 != 1)
+    batch = docs.where(F.col("doc_id") % 3 == 1)
+    idx = minhash_index(corpus, "doc_id", "body")
+
+    def run():
+        return minhash_dedup_incremental(
+            batch, idx, corpus, "doc_id", "body", threshold=0.1
+        )
+
+    ref = sorted(
+        (r.doc_id, r.status, r.dup_of,
+         None if r.jaccard_sim is None else round(r.jaccard_sim, 12))
+        for r in run().collect()
+    )
+    release_shingle_caches()
+    out = run()
+    release_shingle_caches()  # force: classification replays lineage
+    got = sorted(
+        (r.doc_id, r.status, r.dup_of,
+         None if r.jaccard_sim is None else round(r.jaccard_sim, 12))
+        for r in out.collect()
+    )
+    assert got == ref and len(ref) > 0
+    assert any(s != "unique" for _, s, _, _ in ref)  # non-vacuous fixture
+    release_shingle_caches()
