@@ -163,9 +163,9 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           (seeded negative sampling), and q_leakage_safe_split
 #           (group-aware split) — the latter two share the minhash pair
 #           subtree, so schedule all the round-9 dedup-family additions
-#           adjacent.  15 queries exactly fill the 15-slot window
-#           with room to spare; after wave 4 every registry query has a
-#           driver row and the rotation retires.
+#           adjacent.  15 queries exactly fill the 15-slot window;
+#           after wave 4 every registry query has a driver row and the
+#           rotation retires.
 # tests/test_registry_order.py freezes the current 122-name prefix.
 CANONICAL_ORDER = [
     # -- 1-2: the scan pair (first green in r8 after four red rounds —

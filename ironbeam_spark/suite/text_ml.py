@@ -262,6 +262,20 @@ _MINHASH_ORACLE = f"""
     SELECT id_a, id_b, jaccard_sim FROM pairs ORDER BY id_a, id_b
 """
 
+# Connected components of the near-dup ``pairs`` CTE: recursive reachability
+# with the min-id canonical label — the single SQL definition shared by the
+# q_dedup_groups / q_corpus_clean / q_leakage_safe_split oracles (a fix to
+# the reachability algebra must land in all three at once).
+_COMPONENT_CTES = """e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    r(n, m) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)"""
+
 
 @query(
     "q_dedup_minhash",
@@ -280,15 +294,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_groups",
     f"""
     WITH RECURSIVE {_MINHASH_CTES},
-    e AS (SELECT id_a AS a, id_b AS b FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT a AS node FROM e),
-    r(n, m) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
-    ),
-    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
+    {_COMPONENT_CTES}
     SELECT CAST(component AS BIGINT) AS component,
            CAST(count(*) AS BIGINT) AS group_size,
            array_to_string(list_sort(list(CAST(node AS BIGINT))), '|') AS members
@@ -475,15 +481,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_leakage_safe_split",
     f"""
     WITH RECURSIVE {_MINHASH_CTES},
-    e AS (SELECT id_a AS a, id_b AS b FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT a AS node FROM e),
-    r(n, m) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
-    ),
-    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n),
+    {_COMPONENT_CTES},
     g AS (SELECT d.doc_id,
                  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key
           FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
@@ -860,15 +858,7 @@ def q_setsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corpus_clean",
     f"""
     WITH RECURSIVE {_MINHASH_CTES},
-    e AS (SELECT id_a AS a, id_b AS b FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT a AS node FROM e),
-    r(n, m) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
-    ),
-    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n),
+    {_COMPONENT_CTES},
     -- drop every near-dup-group member except the min-doc_id winner
     losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
     SELECT d.source,
