@@ -115,6 +115,47 @@ def test_basket_guard_unpruned(spark):
         bad.collect()
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BASKET_ROWS = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 9)), min_size=0, max_size=60
+)
+
+
+@given(rows=_BASKET_ROWS, min_support=st.integers(1, 4))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prune_paths_equivalent_property(spark, rows, min_support):
+    """Property: the pruned A-priori plan and the unpruned array-expansion
+    plan are result-identical on arbitrary basket multisets (duplicate
+    (basket, item) rows included), both matching brute force."""
+    baskets: dict[int, set[int]] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    _, want = _brute(baskets, min_support)
+    df = spark.createDataFrame(
+        rows + rows[::3] or [(0, 0)], "basket long, item long"
+    )
+    if not rows:
+        df = df.limit(0)
+    got_pruned = {
+        (r.item1, r.item2, r.support)
+        for r in frequent_item_pairs(df, "basket", "item", min_support).collect()
+    }
+    got_unpruned = {
+        (r.item1, r.item2, r.support)
+        for r in frequent_item_pairs(
+            df, "basket", "item", min_support, prune=False
+        ).collect()
+    }
+    assert got_pruned == want
+    assert got_unpruned == want
+
+
 def test_min_support_validation(spark):
     df = _df(spark, {1: {1}})
     with pytest.raises(ValueError, match="min_support"):
