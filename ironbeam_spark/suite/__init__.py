@@ -149,48 +149,63 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 #           q_frequent_pairs (itemsets), q_substring_scrub (substring
 #           scrub), q_bloom_skip (skipping index), q_unicode_norm (text
 #           normalization).
-#   r9->r10 (planned, wave 4 — the FINAL never-sampled tail, 11 queries):
-#           q_retention / q_ewma / q_zscore_anomaly (ops analytics),
-#           q_ann_pq (ANN codes), q_lm_score / q_collocations (language
-#           modeling), q_price_histogram / q_fingerprint / q_table_diff /
-#           q_compaction (warehouse ops), plus the round-9 addition
-#           q_scan_float_key (the stamped scan path's end-to-end driver
-#           evidence — schedule it adjacent to whatever scan-family query
-#           remains pinned, if any), plus the round-9 additions
-#           q_dedup_incremental (delta-vs-index dedup),
-#           q_stream_dedup_index (its streaming admission-check variant,
-#           ADJACENT — shared index bring-up), q_contrastive_pairs
-#           (seeded negative sampling), and q_leakage_safe_split
-#           (group-aware split) — the latter two share the minhash pair
-#           subtree, so schedule all the round-9 dedup-family additions
-#           adjacent.  15 queries exactly fill the 15-slot window;
-#           after wave 4 every registry query has a driver row and the
-#           rotation retires.
-# tests/test_registry_order.py freezes the current 122-name prefix.
+#   r9->r10 (APPLIED, wave 4 — the FINAL never-sampled tail, 15 queries):
+#           CORRECTNESS_r09 was 50/50 green (second consecutive all-green
+#           window), so every slot-1-15 query is displaceable; all 15 move
+#           to slots 51-65.  Rotated in, exactly filling the window, with
+#           the committed adjacency honored: q_scan_float_key at slot 1
+#           (the stamped scan path's end-to-end driver evidence; no
+#           scan-family query remains pinned, so it simply leads), the
+#           round-9 dedup-family additions ADJACENT at slots 2-5
+#           (q_dedup_incremental + q_stream_dedup_index share the
+#           persisted-index bring-up; q_contrastive_pairs +
+#           q_leakage_safe_split share the minhash pair subtree), then
+#           q_ann_pq (ANN codes), q_lm_score + q_collocations (language
+#           modeling, adjacent — shared tokenization subtree),
+#           q_retention + q_ewma + q_zscore_anomaly (ops analytics),
+#           q_price_histogram + q_fingerprint + q_table_diff +
+#           q_compaction (warehouse ops).  After this window every
+#           registry query has a driver row and THE ROTATION RETIRES.
+#
+# FRESHNESS POLICY (r11+, replaces the retired rotation): with all
+# queries driver-sampled at least once, the window's job becomes evidence
+# freshness.  Slots 16-50 stay immutable (the regression cross-section).
+# Slots 1-15 become a FRESHNESS window: each round, rotate in the 15
+# queries whose most recent green driver row is OLDEST (ties broken by
+# canonical order), displacing the 15 that just earned a fresh row to the
+# block after slot 50.  ~40 queries carry only r1-r2 vintage rows (e.g.
+# q_regex_suite, q_keyed_restructure, q_custom_source, q_msgpack,
+# q_rollup, q_cube) while the engine has evolved under them for 7+
+# rounds; oldest-green-first re-sampling bounds evidence staleness at
+# ~3 windows while keeping the frozen-prefix determinism contract (the
+# swap is still one committed edit per round, mirrored in
+# tests/test_registry_order.py).
+# tests/test_registry_order.py freezes the current 137-name prefix.
 CANONICAL_ORDER = [
-    # -- 1-2: the scan pair (first green in r8 after four red rounds —
-    #         kept one more round as a regression watch per the r8 verdict)
-    "q_prefix_scan",
-    "q_token_packing",
-    # -- 3-4: scan family adjacent to the pinned pair (shared
-    #         global_running_sum bring-up; both never driver-sampled)
-    "q_scan_string_key",
-    "q_shard_export",
-    # -- 5-6: formats
-    "q_arrow_ipc",
-    "q_orc",
-    # -- 7-9: merge family adjacent (scd2/cdc/rollup merge machinery)
-    "q_cdc_merge",
-    "q_rollup_merge",
-    "q_warehouse_pipeline",
-    # -- 10-15: ops analytics / linear algebra / itemsets / substring
-    #           scrub / skipping index / text normalization
-    "q_funnel",
-    "q_pca_gram",
-    "q_frequent_pairs",
-    "q_substring_scrub",
-    "q_bloom_skip",
-    "q_unicode_norm",
+    # -- 1: stamped scan path (DOUBLE key => RangePartitioner + stamped-pid
+    #       + mapInArrow) — the scan family's last never-sampled query
+    "q_scan_float_key",
+    # -- 2-5: round-9 dedup family ADJACENT (2-3 share the persisted
+    #         band-posting index bring-up; 4-5 share the minhash pair
+    #         subtree)
+    "q_dedup_incremental",
+    "q_stream_dedup_index",
+    "q_contrastive_pairs",
+    "q_leakage_safe_split",
+    # -- 6: ANN product-quantization codes
+    "q_ann_pq",
+    # -- 7-8: language modeling (shared tokenization subtree)
+    "q_lm_score",
+    "q_collocations",
+    # -- 9-11: ops analytics
+    "q_retention",
+    "q_ewma",
+    "q_zscore_anomaly",
+    # -- 12-15: warehouse ops
+    "q_price_histogram",
+    "q_fingerprint",
+    "q_table_diff",
+    "q_compaction",
     # -- 16-22: relational / TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -232,7 +247,23 @@ CANONICAL_ORDER = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # -- 51-63: displaced from the r8 window (all green in CORRECTNESS_r08)
+    # -- 51-65: displaced from the r9 window (all green in CORRECTNESS_r09)
+    "q_prefix_scan",
+    "q_token_packing",
+    "q_scan_string_key",
+    "q_shard_export",
+    "q_arrow_ipc",
+    "q_orc",
+    "q_cdc_merge",
+    "q_rollup_merge",
+    "q_warehouse_pipeline",
+    "q_funnel",
+    "q_pca_gram",
+    "q_frequent_pairs",
+    "q_substring_scrub",
+    "q_bloom_skip",
+    "q_unicode_norm",
+    # -- 66-78: displaced from the r8 window (all green in CORRECTNESS_r08)
     "q_weighted_sample",
     "q_jpeg_progressive",
     "q_mpeg_probe",
@@ -246,7 +277,7 @@ CANONICAL_ORDER = [
     "q_scd2_merge",
     "q_line_dedup",
     "q_phrase_search",
-    # -- 64-76: displaced from the r7 window (all green in CORRECTNESS_r07)
+    # -- 79-91: displaced from the r7 window (all green in CORRECTNESS_r07)
     "q_bpe_tokenize",
     "q_jpeg_decode",
     "q_substring_spans",
@@ -260,7 +291,7 @@ CANONICAL_ORDER = [
     "q_stream_cdc",
     "q_stream_left_join",
     "q_stream_sink",
-    # -- 77-88: displaced from the r6 window (all green in CORRECTNESS_r06)
+    # -- 92-103: displaced from the r6 window (all green in CORRECTNESS_r06)
     "q_winnow_fingerprints",
     "q_token_counts",
     "q_audio_decode",
@@ -273,7 +304,7 @@ CANONICAL_ORDER = [
     "q_webdataset",
     "q_tar_image_pipeline",
     "q_asof_join",
-    # -- 89-100: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # -- 104-115: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -286,7 +317,7 @@ CANONICAL_ORDER = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # -- 101-110: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # -- 116-125: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -297,7 +328,7 @@ CANONICAL_ORDER = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # -- 111-122: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # -- 126-137: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",

@@ -13,28 +13,33 @@ move to the block immediately after slot 50.  See the rotation history in
 
 from ironbeam_spark.suite import CANONICAL_ORDER, QUERIES
 
-# Current frozen prefix (r9 rotation wave 3 applied).
+# Current frozen prefix (r10 rotation wave 4 applied — the FINAL wave;
+# after this window every registry query has a driver row and the
+# rotation retires in favor of the oldest-green-first freshness policy
+# documented in ironbeam_spark/suite/__init__.py).
 FROZEN_PREFIX = [
-    # 1-2: the scan pair (first green r8 — kept one round as regression watch)
-    "q_prefix_scan",
-    "q_token_packing",
-    # 3-4: scan family adjacent (shared global_running_sum bring-up)
-    "q_scan_string_key",
-    "q_shard_export",
-    # 5-6: formats
-    "q_arrow_ipc",
-    "q_orc",
-    # 7-9: merge family adjacent
-    "q_cdc_merge",
-    "q_rollup_merge",
-    "q_warehouse_pipeline",
-    # 10-15: ops analytics / PCA / itemsets / scrub / bloom index / unicode
-    "q_funnel",
-    "q_pca_gram",
-    "q_frequent_pairs",
-    "q_substring_scrub",
-    "q_bloom_skip",
-    "q_unicode_norm",
+    # 1: stamped scan path (last never-sampled scan-family query)
+    "q_scan_float_key",
+    # 2-5: round-9 dedup family adjacent (2-3 share the persisted index
+    #      bring-up; 4-5 share the minhash pair subtree)
+    "q_dedup_incremental",
+    "q_stream_dedup_index",
+    "q_contrastive_pairs",
+    "q_leakage_safe_split",
+    # 6: ANN product-quantization codes
+    "q_ann_pq",
+    # 7-8: language modeling (shared tokenization subtree)
+    "q_lm_score",
+    "q_collocations",
+    # 9-11: ops analytics
+    "q_retention",
+    "q_ewma",
+    "q_zscore_anomaly",
+    # 12-15: warehouse ops
+    "q_price_histogram",
+    "q_fingerprint",
+    "q_table_diff",
+    "q_compaction",
     # 16-50: IMMUTABLE cross-section
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -71,7 +76,23 @@ FROZEN_PREFIX = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # 51-63: displaced from the r8 window (all green in CORRECTNESS_r08)
+    # 51-65: displaced from the r9 window (all green in CORRECTNESS_r09)
+    "q_prefix_scan",
+    "q_token_packing",
+    "q_scan_string_key",
+    "q_shard_export",
+    "q_arrow_ipc",
+    "q_orc",
+    "q_cdc_merge",
+    "q_rollup_merge",
+    "q_warehouse_pipeline",
+    "q_funnel",
+    "q_pca_gram",
+    "q_frequent_pairs",
+    "q_substring_scrub",
+    "q_bloom_skip",
+    "q_unicode_norm",
+    # 66-78: displaced from the r8 window (all green in CORRECTNESS_r08)
     "q_weighted_sample",
     "q_jpeg_progressive",
     "q_mpeg_probe",
@@ -85,7 +106,7 @@ FROZEN_PREFIX = [
     "q_scd2_merge",
     "q_line_dedup",
     "q_phrase_search",
-    # 64-76: displaced from the r7 window (all green in CORRECTNESS_r07)
+    # 79-91: displaced from the r7 window (all green in CORRECTNESS_r07)
     "q_bpe_tokenize",
     "q_jpeg_decode",
     "q_substring_spans",
@@ -99,7 +120,7 @@ FROZEN_PREFIX = [
     "q_stream_cdc",
     "q_stream_left_join",
     "q_stream_sink",
-    # 77-88: displaced from the r6 window (all green in CORRECTNESS_r06)
+    # 92-103: displaced from the r6 window (all green in CORRECTNESS_r06)
     "q_winnow_fingerprints",
     "q_token_counts",
     "q_audio_decode",
@@ -112,7 +133,7 @@ FROZEN_PREFIX = [
     "q_webdataset",
     "q_tar_image_pipeline",
     "q_asof_join",
-    # 89-100: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # 104-115: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -125,7 +146,7 @@ FROZEN_PREFIX = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # 101-110: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # 116-125: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -136,7 +157,7 @@ FROZEN_PREFIX = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # 111-122: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # 126-137: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",
