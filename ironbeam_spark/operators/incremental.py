@@ -276,9 +276,23 @@ def minhash_index_admit(
     """Next corpus-index version: ``index`` plus the band postings of the
     delta docs that were ADMITTED (``status == 'unique'`` in
     ``classification``, the output of :func:`minhash_dedup_incremental` for
-    the same delta).  Duplicates are NOT indexed — their canonical survivor
-    already is, and indexing both would double every future candidate hit
-    on the group.  Hash parameters must match the existing index.
+    the same delta).  Duplicates are NOT indexed — indexing both sides of a
+    near-dup pair would double every future candidate hit on the group.
+
+    KNOWN RECALL GAP (greedy chains): for a within-delta chain a~b~c with
+    a < b < c and a NOT~ c, classification assigns both b and c
+    ``dup_in_batch`` (b's dup_of=a, c's dup_of=b), so NEITHER b nor c is
+    admitted even though c's content is not represented by a — a future
+    delta doc near-duplicating only c is admitted as unique, permanently.
+    This is the standard greedy-transitive-closure trade-off (the batch
+    path makes the same choice); if chain recall matters more than index
+    size, admit one representative per connected component instead of
+    only ``status == 'unique'`` docs (run the pair graph through
+    ``connected_components`` and index each component's min-id member —
+    for the a~b~c chain that still indexes only a, so the robust variant
+    is to index every delta doc's postings and accept the doubled
+    candidate hits on dup groups).  Hash parameters must match the
+    existing index.
 
     Plain union — in production, write just the new postings
     (``minhash_index(admitted, ...)``) as a parquet APPEND to the index

@@ -86,7 +86,12 @@ def frequent_item_pairs(
     ``max_basket_items``: optional fail-fast bound on the number of
     items in a single basket considered for pairing (raises mid-job if
     exceeded) — the guard against quadratic blow-up on pathological
-    baskets.
+    baskets.  MODE-DEPENDENT: with ``prune=True`` the bound applies to
+    FREQUENT items per basket (measured after the pass-1 prune removes
+    infrequent ones), while ``prune=False`` bounds ALL distinct items per
+    basket — so the same threshold can pass pruned yet raise unpruned on
+    long-tail-heavy baskets.  Size the bound for the unpruned distinct
+    count if you intend to toggle ``prune``.
 
     ``prune``: whether to run A-priori pass 1 (the downward-closure LEFT
     SEMI prune of infrequent items before pair generation).  The final

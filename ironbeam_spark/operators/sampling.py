@@ -339,7 +339,14 @@ def contrastive_negatives(
     An anchor whose exclusions (itself + its partners) exceed
     ``pool_margin + 1`` gets FEWER than ``k`` negatives — deterministic
     and visible in the output rather than silently re-sampling; raise
-    ``pool_margin`` for corpora with large duplicate groups.
+    ``pool_margin`` for corpora with large duplicate groups.  Practical
+    ceiling: the collected pool becomes an ``array(...)`` LITERAL embedded
+    in every task's serialized plan (not a broadcast variable), so
+    ``k + 1 + pool_margin`` should stay in the 10^3-10^4 range — beyond
+    that, plan size and per-task eval cost of the linear array filter both
+    grow with the pool, and a dup group that large means the duplicate
+    graph, not the sampler, needs attention first.  Enforced at 100_000
+    as a hard sanity cap.
     ``pairs`` is treated as undirected: both endpoints' partner sets
     exclude each other.
 
@@ -354,6 +361,13 @@ def contrastive_negatives(
     if k < 1:
         raise ValueError(f"contrastive_negatives: k must be >= 1, got {k}")
     pool_size = k + 1 + pool_margin
+    if pool_size > 100_000:
+        raise ValueError(
+            f"contrastive_negatives: pool of k+1+pool_margin={pool_size} ids "
+            "exceeds the 100000 sanity cap — the pool is embedded as an "
+            "array literal in every task's plan; shrink pool_margin or "
+            "shrink the duplicate groups driving it"
+        )
     id_type = dict(docs.dtypes)[id_col]
     # bounded scalar collect (pool_size rows of one id column), in priority
     # order — the pool IS a seeded reservoir sample, so reuse its single

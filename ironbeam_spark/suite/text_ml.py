@@ -413,16 +413,24 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_words=3, k=8, bands=4, threshold=0.5,
     )
     name = "q_stream_dedup_index_sink"
+    # availableNow + memory sink: the checkpoint is single-use scratch;
+    # remove it after termination (bench/check call this repeatedly and
+    # would otherwise leak one /tmp dir per invocation)
     ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_ckpt_")
-    q = (
-        matches.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            matches.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     batch_ids = static.where(F.col("doc_id") % 3 == 1).select("doc_id")
     return (
         batch_ids.join(spark.table(name), on="doc_id", how="left")
@@ -450,13 +458,13 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                SELECT id_a AS a, id_b AS b FROM pairs
                UNION ALL SELECT id_b, id_a FROM pairs) GROUP BY a)
     SELECT id_a AS anchor, id_b AS positive,
-           array_to_string(list_slice(list_filter((SELECT pl FROM pool),
+           coalesce(array_to_string(list_slice(list_filter((SELECT pl FROM pool),
              c -> c <> id_a AND NOT list_contains(coalesce(e.ex, CAST([] AS BIGINT[])), c)),
-             1, 5), '|') AS negatives
+             1, 5), '|'), '') AS negatives
     FROM pairs LEFT JOIN excl e ON e.a = id_a
     ORDER BY anchor, positive
     """,
-    doc="contrastive training triples (north-star training-data gen): anchor/positive from the minhash near-dup miner, up to 5 seeded negatives from a SHARED 22-id priority pool (in-batch-negatives contract — one global seeded sort + per-anchor array filter against its dup-partner set; linear, no per-anchor corpus join); oracle = same pool/exclusion algebra in list form",
+    doc="contrastive training triples (north-star training-data gen): anchor/positive from the minhash near-dup miner, up to 5 seeded negatives from a SHARED 22-id priority pool (in-batch-negatives contract — one global seeded sort + per-anchor array filter against its dup-partner set; linear, no per-anchor corpus join); oracle = same pool/exclusion algebra in list form (array_to_string coalesced to '' — DuckDB yields NULL on an empty list where Spark array_join yields '', the q_winnow_fingerprints pitfall)",
 )
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.sampling import contrastive_negatives

@@ -87,3 +87,16 @@ def test_null_ids_never_enter_the_pool(spark):
 def test_k_validation(spark):
     with pytest.raises(ValueError, match="k must be"):
         contrastive_negatives(_docs(spark, 5), _pairs(spark, [(1, 2)]), "doc_id", k=0)
+
+
+def test_pool_size_sanity_cap(spark):
+    # the pool is an array LITERAL in every task's plan, not a broadcast —
+    # a runaway pool_margin must fail loudly before the driver collect
+    with pytest.raises(ValueError, match="sanity cap"):
+        contrastive_negatives(
+            _docs(spark, 5),
+            _pairs(spark, [(1, 2)]),
+            "doc_id",
+            k=5,
+            pool_margin=100_000,
+        )
