@@ -213,6 +213,15 @@ def minhash_band_keys(
     return df.select(F.col(id_col), *[F.col(c) for c in payload_cols], band_key)
 
 
+# Recommended production bound for guard_band_buckets: a 10^4-posting
+# bucket already means ~5*10^7 candidate pairs from ONE key (a task that
+# runs, slowly) while anything an order of magnitude beyond it is a
+# boilerplate cluster that should fail loudly.  The suite's minhash
+# queries run with this bound ON, so the guarded plan shape is what the
+# correctness gate and bench continuously exercise.
+RECOMMENDED_MAX_BAND_BUCKET = 10_000
+
+
 def guard_band_buckets(
     keyed: DataFrame, max_band_bucket: int, what: str = "minhash"
 ) -> DataFrame:
@@ -223,9 +232,10 @@ def guard_band_buckets(
     ONE bucket and the candidate join emits 5·10^11 pairs from a single key.
     Same contract as ``frequent_item_pairs(max_basket_items=...)``: opt-in,
     one extra combinable count + equi-join when enabled, plan untouched when
-    not.  (The right FIX for a corpus like that is upstream: strip the
-    boilerplate or raise ``rows_per_band``; the guard makes the failure loud
-    and attributable.)"""
+    not.  Unless profiling says otherwise, enable it with
+    :data:`RECOMMENDED_MAX_BAND_BUCKET`.  (The right FIX for a corpus that
+    trips it is upstream: strip the boilerplate or raise ``rows_per_band``;
+    the guard makes the failure loud and attributable.)"""
     sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bkn"))
     return (
         keyed.join(sizes, on="band_key")

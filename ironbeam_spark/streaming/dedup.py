@@ -69,6 +69,7 @@ def stream_dedup_against_index(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.2,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup admission check against a static corpus
     fingerprint index: the ingestion-time complement of
@@ -95,10 +96,19 @@ def stream_dedup_against_index(
     watermark bounds the banding key doesn't have; compose with
     :func:`stream_distinct` on a content hash upstream, or run the batch
     operator over the landed delta.
+
+    ``max_band_bucket`` applies :func:`~ironbeam_spark.operators.dedup.
+    guard_band_buckets` to the STATIC index side only — a boilerplate
+    cluster in the corpus index is the unbounded quadratic hazard here
+    (every micro-batch doc landing in the hot bucket joins its full
+    posting list); the stream side's per-bucket size is already bounded
+    by the micro-batch, and counting it would add a second streaming
+    aggregate the output mode can't carry.
     """
     from pyspark.sql import functions as F
 
     from ironbeam_spark.operators.dedup import (
+        guard_band_buckets,
         jaccard,
         minhash_band_keys,
         minhash_signature_from_ints,
@@ -107,6 +117,8 @@ def stream_dedup_against_index(
 
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
+    if max_band_bucket is not None:
+        index = guard_band_buckets(index, max_band_bucket, "index postings")
     # same projection+short-doc predicate as the index / verify-table build
     # (_shingled is the single definition — the stream-static join is only
     # sound if both sides shingle identically)

@@ -965,6 +965,7 @@ def _pretrain_sql() -> str:
 def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.functions.text import lang_id, quality_score, token_count
     from ironbeam_spark.operators.dedup import (
+        RECOMMENDED_MAX_BAND_BUCKET,
         dedup_components,
         dedup_exact,
         minhash_dedup_pairs,
@@ -979,7 +980,8 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("fp", F.md5(F.lower(F.trim("text")))), ["fp"], "doc_id"
     ).select("doc_id", "text", "source")
     pairs = minhash_dedup_pairs(
-        exact, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+        exact, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     losers = (
         dedup_components(pairs)

@@ -24,6 +24,7 @@ from ironbeam_spark.functions.text import (
     token_count,
 )
 from ironbeam_spark.operators.dedup import (
+    RECOMMENDED_MAX_BAND_BUCKET,
     char_ngrams,
     dedup_exact,
     jaccard,
@@ -286,7 +287,8 @@ _COMPONENT_CTES = """e AS (SELECT id_a AS a, id_b AS b FROM pairs
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").df
     return minhash_dedup_pairs(
-        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     ).orderBy("id_a", "id_b")
 
 
@@ -307,7 +309,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").df
     pairs = minhash_dedup_pairs(
-        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     labels = dedup_components(pairs)
     return (
@@ -363,6 +366,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_incremental(
         batch, idx, corpus, "doc_id", "text",
         shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     ).orderBy("doc_id")
 
 
@@ -411,6 +415,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = stream_dedup_against_index(
         sdf, idx, ver, "doc_id", "text",
         shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     name = "q_stream_dedup_index_sink"
     # availableNow + memory sink: the checkpoint is single-use scratch;
@@ -471,7 +476,8 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").df
     pairs = minhash_dedup_pairs(
-        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     out = contrastive_negatives(
         docs.select("doc_id"), pairs, "doc_id", k=5, seed=7, pool_margin=16
@@ -509,7 +515,8 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").df
     pairs = minhash_dedup_pairs(
-        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     out = leakage_safe_split(
         docs.select("doc_id"), pairs, "doc_id", seed=31, train=0.8, val=0.1
@@ -886,7 +893,8 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").df
     pairs = minhash_dedup_pairs(
-        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+        docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     labels = dedup_components(pairs)
     losers = labels.where(F.col("node") != F.col("component")).select(

@@ -173,6 +173,42 @@ def test_stream_dedup_against_index(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_dedup_guard_raises_on_hot_index_bucket(spark, tmp_path):
+    """End-to-end raise path for the streaming variant: a boilerplate
+    cluster in the STATIC index trips the guard mid-micro-batch (the
+    failure surfaces through the StreamingQuery, not as a silent melt)."""
+    import tempfile
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ironbeam_spark.operators.incremental import minhash_verify_table
+    from ironbeam_spark.streaming.dedup import stream_dedup_against_index
+
+    corpus = spark.createDataFrame(
+        [(i, _A) for i in range(5)], "doc_id long, text string"
+    )
+    idx = minhash_index(corpus, "doc_id", "text")
+    ver = minhash_verify_table(corpus, "doc_id", "text")
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame([(10, _A)], "doc_id long, text string").write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    matches = stream_dedup_against_index(
+        sdf, idx, ver, "doc_id", "text", max_band_bucket=3
+    )
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_guard_ckpt_", dir=str(tmp_path))
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("t_stream_guard")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="max_band_bucket"):
+        q.awaitTermination()
+
+
 def test_two_delta_lifecycle_with_admit(spark, tmp_path):
     """The full per-delta loop: classify delta 1, admit its survivors into
     the index, and delta 2's dup of a delta-1 SURVIVOR classifies as
