@@ -9,6 +9,13 @@ the best of 2 runs per query — steady-state wall time, robust to transient
 machine load.  Compilation cost is a per-plan constant that amortizes to
 zero in the long-running-job regime this engine targets; the cold pass is
 still reported on stderr for transparency.
+
+Drift attribution: any headline query moving >15% vs the prior round's
+recorded BENCH_r*.json triggers a same-session A/B — the prior round's
+commit is checked out into a worktree and re-timed NOW (tools/ab_bench.py,
+same protocol), so box drift (prior-code-now ≈ current-code-now) is
+separable from real regressions (prior code still fast, current slow).
+Verdicts land in BENCH_DETAIL.json["ab_check"].
 """
 
 from __future__ import annotations
@@ -47,6 +54,126 @@ def _release_checkpoint_registries() -> None:
     release_rank_caches()
     release_edge_caches()
     gc.collect()
+
+
+def _ab_drift_check(
+    names: list[str], times: dict[str, float], sf_dir: str
+) -> dict:
+    """Compare ``times`` against the newest BENCH_r*.json; for queries
+    drifting >15% either way, time the prior round's commit AND the
+    current tree in two identical back-to-back subprocesses
+    (``tools/ab_bench.py``, same timing protocol) and attribute each
+    delta to ``code`` or ``environment``.  Both sides run in FRESH JVMs
+    on the same machine state, minutes apart — comparing the prior
+    commit's subprocess against the parent session's warmed numbers
+    would systematically flag "code" (a fresh JVM reads ~1.5x slower
+    than the long-warmed parent even after its own warm-up pass;
+    measured while building this).  Bounded: only queries >= 0.2s
+    (smaller ones are timer noise), at most the 10 largest relative
+    drifts, one subprocess pair for all of them."""
+    import shutil
+    import subprocess
+
+    benches = sorted(Path(_REPO).glob("BENCH_r*.json"))
+    if not benches:
+        return {"skipped": "no prior BENCH_r*.json"}
+    prior_file = benches[-1]
+    prior = json.loads(prior_file.read_text())
+    # the driver wraps bench.py's stdout payload under "parsed"
+    prev_q = (prior.get("queries") or (prior.get("parsed") or {}).get("queries")) or {}
+    drifted = sorted(
+        (
+            n
+            for n in names
+            if isinstance(prev_q.get(n), (int, float))
+            and prev_q[n] >= 0.2
+            and times[n] >= 0.2
+            and abs(times[n] - prev_q[n]) / prev_q[n] > 0.15
+        ),
+        key=lambda n: -abs(times[n] - prev_q[n]) / prev_q[n],
+    )[:10]
+    if not drifted:
+        return {"prior": prior_file.name, "drifted": []}
+
+    commit = subprocess.run(
+        ["git", "log", "-n", "1", "--format=%H", "--", prior_file.name],
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    if not commit:
+        return {"skipped": f"no commit found for {prior_file.name}"}
+    wt = str(Path(_REPO) / ".bench_ab_worktree")
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", wt],
+        cwd=_REPO, capture_output=True,
+    )
+    shutil.rmtree(wt, ignore_errors=True)
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, commit],
+        cwd=_REPO, capture_output=True, text=True, check=True,
+    )
+    def _run_ab(tree: str, tag: str) -> dict:
+        proc = subprocess.run(
+            [sys.executable, str(Path(_REPO) / "tools" / "ab_bench.py"), tree, sf_dir]
+            + drifted,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        for ln in proc.stderr.splitlines():
+            if ln.startswith("# ab "):
+                print(ln.replace("# ab ", f"# ab[{tag}] "), file=sys.stderr)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    try:
+        # alternate A/B/A/B and keep each side's best across its two fresh
+        # JVMs: measured same-tree spread between two single fresh sessions
+        # on this box is ~33% on sub-second queries (JIT + co-tenant noise),
+        # so one pair cannot resolve a 15% delta
+        prior_now = _run_ab(wt, "prior")
+        current_now = _run_ab(_REPO, "current")
+        for tree, tag, acc in ((wt, "prior", prior_now), (_REPO, "current", current_now)):
+            again = _run_ab(tree, tag)
+            for k, v in again.items():
+                if v is not None and (acc.get(k) is None or v < acc[k]):
+                    acc[k] = v
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=_REPO, capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+    rows = {}
+    for n in drifted:
+        pn, cn = prior_now.get(n), current_now.get(n)
+        if pn is None or cn is None:
+            verdict = "not-in-prior-commit"
+        elif abs(cn - pn) / pn <= 0.15:
+            # prior code and current code, timed in alternating fresh
+            # sessions, land together: the recorded round-over-round
+            # delta was the box, not the diff
+            verdict = "environment"
+        elif abs(cn - pn) / pn > 0.30:
+            verdict = "code"
+        else:
+            # between the same-tree noise floor and a clear code delta
+            verdict = "inconclusive"
+        rows[n] = {
+            "prior_recorded": prev_q[n],
+            "current": times[n],
+            "prior_commit_now": pn,
+            "current_commit_now": cn,
+            "verdict": verdict,
+        }
+        print(
+            f"# ab verdict {n}: recorded {prev_q[n]:.3f}s -> {times[n]:.3f}s; "
+            f"fresh-session A/B prior={pn} current={cn} => {verdict}",
+            file=sys.stderr,
+        )
+    return {"prior": prior_file.name, "prior_commit": commit, "queries": rows}
 
 
 def main() -> None:
@@ -104,6 +231,24 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows, {runs} runs)", file=sys.stderr)
         _release_checkpoint_registries()
+
+    # --- same-session A/B drift check (round-9 verdict ask #2) -----------
+    # Round-over-round per-query deltas have been swamped by box noise
+    # (12 untouched queries drifted +15-35% in r9; same-code totals moved
+    # 25 -> 29s across one day).  When a headline query moves >15% vs the
+    # PRIOR round's recorded JSON, re-time the prior round's commit in a
+    # worktree NOW — same machine state, minutes apart — so the
+    # environment term cancels: prior-code-now ≈ current-code-now means
+    # the recorded delta was drift; prior-code-now reproducing its old
+    # number while current code is slower means a real regression.
+    # Results land in BENCH_DETAIL.json["ab_check"]; disable with
+    # SPARK_GRAFT_AB=0.
+    if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        try:
+            detail["ab_check"] = _ab_drift_check(names, times, sf_dir)
+        except Exception as e:  # the A/B is diagnostics, never a bench failure
+            print(f"# ab_check failed: {e}", file=sys.stderr)
+            detail["ab_check"] = {"error": str(e)}
 
     # The driver captures only the TAIL of stdout (~2,000 chars) and parses
     # the last line as JSON.  Round 5's line — warm + cold + the full sf1

@@ -351,6 +351,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LEFT JOIN bm ON bm.doc_id = nd.doc_id
     ORDER BY nd.doc_id
     """,
+    bench=True,
     doc="incremental dedup of a delta batch (doc_id%3=1) against a corpus fingerprint index: band-posting equi-joins (delta-vs-index + delta self), exact-Jaccard verify on semi-pruned candidates only, corpus-priority min-id winner; oracle = the shared minhash CTE chain classified by batch membership",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +509,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g
     ORDER BY doc_id
     """,
+    bench=True,
     doc="leakage-safe train/val/test split (north-star eval-contamination guard): near-dup GROUPS (minhash pairs -> connected components, min-id label; singletons = own id) are co-assigned by md5-bucketing the GROUP key, so no eval doc has a near-copy in train; oracle = recursive-CTE reachability + identical hash arithmetic, per-doc assignment verified",
 )
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
