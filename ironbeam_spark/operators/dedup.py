@@ -39,10 +39,12 @@ __all__ = [
     "word_shingles",
     "hashed_word_shingles",
     "char_ngrams",
+    "minhash_affine",
     "minhash_signature",
     "minhash_signature_from_ints",
     "minhash_band_keys",
     "guard_band_buckets",
+    "RECOMMENDED_MAX_BAND_BUCKET",
     "minhash_candidates",
     "minhash_dedup_pairs",
     "release_shingle_caches",
@@ -141,26 +143,106 @@ def char_ngrams(col: Column | str, n: int = 4) -> Column:
 
 
 # Affine-hash family for minhash: h_i(x) = (a_i·x + b_i) mod MINHASH_PRIME over
-# an int64 base hash x.  One md5 per token total (vs one per shingle per hash
-# function); a_i ≤ 33 and x < 2^57 keep a_i·x < 2^62 — no int64 overflow, so
-# DuckDB mirrors the arithmetic bit-for-bit.
+# an int64 base hash x < 2^57 (rolling shingle hashes are < SHINGLE_MOD ≈
+# 2^56.5; md5 token ints are 48-bit).
+#
+# The a_i MUST be large enough that a_i·x wraps past the modulus.  The
+# original family used a_i = 2i+3 (3..33): for x < 2^57 and a ≤ 17 (every
+# i < 8), a·x + b < 2^61−1 — the mod NEVER fired, every h_i was strictly
+# increasing in x, and all k "independent" minhashes picked the SAME argmin
+# shingle.  The k-permutation signature silently collapsed to one hash
+# replicated k times: band agreement became all-or-nothing, and LSH
+# candidate recall degenerated from 1−(1−s^r)^b to s (caught round 10 when
+# a Jaccard-0.45 pair with a forced 8-of-8 banding failed to collide).
+#
+# Now: a_i is a seeded odd 30-bit value with the top bit forced (a ∈
+# [2^29, 2^30), so a·x/p ≈ a/16 ≈ 2^25 wraps — thoroughly folded), b_i a
+# seeded 61-bit offset, both derived from md5 so DuckDB oracles can embed
+# the same literals.  a·x would overflow int64, so the product is computed
+# exactly via a 24-bit limb split and the Mersenne identity 2^61 ≡ 1
+# (mod p): with x = xh·2^24 + xl and t = (a·xh) mod p,
+#   a·x mod p = (t·2^24 + a·xl) mod p,
+#   t·2^24 mod p = ((t & (2^37−1)) << 24) + (t >> 37).
+# Bounds: a·xh < 2^30·2^33 = 2^63 (fits signed); the folded sum is
+# < 2^61 + 2^24 + 2^54 + 2^61 < 2^63.  All exact in int64 — and in DuckDB
+# BIGINT, so the oracle mirrors it bit-for-bit.
 MINHASH_PRIME = (1 << 61) - 1
-MINHASH_COEFFS = [(2 * i + 3, 10_007 * (i + 1)) for i in range(16)]  # (a_i, b_i), a odd
+_MASK24 = (1 << 24) - 1
+_MASK37 = (1 << 37) - 1
+
+
+def _minhash_coeff(i: int) -> "tuple[int, int]":
+    import hashlib
+
+    h = hashlib.md5(f"ironbeam-minhash-{i}".encode()).hexdigest()
+    a = (int(h[:8], 16) % (1 << 29)) | (1 << 29) | 1  # odd, in [2^29, 2^30)
+    b = int(h[8:24], 16) % MINHASH_PRIME
+    return a, b
+
+
+MINHASH_COEFFS = [_minhash_coeff(i) for i in range(16)]  # (a_i, b_i)
+
+
+def minhash_affine(x: Column, a: int, b: int) -> Column:
+    """``(a·x + b) mod MINHASH_PRIME`` exactly in int64 for x < 2^57 and
+    a < 2^30, via the limb split + Mersenne fold documented above."""
+    p = F.lit(MINHASH_PRIME)
+    t = (F.lit(a).cast("long") * F.shiftright(x, 24)) % p
+    folded = F.shiftleft(t.bitwiseAND(F.lit(_MASK37)), 24) + F.shiftright(t, 37)
+    return (folded + F.lit(a).cast("long") * x.bitwiseAND(F.lit(_MASK24)) + F.lit(b)) % p
 
 
 def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
-    """K minhash values (int64 array) from pre-materialized 48-bit shingle
-    hashes.  Materialize ``ints`` in its own projection before calling — the
-    md5 pass must run once per row, not once per hash function (Catalyst does
-    not CSE a subexpression across the k signature terms)."""
+    """K minhash values (int64 array) from pre-materialized int64 shingle
+    hashes (< 2^57).  Materialize ``ints`` in its own projection before
+    calling — the md5 pass must run once per row, not once per hash function
+    (Catalyst does not CSE a subexpression across the k signature terms).
 
-    def sig_i(i: int) -> Column:
-        a, b = MINHASH_COEFFS[i]
-        return F.array_min(
-            F.transform(ints, lambda x: (F.lit(a).cast("long") * x + F.lit(b)) % F.lit(MINHASH_PRIME))
+    Single-pass shape: one ``aggregate`` over the shingle array carrying a
+    k-wide running-minimum accumulator, with the 24-bit limb split of each
+    element let-bound once and shared by all k affine evaluations.  The
+    naive spelling (k independent ``array_min(transform(...))`` passes)
+    traverses the array k times and re-splits every element per hash
+    function — measured ~15% slower on the banded-dedup bench query after
+    the round-10 exact-mulmod arithmetic tripled per-hash op count.
+    ``least`` over the same values is bit-identical to ``array_min``.
+    Precondition (all in-package callers satisfy it via their
+    size/token-count filters): ``ints`` is non-empty — an empty array
+    yields the accumulator seed (MINHASH_PRIME per slot), where the
+    k-pass spelling yielded NULLs."""
+
+    def step(acc: Column, x: Column) -> Column:
+        # one split per element (struct let-binding), shared by all k hashes
+        return let_(
+            F.struct(
+                F.shiftright(x, 24).alias("xh"),
+                x.bitwiseAND(F.lit(_MASK24)).alias("xl"),
+            ),
+            lambda s: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        _affine_split(s["xh"], s["xl"], *MINHASH_COEFFS[i])
+                        for i in range(k)
+                    ]
+                ),
+                lambda m, h: F.least(m, h),
+            ),
         )
 
-    return F.array(*[sig_i(i) for i in range(k)])
+    return F.aggregate(
+        ints,
+        F.array(*[F.lit(MINHASH_PRIME).cast("long") for _ in range(k)]),
+        step,
+    )
+
+
+def _affine_split(xh: Column, xl: Column, a: int, b: int) -> Column:
+    """:func:`minhash_affine` on a pre-split x = xh·2^24 + xl."""
+    p = F.lit(MINHASH_PRIME)
+    t = (F.lit(a).cast("long") * xh) % p
+    folded = F.shiftleft(t.bitwiseAND(F.lit(_MASK37)), 24) + F.shiftright(t, 37)
+    return (folded + F.lit(a).cast("long") * xl + F.lit(b)) % p
 
 
 def minhash_signature(shingles: Column, k: int = 8) -> Column:
@@ -168,7 +250,8 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
 
     Base hash x(s) = first 48 bits of md5(s) (portable:
     ``('0x'||substr(md5(s),1,12))::BIGINT`` in DuckDB); signature element i is
-    ``min over shingles of (a_i·x + b_i) mod (2^61−1)``.  The base-hash array
+    ``min over shingles of (a_i·x + b_i) mod (2^61−1)`` with the exact-int64
+    evaluation documented at :data:`MINHASH_COEFFS`.  The base-hash array
     is let-bound so md5 runs once per shingle, not once per hash function."""
     return let_(
         F.transform(shingles, lambda s: token_int(s)),

@@ -272,27 +272,36 @@ def minhash_index_admit(
     shingle_words: int = 3,
     k: int = 8,
     bands: int = 4,
+    admit: str = "unique",
 ) -> DataFrame:
     """Next corpus-index version: ``index`` plus the band postings of the
-    delta docs that were ADMITTED (``status == 'unique'`` in
-    ``classification``, the output of :func:`minhash_dedup_incremental` for
-    the same delta).  Duplicates are NOT indexed — indexing both sides of a
-    near-dup pair would double every future candidate hit on the group.
+    delta docs selected by the ``admit`` policy.
 
-    KNOWN RECALL GAP (greedy chains): for a within-delta chain a~b~c with
-    a < b < c and a NOT~ c, classification assigns both b and c
+    ``admit="unique"`` (default): only docs with ``status == 'unique'`` in
+    ``classification`` (the output of :func:`minhash_dedup_incremental` for
+    the same delta) are indexed.  Duplicates are NOT — indexing both sides
+    of a near-dup pair would double every future candidate hit on the
+    group.  KNOWN RECALL GAP (greedy chains): for a within-delta chain
+    a~b~c with a < b < c and a NOT~ c, classification assigns both b and c
     ``dup_in_batch`` (b's dup_of=a, c's dup_of=b), so NEITHER b nor c is
     admitted even though c's content is not represented by a — a future
     delta doc near-duplicating only c is admitted as unique, permanently.
     This is the standard greedy-transitive-closure trade-off (the batch
-    path makes the same choice); if chain recall matters more than index
-    size, admit one representative per connected component instead of
-    only ``status == 'unique'`` docs (run the pair graph through
-    ``connected_components`` and index each component's min-id member —
-    for the a~b~c chain that still indexes only a, so the robust variant
-    is to index every delta doc's postings and accept the doubled
-    candidate hits on dup groups).  Hash parameters must match the
-    existing index.
+    path makes the same choice).  Admitting a component REPRESENTATIVE
+    would not help — the a~b~c component's min-id representative is a,
+    which still leaves c's content unindexed.
+
+    ``admit="all"``: every shingleable delta doc is indexed, duplicate or
+    not — full chain recall (a future near-dup of ANY delta doc collides
+    with its postings) at the cost of dup groups accumulating one posting
+    set per member, multiplying candidate hits on the group by its size.
+    Use when recall against chain tails matters more than index size —
+    and pair it with ``max_band_bucket`` in the classifier, since
+    boilerplate clusters now grow their own bucket with every delta.
+    ``classification`` is ignored in this mode (pass the same frame; the
+    signature stays uniform across the per-delta loop).
+
+    Hash parameters must match the existing index.
 
     Plain union — in production, write just the new postings
     (``minhash_index(admitted, ...)``) as a parquet APPEND to the index
@@ -300,11 +309,18 @@ def minhash_index_admit(
     the same step, closing the per-delta loop:
     classify → admit survivors → next delta joins the grown index.
     """
-    admitted = new_docs.join(
-        classification.where(F.col("status") == "unique").select(id_col),
-        on=id_col,
-        how="left_semi",
-    )
+    if admit not in ("unique", "all"):
+        raise ValueError(
+            f"minhash_index_admit: admit must be 'unique' or 'all', got {admit!r}"
+        )
+    if admit == "all":
+        admitted = new_docs
+    else:
+        admitted = new_docs.join(
+            classification.where(F.col("status") == "unique").select(id_col),
+            on=id_col,
+            how="left_semi",
+        )
     return index.unionByName(
         minhash_index(admitted, id_col, text_col, shingle_words, k, bands)
     )

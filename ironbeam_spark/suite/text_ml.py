@@ -24,6 +24,7 @@ from ironbeam_spark.functions.text import (
     token_count,
 )
 from ironbeam_spark.operators.dedup import (
+    MINHASH_COEFFS as _MINHASH_COEFFS,
     RECOMMENDED_MAX_BAND_BUCKET,
     char_ngrams,
     dedup_exact,
@@ -230,8 +231,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_MOD = 10**17 + 3
 
+# The minhash affine family's (a_i, b_i) constants — the SAME literals the
+# engine uses (single source of truth: operators/dedup.MINHASH_COEFFS), and
+# the same exact-int64 limb-split + Mersenne-fold evaluation (see the
+# MINHASH_COEFFS comment for the derivation and overflow bounds; the SQL
+# below is that arithmetic spelled in DuckDB BIGINT ops, independently
+# written against the documented formula).
+_MH_P = (1 << 61) - 1
+_COEFFS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MINHASH_COEFFS[:8])
+)
+# h(s) = (fold((a*(s>>24)) % p) + a*(s & 2^24-1) + b) % p, where
+# fold(t) = ((t & 2^37-1) << 24) + (t >> 37)  [t*2^24 mod p via 2^61 ≡ 1]
+_MH_HASH_SQL = (
+    f"(((((ca * (s >> 24)) % {_MH_P}) & {(1 << 37) - 1}) << 24)"
+    f" + (((ca * (s >> 24)) % {_MH_P}) >> 37)"
+    f" + (ca * (s & {(1 << 24) - 1})) + cb) % {_MH_P}"
+)
+
 # CTE chain shared by q_dedup_minhash and q_dedup_groups (recursive components)
-_MINHASH_CTES = f"""toksrc AS (SELECT doc_id,
+_MINHASH_CTES = f"""coeffs(i, ca, cb) AS (VALUES {_COEFFS_SQL}),
+    toksrc AS (SELECT doc_id,
                       list_transform({_TOKS_SQL}, t -> {_TI_SQL.format('t')}) AS tis
                     FROM documents),
     base0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(
@@ -240,10 +260,8 @@ _MINHASH_CTES = f"""toksrc AS (SELECT doc_id,
                       % {_SHINGLE_MOD}))) AS shingles
               FROM toksrc),
     base AS (SELECT * FROM base0 WHERE len(shingles) > 0),
-    sigs AS (SELECT doc_id, i,
-                    min(((2*i+3) * s + 10007*(i+1)) % ((1::BIGINT << 61) - 1)) AS sig
-             FROM base, unnest(base.shingles) AS u(s),
-                  unnest([0,1,2,3,4,5,6,7]) AS hi(i)
+    sigs AS (SELECT doc_id, i, min({_MH_HASH_SQL}) AS sig
+             FROM base, unnest(base.shingles) AS u(s), coeffs
              GROUP BY doc_id, i),
     bands AS (SELECT doc_id, (i//2) AS band, string_agg(sig::VARCHAR, '_' ORDER BY i) AS band_sig
               FROM sigs GROUP BY doc_id, (i//2)),

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ironbeam_spark.operators.incremental import (
     minhash_dedup_incremental,
     minhash_index,
+    minhash_index_admit,
 )
 
 # Long repeated-text docs so 3-word shingle Jaccard is 1.0 for exact copies
@@ -253,6 +254,62 @@ def test_two_delta_lifecycle_with_admit(spark, tmp_path):
         21: ("dup_of_corpus", 1),
         22: ("unique", None),
     }
+
+
+_CHAIN_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+_CHAIN_C = "quark lepton boson hadron gluon photon neutrino meson baryon tau " * 4
+_CHAIN_B = _CHAIN_A + _CHAIN_C  # J(B,A) = J(B,C) = 10/22 ≈ 0.45; J(A,C) = 0
+
+
+def test_admit_all_closes_the_chain_recall_gap(spark):
+    """The docstring's greedy-chain scenario, end-to-end: a~b~c classified
+    in one delta admits only a under admit='unique', so a future near-dup
+    of c is missed; admit='all' indexes every delta doc and catches it.
+    (bands=8, rows_per_band=1 so the J≈0.45 pairs collide deterministically
+    on at least one band with the fixed affine family.)"""
+    kw = dict(shingle_words=3, k=8, bands=8)
+    corpus = spark.createDataFrame(
+        [(100, "unrelated filler words about parquet footers and bloom filters " * 4)],
+        "doc_id long, text string",
+    )
+    delta1 = spark.createDataFrame(
+        [(1, _CHAIN_A), (2, _CHAIN_B), (3, _CHAIN_C)], "doc_id long, text string"
+    )
+    idx = minhash_index(corpus, "doc_id", "text", **kw)
+    cls = minhash_dedup_incremental(
+        delta1, idx, corpus, "doc_id", "text", threshold=0.4, **kw
+    )
+    got = {r["doc_id"]: (r["status"], r["dup_of"]) for r in cls.collect()}
+    # the greedy chain: b dups a, c dups b — c's content has NO admitted
+    # representative under the default policy
+    assert got == {
+        1: ("unique", None),
+        2: ("dup_in_batch", 1),
+        3: ("dup_in_batch", 2),
+    }
+
+    delta2 = spark.createDataFrame([(10, _CHAIN_C)], "doc_id long, text string")
+    corpus2 = corpus.unionByName(delta1)
+    verdicts = {}
+    for mode in ("unique", "all"):
+        idx2 = minhash_index_admit(
+            idx, delta1, cls, "doc_id", "text", admit=mode, **kw
+        )
+        out = minhash_dedup_incremental(
+            delta2, idx2, corpus2, "doc_id", "text", threshold=0.4, **kw
+        )
+        verdicts[mode] = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert verdicts["unique"] == {10: "unique"}  # the documented recall gap
+    assert verdicts["all"] == {10: "dup_of_corpus"}  # closed
+
+
+def test_admit_mode_validation(spark):
+    import pytest
+
+    corpus = spark.createDataFrame([(1, _A)], "doc_id long, text string")
+    idx = minhash_index(corpus, "doc_id", "text")
+    with pytest.raises(ValueError, match="admit must be"):
+        minhash_index_admit(idx, corpus, corpus, "doc_id", "text", admit="most")
 
 
 def test_matches_batch_pairs_differential(spark):

@@ -1,0 +1,111 @@
+"""The minhash affine-hash family: wrap, exactness, and independence.
+
+Round-10 regression suite for a silent algorithmic bug: the original
+coefficients (a_i = 2i+3) were so small that (a·x + b) mod (2^61−1) never
+wrapped for any shingle hash x < 2^57 — every h_i was MONOTONE in x, all k
+"independent" minhashes picked the same argmin shingle, and the banded LSH
+collapsed to a single-hash scheme (candidate recall s instead of
+1−(1−s^r)^b).  The DuckDB oracle mirrored the same arithmetic, so
+correctness gates stayed green while the algorithm quietly under-recalled
+mid-similarity pairs.  These tests pin the repaired family's contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ironbeam_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    SHINGLE_MOD,
+    hashed_word_shingles,
+    minhash_affine,
+    minhash_signature_from_ints,
+)
+
+
+def test_coefficients_force_modular_wrap():
+    """Every a_i must wrap the maximal shingle hash past the prime — the
+    exact condition whose violation caused the collapse — and stay below
+    2^30 so the limb-split product bounds hold."""
+    x_max = SHINGLE_MOD - 1
+    for a, b in MINHASH_COEFFS:
+        assert a * x_max > MINHASH_PRIME, f"a={a} never wraps: monotone hash"
+        assert a % 2 == 1
+        assert (1 << 29) <= a < (1 << 30)
+        assert 0 <= b < MINHASH_PRIME
+    # distinct multipliers — identical a_i would re-collapse the family
+    assert len({a for a, _ in MINHASH_COEFFS}) == len(MINHASH_COEFFS)
+
+
+def test_affine_matches_bigint_reference(spark):
+    """The limb-split + Mersenne-fold evaluation must equal (a·x+b) mod p
+    computed in unbounded Python ints, across the full input range
+    (boundaries + pseudo-random probes)."""
+    xs = [0, 1, (1 << 24) - 1, 1 << 24, (1 << 48) - 1, SHINGLE_MOD - 1] + [
+        (1234567891011 * (i + 1) ** 3 + 987654321 * i) % SHINGLE_MOD
+        for i in range(50)
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    for a, b in MINHASH_COEFFS[:4]:
+        got = [
+            r["h"]
+            for r in df.select(minhash_affine(F.col("x"), a, b).alias("h"))
+            .orderBy("x")
+            .collect()
+        ]
+        want = [(a * x + b) % MINHASH_PRIME for x in sorted(xs)]
+        assert got == want
+
+
+def test_signature_components_are_not_perfectly_correlated(spark):
+    """B ⊃ A with a disjoint half C: under the monotone family B agreed
+    with A on ALL 8 components and with C on none (the global argmin
+    shingle of B decided every slot).  A real k-permutation family must
+    split the agreements — each component's argmin is an independent draw
+    landing in the A-half or C-half of B's shingle set."""
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    C = "quark lepton boson hadron gluon photon neutrino meson baryon tau " * 4
+    B = A + C
+    docs = spark.createDataFrame([(1, A), (2, B), (3, C)], "doc_id long, text string")
+    sig = docs.select(
+        "doc_id",
+        minhash_signature_from_ints(hashed_word_shingles("text", 3), 8).alias("sig"),
+    )
+    s = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    agree_ab = sum(s[1][i] == s[2][i] for i in range(8))
+    agree_bc = sum(s[2][i] == s[3][i] for i in range(8))
+    # every component of B comes from either its A-half or its C-half
+    # (boundary shingles are possible but deterministically absent here)
+    assert agree_ab + agree_bc == 8
+    assert 0 < agree_ab < 8, "all-or-nothing agreement: monotone family is back"
+    assert 0 < agree_bc < 8
+
+
+def test_jaccard_half_pair_forms_lsh_candidates(spark):
+    """With bands=8 (r=1), a J≈0.45 pair must collide on at least one band
+    — the exact end-to-end recall the broken family denied (B and C shared
+    no band despite 8 single-row chances at p=0.45 each)."""
+    from ironbeam_spark.operators.dedup import minhash_dedup_pairs
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    C = "quark lepton boson hadron gluon photon neutrino meson baryon tau " * 4
+    B = A + C
+    docs = spark.createDataFrame([(1, A), (2, B), (3, C)], "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): round(r["jaccard_sim"], 3)
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", shingle_words=3, k=8, bands=8, threshold=0.4
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0.455, (2, 3): 0.455}
+
+
+def test_oracle_coeffs_match_engine():
+    """The suite oracle embeds MINHASH_COEFFS literals into its SQL — pin
+    that the interpolation really carries the engine's constants."""
+    from ironbeam_spark.suite.text_ml import _COEFFS_SQL
+
+    for i, (a, b) in enumerate(MINHASH_COEFFS[:8]):
+        assert f"({i}, {a}, {b})" in _COEFFS_SQL
