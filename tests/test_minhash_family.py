@@ -102,6 +102,43 @@ def test_jaccard_half_pair_forms_lsh_candidates(spark):
     assert pairs == {(1, 2): 0.455, (2, 3): 0.455}
 
 
+def test_lsh_recall_vs_brute_force_ground_truth(spark):
+    """Non-mirror oracle: the banded pipeline's output must equal the
+    brute-force all-pairs exact-Jaccard ground truth on the real sf0.001
+    corpus (500 docs — the quadratic is fine at test scale).  Unlike the
+    DuckDB oracles, this shares NO arithmetic with the candidate
+    generator: any banding/signature bug that silently drops a true pair
+    fails here.  All 28 true pairs sit at J >= 0.88, where per-pair
+    collision probability under k=8/b=4 is ~0.998, so full recall is the
+    expected outcome, not luck; the mid-similarity regime is pinned
+    separately by test_jaccard_half_pair_forms_lsh_candidates."""
+    from ironbeam_spark.operators.dedup import jaccard, minhash_dedup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = docs.select("doc_id", hashed_word_shingles("text", 3).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    a = sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sa"})
+    b = sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sb"})
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jaccard(F.col("sa"), F.col("sb")))
+        .where(F.col("j") >= 0.5)
+    )
+    truth = {(r["id_a"], r["id_b"]): round(r["j"], 9) for r in brute.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard_sim"], 9)
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert got == truth
+    assert len(truth) == 28  # corpus fixture: drift here means testdata changed
+
+
 def test_oracle_coeffs_match_engine():
     """The suite oracle embeds MINHASH_COEFFS literals into its SQL — pin
     that the interpolation really carries the engine's constants."""
