@@ -243,12 +243,13 @@ def main() -> None:
     # number while current code is slower means a real regression.
     # Results land in BENCH_DETAIL.json["ab_check"]; disable with
     # SPARK_GRAFT_AB=0.
+    ab_check = None
     if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
         try:
-            detail["ab_check"] = _ab_drift_check(names, times, sf_dir)
+            ab_check = _ab_drift_check(names, times, sf_dir)
         except Exception as e:  # the A/B is diagnostics, never a bench failure
             print(f"# ab_check failed: {e}", file=sys.stderr)
-            detail["ab_check"] = {"error": str(e)}
+            ab_check = {"error": str(e)}
 
     # The driver captures only the TAIL of stdout (~2,000 chars) and parses
     # the last line as JSON.  Round 5's line — warm + cold + the full sf1
@@ -268,6 +269,8 @@ def main() -> None:
         "cold_queries": cold,
         "cold_value": round(sum(cold.values()), 3),
     }
+    if ab_check is not None:
+        detail["ab_check"] = ab_check
 
     # --- scale ladder: the most expensive queries at 10× the data --------
     # Answers the question correctness can't: does the cost curve stay

@@ -142,41 +142,43 @@ def char_ngrams(col: Column | str, n: int = 4) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
-# Affine-hash family for minhash: h_i(x) = (a_i·x + b_i) mod MINHASH_PRIME over
-# an int64 base hash x < 2^57 (rolling shingle hashes are < SHINGLE_MOD ≈
-# 2^56.5; md5 token ints are 48-bit).
+# Affine-hash family for minhash: h_i(x) = (a_i·x' + b_i) mod MINHASH_PRIME
+# over x' = the low 31 bits of the int64 base hash x (rolling shingle hashes
+# are < SHINGLE_MOD ≈ 2^56.5; md5 token ints are 48-bit — either way uniform,
+# so the 31-bit truncation keeps a uniform key; two DISTINCT shingles
+# colliding in x' is a 2^-31 event that only nudges candidate generation,
+# never the exact-Jaccard verify).
 #
-# The a_i MUST be large enough that a_i·x wraps past the modulus.  The
-# original family used a_i = 2i+3 (3..33): for x < 2^57 and a ≤ 17 (every
-# i < 8), a·x + b < 2^61−1 — the mod NEVER fired, every h_i was strictly
-# increasing in x, and all k "independent" minhashes picked the SAME argmin
-# shingle.  The k-permutation signature silently collapsed to one hash
-# replicated k times: band agreement became all-or-nothing, and LSH
-# candidate recall degenerated from 1−(1−s^r)^b to s (caught round 10 when
-# a Jaccard-0.45 pair with a forced 8-of-8 banding failed to collide).
+# The a_i MUST be large enough that a_i·x' wraps past the modulus MANY
+# times.  The original family used a_i = 2i+3 (3..33) against p = 2^61−1:
+# for x < 2^57 and a ≤ 17 (every i < 8), a·x + b < p — the mod NEVER
+# fired, every h_i was strictly increasing in x, and all k "independent"
+# minhashes picked the SAME argmin shingle.  The k-permutation signature
+# silently collapsed to one hash replicated k times: band agreement became
+# all-or-nothing, and LSH candidate recall degenerated from 1−(1−s^r)^b to
+# s (caught round 10 when a Jaccard-0.45 pair with a forced 8-of-8 banding
+# failed to collide).
 #
-# Now: a_i is a seeded odd 30-bit value with the top bit forced (a ∈
-# [2^29, 2^30), so a·x/p ≈ a/16 ≈ 2^25 wraps — thoroughly folded), b_i a
-# seeded 61-bit offset, both derived from md5 so DuckDB oracles can embed
-# the same literals.  a·x would overflow int64, so the product is computed
-# exactly via a 24-bit limb split and the Mersenne identity 2^61 ≡ 1
-# (mod p): with x = xh·2^24 + xl and t = (a·xh) mod p,
-#   a·x mod p = (t·2^24 + a·xl) mod p,
-#   t·2^24 mod p = ((t & (2^37−1)) << 24) + (t >> 37).
-# Bounds: a·xh < 2^30·2^33 = 2^63 (fits signed); the folded sum is
-# < 2^61 + 2^24 + 2^54 + 2^61 < 2^63.  All exact in int64 — and in DuckDB
-# BIGINT, so the oracle mirrors it bit-for-bit.
-MINHASH_PRIME = (1 << 61) - 1
-_MASK24 = (1 << 24) - 1
-_MASK37 = (1 << 37) - 1
+# Now: p is the Mersenne prime M31 = 2^31−1 and a_i is a seeded odd value
+# with the top bit forced (a ∈ [2^30, 2^31), so a·x' folds ~2^30 times —
+# thoroughly mixed), b_i a seeded offset in [0, p).  Bounds: a·x' + b <
+# 2^62 + 2^31 < 2^63, so ONE multiply + ONE mod is exact in int64 — and in
+# DuckDB BIGINT, so the oracle embeds the same literals and mirrors the
+# arithmetic bit-for-bit.  (A first fix used p = 2^61−1 with 30-bit a and
+# an exact limb-split mulmod; correct, but ~8 ops per hash per element on
+# an interpreted lambda where this is 3, and the narrower signature also
+# shortens band-key strings.)
+MINHASH_PRIME = (1 << 31) - 1
 
 
 def _minhash_coeff(i: int) -> "tuple[int, int]":
     import hashlib
 
     h = hashlib.md5(f"ironbeam-minhash-{i}".encode()).hexdigest()
-    a = (int(h[:8], 16) % (1 << 29)) | (1 << 29) | 1  # odd, in [2^29, 2^30)
-    b = int(h[8:24], 16) % MINHASH_PRIME
+    a = (int(h[:8], 16) % (1 << 30)) | (1 << 30) | 1  # odd, in [2^30, 2^31)
+    if a >= MINHASH_PRIME:  # a ≡ 0 mod p would be a constant hash
+        a -= 2
+    b = int(h[8:16], 16) % MINHASH_PRIME
     return a, b
 
 
@@ -184,46 +186,39 @@ MINHASH_COEFFS = [_minhash_coeff(i) for i in range(16)]  # (a_i, b_i)
 
 
 def minhash_affine(x: Column, a: int, b: int) -> Column:
-    """``(a·x + b) mod MINHASH_PRIME`` exactly in int64 for x < 2^57 and
-    a < 2^30, via the limb split + Mersenne fold documented above."""
+    """``(a·(x & M31) + b) mod M31`` — exact in int64 (product < 2^62)."""
     p = F.lit(MINHASH_PRIME)
-    t = (F.lit(a).cast("long") * F.shiftright(x, 24)) % p
-    folded = F.shiftleft(t.bitwiseAND(F.lit(_MASK37)), 24) + F.shiftright(t, 37)
-    return (folded + F.lit(a).cast("long") * x.bitwiseAND(F.lit(_MASK24)) + F.lit(b)) % p
+    return (F.lit(a).cast("long") * x.bitwiseAND(p) + F.lit(b)) % p
 
 
 def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
     """K minhash values (int64 array) from pre-materialized int64 shingle
-    hashes (< 2^57).  Materialize ``ints`` in its own projection before
-    calling — the md5 pass must run once per row, not once per hash function
-    (Catalyst does not CSE a subexpression across the k signature terms).
+    hashes.  Materialize ``ints`` in its own projection before calling — the
+    md5 pass must run once per row, not once per hash function (Catalyst
+    does not CSE a subexpression across the k signature terms).
 
     Single-pass shape: one ``aggregate`` over the shingle array carrying a
-    k-wide running-minimum accumulator, with the 24-bit limb split of each
+    k-wide running-minimum accumulator, with the 31-bit truncation of each
     element let-bound once and shared by all k affine evaluations.  The
     naive spelling (k independent ``array_min(transform(...))`` passes)
-    traverses the array k times and re-splits every element per hash
-    function — measured ~15% slower on the banded-dedup bench query after
-    the round-10 exact-mulmod arithmetic tripled per-hash op count.
+    traverses the array k times and re-truncates per hash function.
     ``least`` over the same values is bit-identical to ``array_min``.
     Precondition (all in-package callers satisfy it via their
     size/token-count filters): ``ints`` is non-empty — an empty array
     yields the accumulator seed (MINHASH_PRIME per slot), where the
     k-pass spelling yielded NULLs."""
+    p = F.lit(MINHASH_PRIME)
 
     def step(acc: Column, x: Column) -> Column:
-        # one split per element (struct let-binding), shared by all k hashes
+        # one truncation per element, shared by all k hashes
         return let_(
-            F.struct(
-                F.shiftright(x, 24).alias("xh"),
-                x.bitwiseAND(F.lit(_MASK24)).alias("xl"),
-            ),
-            lambda s: F.zip_with(
+            x.bitwiseAND(p),
+            lambda xm: F.zip_with(
                 acc,
                 F.array(
                     *[
-                        _affine_split(s["xh"], s["xl"], *MINHASH_COEFFS[i])
-                        for i in range(k)
+                        (F.lit(a).cast("long") * xm + F.lit(b)) % p
+                        for a, b in MINHASH_COEFFS[:k]
                     ]
                 ),
                 lambda m, h: F.least(m, h),
@@ -235,14 +230,6 @@ def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
         F.array(*[F.lit(MINHASH_PRIME).cast("long") for _ in range(k)]),
         step,
     )
-
-
-def _affine_split(xh: Column, xl: Column, a: int, b: int) -> Column:
-    """:func:`minhash_affine` on a pre-split x = xh·2^24 + xl."""
-    p = F.lit(MINHASH_PRIME)
-    t = (F.lit(a).cast("long") * xh) % p
-    folded = F.shiftleft(t.bitwiseAND(F.lit(_MASK37)), 24) + F.shiftright(t, 37)
-    return (folded + F.lit(a).cast("long") * xl + F.lit(b)) % p
 
 
 def minhash_signature(shingles: Column, k: int = 8) -> Column:
@@ -319,24 +306,28 @@ def guard_band_buckets(
     :data:`RECOMMENDED_MAX_BAND_BUCKET`.  (The right FIX for a corpus that
     trips it is upstream: strip the boilerplate or raise ``rows_per_band``;
     the guard makes the failure loud and attributable.)"""
-    sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bkn"))
-    return (
-        keyed.join(sizes, on="band_key")
-        .where(
-            F.when(F.col("_bkn") <= max_band_bucket, F.lit(True)).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"{what}: band bucket exceeds max_band_bucket="
-                            f"{max_band_bucket} postings: band_key "
-                        ),
-                        F.col("band_key"),
-                    )
+    from pyspark.sql.window import Window
+
+    # window count, not groupBy+join: ONE exchange on band_key (which the
+    # downstream bucket join needs anyway and can reuse) instead of an
+    # aggregate exchange plus a join exchange — measured ~15% off the
+    # banded-dedup bench query when the guard went suite-default in r10
+    sized = keyed.withColumn(
+        "_bkn", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+    )
+    return sized.where(
+        F.when(F.col("_bkn") <= max_band_bucket, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{what}: band bucket exceeds max_band_bucket="
+                        f"{max_band_bucket} postings: band_key "
+                    ),
+                    F.col("band_key"),
                 )
             )
         )
-        .drop("_bkn")
-    )
+    ).drop("_bkn")
 
 
 def minhash_candidates(

@@ -233,21 +233,16 @@ _SHINGLE_MOD = 10**17 + 3
 
 # The minhash affine family's (a_i, b_i) constants — the SAME literals the
 # engine uses (single source of truth: operators/dedup.MINHASH_COEFFS), and
-# the same exact-int64 limb-split + Mersenne-fold evaluation (see the
-# MINHASH_COEFFS comment for the derivation and overflow bounds; the SQL
-# below is that arithmetic spelled in DuckDB BIGINT ops, independently
-# written against the documented formula).
-_MH_P = (1 << 61) - 1
+# the same exact-int64 evaluation over M31 = 2^31−1 with the base hash
+# truncated to its low 31 bits (see the MINHASH_COEFFS comment for the
+# derivation and overflow bounds; the SQL below is that arithmetic spelled
+# in DuckDB BIGINT ops, independently written against the documented
+# formula).
+_MH_P = (1 << 31) - 1
 _COEFFS_SQL = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MINHASH_COEFFS[:8])
 )
-# h(s) = (fold((a*(s>>24)) % p) + a*(s & 2^24-1) + b) % p, where
-# fold(t) = ((t & 2^37-1) << 24) + (t >> 37)  [t*2^24 mod p via 2^61 ≡ 1]
-_MH_HASH_SQL = (
-    f"(((((ca * (s >> 24)) % {_MH_P}) & {(1 << 37) - 1}) << 24)"
-    f" + (((ca * (s >> 24)) % {_MH_P}) >> 37)"
-    f" + (ca * (s & {(1 << 24) - 1})) + cb) % {_MH_P}"
-)
+_MH_HASH_SQL = f"((ca * (s & {_MH_P})) + cb) % {_MH_P}"
 
 # CTE chain shared by q_dedup_minhash and q_dedup_groups (recursive components)
 _MINHASH_CTES = f"""coeffs(i, ca, cb) AS (VALUES {_COEFFS_SQL}),

@@ -26,24 +26,27 @@ from ironbeam_spark.operators.dedup import (
 
 
 def test_coefficients_force_modular_wrap():
-    """Every a_i must wrap the maximal shingle hash past the prime — the
-    exact condition whose violation caused the collapse — and stay below
-    2^30 so the limb-split product bounds hold."""
-    x_max = SHINGLE_MOD - 1
+    """Every a_i must fold the hash line past the prime MANY times — the
+    exact condition whose violation caused the collapse — stay within the
+    int64 product bound (a·x' < 2^62), and never be ≡ 0 mod p (a constant
+    hash)."""
     for a, b in MINHASH_COEFFS:
-        assert a * x_max > MINHASH_PRIME, f"a={a} never wraps: monotone hash"
+        # >= 2^30 folds of the [0, p) line: thoroughly mixed, not monotone
+        assert a * MINHASH_PRIME > MINHASH_PRIME * (1 << 29), f"a={a} too small"
         assert a % 2 == 1
-        assert (1 << 29) <= a < (1 << 30)
+        assert (1 << 30) <= a < (1 << 31)
+        assert a != MINHASH_PRIME
         assert 0 <= b < MINHASH_PRIME
     # distinct multipliers — identical a_i would re-collapse the family
     assert len({a for a, _ in MINHASH_COEFFS}) == len(MINHASH_COEFFS)
 
 
 def test_affine_matches_bigint_reference(spark):
-    """The limb-split + Mersenne-fold evaluation must equal (a·x+b) mod p
-    computed in unbounded Python ints, across the full input range
-    (boundaries + pseudo-random probes)."""
-    xs = [0, 1, (1 << 24) - 1, 1 << 24, (1 << 48) - 1, SHINGLE_MOD - 1] + [
+    """The int64 evaluation must equal (a·(x & M31) + b) mod M31 computed
+    in unbounded Python ints, across the full input range (boundaries +
+    pseudo-random probes — including values above 2^31, which exercise the
+    truncation)."""
+    xs = [0, 1, (1 << 31) - 1, 1 << 31, (1 << 48) - 1, SHINGLE_MOD - 1] + [
         (1234567891011 * (i + 1) ** 3 + 987654321 * i) % SHINGLE_MOD
         for i in range(50)
     ]
@@ -55,7 +58,7 @@ def test_affine_matches_bigint_reference(spark):
             .orderBy("x")
             .collect()
         ]
-        want = [(a * x + b) % MINHASH_PRIME for x in sorted(xs)]
+        want = [(a * (x & MINHASH_PRIME) + b) % MINHASH_PRIME for x in sorted(xs)]
         assert got == want
 
 
