@@ -128,17 +128,30 @@ def _ab_drift_check(
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     try:
-        # alternate A/B/A/B and keep each side's best across its two fresh
-        # JVMs: measured same-tree spread between two single fresh sessions
-        # on this box is ~33% on sub-second queries (JIT + co-tenant noise),
-        # so one pair cannot resolve a 15% delta
-        prior_now = _run_ab(wt, "prior")
-        current_now = _run_ab(_REPO, "current")
-        for tree, tag, acc in ((wt, "prior", prior_now), (_REPO, "current", current_now)):
-            again = _run_ab(tree, tag)
-            for k, v in again.items():
-                if v is not None and (acc.get(k) is None or v < acc[k]):
-                    acc[k] = v
+        # PALINDROME order (prior, current, current, prior), two fresh JVMs
+        # per side, best-of per side: measured same-tree spread between two
+        # single fresh sessions on this box is ~33% on sub-second queries
+        # (JIT + co-tenant noise), so one pair cannot resolve a 15% delta —
+        # and the box has been observed degrading MONOTONICALLY during the
+        # A/B itself, which an A/B/A/B order converts into a systematic
+        # bias against whichever side runs second; the palindrome gives
+        # each side one early and one late slot, symmetric about the
+        # midpoint, so linear drift cancels.  Per-side sample pairs are
+        # kept so the verdict can detect an unstable box (intra-side
+        # spread) and refuse to call "code".
+        samples: dict[str, list[dict]] = {"prior": [], "current": []}
+        for tree, tag in ((wt, "prior"), (_REPO, "current"),
+                          (_REPO, "current"), (wt, "prior")):
+            samples[tag].append(_run_ab(tree, tag))
+        prior_now, current_now, instab = {}, {}, {}
+        for n in drifted:
+            for tag, acc in (("prior", prior_now), ("current", current_now)):
+                vals = [s.get(n) for s in samples[tag] if s.get(n) is not None]
+                acc[n] = min(vals) if vals else None
+                if len(vals) == 2 and min(vals) > 0:
+                    instab[n] = max(
+                        instab.get(n, 0.0), max(vals) / min(vals) - 1.0
+                    )
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],
@@ -157,7 +170,12 @@ def _ab_drift_check(
             # delta was the box, not the diff
             verdict = "environment"
         elif abs(cn - pn) / pn > 0.30:
-            verdict = "code"
+            # a clear split — unless the box was visibly unstable DURING
+            # the A/B (either side's own two JVMs spread >20%), in which
+            # case a code call cannot be trusted
+            verdict = (
+                "code" if instab.get(n, 0.0) <= 0.20 else "inconclusive-unstable-box"
+            )
         else:
             # between the same-tree noise floor and a clear code delta
             verdict = "inconclusive"
@@ -166,6 +184,7 @@ def _ab_drift_check(
             "current": times[n],
             "prior_commit_now": pn,
             "current_commit_now": cn,
+            "intra_side_spread": round(instab.get(n, 0.0), 3),
             "verdict": verdict,
         }
         print(
