@@ -237,9 +237,10 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
 
     Base hash x(s) = first 48 bits of md5(s) (portable:
     ``('0x'||substr(md5(s),1,12))::BIGINT`` in DuckDB); signature element i is
-    ``min over shingles of (a_i·x + b_i) mod (2^61−1)`` with the exact-int64
-    evaluation documented at :data:`MINHASH_COEFFS`.  The base-hash array
-    is let-bound so md5 runs once per shingle, not once per hash function."""
+    ``min over shingles of (a_i·(x & M31) + b_i) mod M31`` with the
+    exact-int64 evaluation documented at :data:`MINHASH_COEFFS`.  The
+    base-hash array is let-bound so md5 runs once per shingle, not once per
+    hash function."""
     return let_(
         F.transform(shingles, lambda s: token_int(s)),
         lambda ints: minhash_signature_from_ints(ints, k),
