@@ -57,6 +57,10 @@ REPRESENTATIVES = [
     # group-aware split: component labels (iterative min-propagation) and
     # the md5 bucket assignment must agree across shuffle widths
     "q_leakage_safe_split",
+    # contrastive triples: the seeded priority pool is a bounded driver
+    # collect over a distributed sort — its membership AND order must not
+    # depend on partitioning, nor may the per-anchor exclusion filter
+    "q_contrastive_pairs",
 ]
 
 
