@@ -142,6 +142,26 @@ def test_lsh_recall_vs_brute_force_ground_truth(spark):
     assert len(truth) == 28  # corpus fixture: drift here means testdata changed
 
 
+def test_string_shingle_signature_matches_ints_path(spark):
+    """minhash_signature (string shingles) must equal the ints path fed the
+    same 48-bit md5 base hashes — the convenience wrapper has no other
+    callers in-package, so this pin is its only guard."""
+    from ironbeam_spark.functions.text import token_int
+    from ironbeam_spark.operators.dedup import minhash_signature
+
+    docs = spark.createDataFrame(
+        [(1, ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"])],
+        "doc_id long, shingles array<string>",
+    )
+    via_strings = docs.select(minhash_signature(F.col("shingles"), 8).alias("sig"))
+    via_ints = docs.select(
+        minhash_signature_from_ints(
+            F.transform(F.col("shingles"), lambda s: token_int(s)), 8
+        ).alias("sig")
+    )
+    assert via_strings.collect() == via_ints.collect()
+
+
 def test_oracle_coeffs_match_engine():
     """The suite oracle embeds MINHASH_COEFFS literals into its SQL — pin
     that the interpolation really carries the engine's constants."""
