@@ -180,32 +180,36 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
 # ~3 windows while keeping the frozen-prefix determinism contract (the
 # swap is still one committed edit per round, mirrored in
 # tests/test_registry_order.py).
-# tests/test_registry_order.py freezes the current 137-name prefix.
+#   r10->r11 (APPLIED, FRESHNESS WAVE 1 — first window under the retired
+#           rotation's replacement policy): CORRECTNESS_r10 was 50/50
+#           green (third consecutive all-green window), so every slot-1-15
+#           query is displaceable; all 15 move to slots 51-65.  Rotated in:
+#           the 15 stalest-green queries, mechanically named by
+#           ``python tools/freshness.py`` (all last green r1 — the oldest
+#           evidence in the registry), in the tool's canonical tie-break
+#           order.  r1-vintage pool 34 -> 19.
+#
+# tests/test_registry_order.py freezes the current 152-name prefix.
 CANONICAL_ORDER = [
-    # -- 1: stamped scan path (DOUBLE key => RangePartitioner + stamped-pid
-    #       + mapInArrow) — the scan family's last never-sampled query
-    "q_scan_float_key",
-    # -- 2-5: round-9 dedup family ADJACENT (2-3 share the persisted
-    #         band-posting index bring-up; 4-5 share the minhash pair
-    #         subtree)
-    "q_dedup_incremental",
-    "q_stream_dedup_index",
-    "q_contrastive_pairs",
-    "q_leakage_safe_split",
-    # -- 6: ANN product-quantization codes
-    "q_ann_pq",
-    # -- 7-8: language modeling (shared tokenization subtree)
-    "q_lm_score",
-    "q_collocations",
-    # -- 9-11: ops analytics
-    "q_retention",
-    "q_ewma",
-    "q_zscore_anomaly",
-    # -- 12-15: warehouse ops
-    "q_price_histogram",
-    "q_fingerprint",
-    "q_table_diff",
-    "q_compaction",
+    # -- 1-15: FRESHNESS WINDOW, wave 1 (r11) — the 15 stalest-green
+    #          queries per tools/freshness.py (every row below last earned
+    #          a green driver row in round 1; the engine has evolved under
+    #          them for ten rounds)
+    "q_filter_map_project",
+    "q_flat_map_tokens",
+    "q_top_k_global",
+    "q_distinct_exact",
+    "q_distinct_rows",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q7_volume_shipping",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q_side_multimap",
+    "q_partition_tags",
+    "q_try_map",
+    "q_bottom_k_per_key",
     # -- 16-22: relational / TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -247,7 +251,23 @@ CANONICAL_ORDER = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # -- 51-65: displaced from the r9 window (all green in CORRECTNESS_r09)
+    # -- 51-65: displaced from the r10 window (all green in CORRECTNESS_r10)
+    "q_scan_float_key",
+    "q_dedup_incremental",
+    "q_stream_dedup_index",
+    "q_contrastive_pairs",
+    "q_leakage_safe_split",
+    "q_ann_pq",
+    "q_lm_score",
+    "q_collocations",
+    "q_retention",
+    "q_ewma",
+    "q_zscore_anomaly",
+    "q_price_histogram",
+    "q_fingerprint",
+    "q_table_diff",
+    "q_compaction",
+    # -- 66-80: displaced from the r9 window (all green in CORRECTNESS_r09)
     "q_prefix_scan",
     "q_token_packing",
     "q_scan_string_key",
@@ -263,7 +283,7 @@ CANONICAL_ORDER = [
     "q_substring_scrub",
     "q_bloom_skip",
     "q_unicode_norm",
-    # -- 66-78: displaced from the r8 window (all green in CORRECTNESS_r08)
+    # -- 81-93: displaced from the r8 window (all green in CORRECTNESS_r08)
     "q_weighted_sample",
     "q_jpeg_progressive",
     "q_mpeg_probe",
@@ -277,7 +297,7 @@ CANONICAL_ORDER = [
     "q_scd2_merge",
     "q_line_dedup",
     "q_phrase_search",
-    # -- 79-91: displaced from the r7 window (all green in CORRECTNESS_r07)
+    # -- 94-106: displaced from the r7 window (all green in CORRECTNESS_r07)
     "q_bpe_tokenize",
     "q_jpeg_decode",
     "q_substring_spans",
@@ -291,7 +311,7 @@ CANONICAL_ORDER = [
     "q_stream_cdc",
     "q_stream_left_join",
     "q_stream_sink",
-    # -- 92-103: displaced from the r6 window (all green in CORRECTNESS_r06)
+    # -- 107-118: displaced from the r6 window (all green in CORRECTNESS_r06)
     "q_winnow_fingerprints",
     "q_token_counts",
     "q_audio_decode",
@@ -304,7 +324,7 @@ CANONICAL_ORDER = [
     "q_webdataset",
     "q_tar_image_pipeline",
     "q_asof_join",
-    # -- 104-115: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # -- 119-130: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -317,7 +337,7 @@ CANONICAL_ORDER = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # -- 116-125: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # -- 131-140: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -328,7 +348,7 @@ CANONICAL_ORDER = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # -- 126-137: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # -- 141-152: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",
