@@ -309,10 +309,16 @@ def guard_band_buckets(
     the guard makes the failure loud and attributable.)"""
     from pyspark.sql.window import Window
 
-    # window count, not groupBy+join: ONE exchange on band_key (which the
-    # downstream bucket join needs anyway and can reuse) instead of an
-    # aggregate exchange plus a join exchange — measured ~15% off the
-    # banded-dedup bench query when the guard went suite-default in r10
+    # window count, not groupBy+join: the count rides the band_key exchange
+    # the downstream bucket join needs anyway.  In sort-merge mode (the
+    # corpus-scale shape) AQE plans the second join side as a ReusedExchange
+    # of the first, so the guarded self-join shuffles the postings exactly
+    # once — pinned by tests/test_plans.py::
+    # test_minhash_guard_band_key_exchange_is_reused_in_smj_mode.  In
+    # broadcast mode (small inputs) the window's exchange is real overhead,
+    # but measured ~0 at sf0.1 steady state (r11 same-JVM A/B: guard on
+    # 1.48s vs off 1.485s; the r10 ab_check's apparent +15% was fresh-JVM
+    # warm-up depth — see SCALE.md "q_dedup_minhash ±15% settled")
     sized = keyed.withColumn(
         "_bkn", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
     )

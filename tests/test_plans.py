@@ -253,3 +253,60 @@ def test_cdc_apply_single_exchange(spark):
     snap = apply_changes(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
     plan = snap._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_minhash_guard_band_key_exchange_is_reused_in_smj_mode(spark):
+    """The guard's window count claims (operators/dedup.py) that its
+    band_key exchange is the SAME exchange the bucket self-join needs, so
+    enabling the guard adds no shuffle at scale.  Pin that: in sort-merge
+    mode (the 100 TB shape — postings too big to broadcast), the FINAL
+    adaptive plan must shuffle the postings on band_key exactly ONCE, with
+    the second join side a ReusedExchange of the first (signature + explode
+    subtree computed once, not twice).
+
+    Without AQE exchange reuse this plan would contain two independent
+    Exchange-on-band_key subtrees, doubling the most expensive stage of the
+    dedup pipeline; this test fails if a conf or plan change ever breaks
+    the reuse."""
+    import re
+
+    from ironbeam_spark.operators.dedup import minhash_candidates, minhash_signature
+    from ironbeam_spark.sources.io import read_table
+
+    prior = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        docs = read_table(spark, SF_SMOKE, "documents")
+        sh = docs.select(
+            "doc_id",
+            F.array_distinct(F.split(F.lower(F.col("text")), r"\W+")).alias("sh"),
+        ).where(F.size("sh") > 0)
+        signed = sh.withColumn("sig", minhash_signature(F.col("sh"), 8))
+        cand = minhash_candidates(
+            signed, "doc_id", "sig", bands=4, rows_per_band=2,
+            max_band_bucket=10_000,
+        )
+        cand.collect()  # drive AQE to the final plan
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final, final[:500]
+        assert "SortMergeJoin" in final, final[:2000]
+        real = len(re.findall(r"\+- Exchange hashpartitioning\(band_key", final))
+        reused = len(re.findall(r"ReusedExchange \[[^\]]*band_key", final))
+        assert real == 1 and reused == 1, (
+            f"expected 1 real + 1 reused band_key exchange, got {real} real / "
+            f"{reused} reused:\n{final[:3000]}"
+        )
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
