@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -74,10 +75,28 @@ def _ab_drift_check(
     import shutil
     import subprocess
 
-    benches = sorted(Path(_REPO).glob("BENCH_r*.json"))
-    if not benches:
-        return {"skipped": "no prior BENCH_r*.json"}
-    prior_file = benches[-1]
+    import subprocess as _sp
+
+    def _round_no(p: Path) -> int:
+        m = re.search(r"r(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
+    # newest COMMITTED bench: the current round's own BENCH file is often
+    # untracked when bench re-runs mid-round — comparing against it would
+    # find no drift (same numbers) or, worse, `git log` would return no
+    # commit and hard-skip the whole check (round-10 ADVICE).  Walk newest
+    # round first and take the first file git knows a commit for.
+    prior_file = commit = None
+    for cand in sorted(Path(_REPO).glob("BENCH_r*.json"), key=_round_no, reverse=True):
+        c = _sp.run(
+            ["git", "log", "-n", "1", "--format=%H", "--", cand.name],
+            cwd=_REPO, capture_output=True, text=True,
+        ).stdout.strip()
+        if c:
+            prior_file, commit = cand, c
+            break
+    if prior_file is None:
+        return {"skipped": "no committed BENCH_r*.json"}
     prior = json.loads(prior_file.read_text())
     # the driver wraps bench.py's stdout payload under "parsed"
     prev_q = (prior.get("queries") or (prior.get("parsed") or {}).get("queries")) or {}
@@ -95,15 +114,6 @@ def _ab_drift_check(
     if not drifted:
         return {"prior": prior_file.name, "drifted": []}
 
-    commit = subprocess.run(
-        ["git", "log", "-n", "1", "--format=%H", "--", prior_file.name],
-        cwd=_REPO,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.strip()
-    if not commit:
-        return {"skipped": f"no commit found for {prior_file.name}"}
     wt = str(Path(_REPO) / ".bench_ab_worktree")
     subprocess.run(
         ["git", "worktree", "remove", "--force", wt],

@@ -185,6 +185,24 @@ def _minhash_coeff(i: int) -> "tuple[int, int]":
 MINHASH_COEFFS = [_minhash_coeff(i) for i in range(16)]  # (a_i, b_i)
 
 
+def _family_version() -> str:
+    """Content-derived id of the hash family: changes automatically with
+    any constant change, so a persisted index built under a different
+    family can never silently join against fresh signatures (the r10
+    family repair invalidated every pre-r10 index with no error — near-zero
+    recall, all gates green).  Stamped as ``mh_family`` on
+    :func:`~ironbeam_spark.operators.incremental.minhash_index` output and
+    checked by every index consumer."""
+    import hashlib
+
+    return "m31:" + hashlib.md5(
+        repr((MINHASH_PRIME, MINHASH_COEFFS)).encode()
+    ).hexdigest()[:12]
+
+
+MINHASH_FAMILY = _family_version()
+
+
 def minhash_affine(x: Column, a: int, b: int) -> Column:
     """``(a·(x & M31) + b) mod M31`` — exact in int64 (product < 2^62)."""
     p = F.lit(MINHASH_PRIME)
@@ -203,10 +221,12 @@ def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
     naive spelling (k independent ``array_min(transform(...))`` passes)
     traverses the array k times and re-truncates per hash function.
     ``least`` over the same values is bit-identical to ``array_min``.
-    Precondition (all in-package callers satisfy it via their
-    size/token-count filters): ``ints`` is non-empty — an empty array
-    yields the accumulator seed (MINHASH_PRIME per slot), where the
-    k-pass spelling yielded NULLs."""
+    Empty or NULL ``ints`` yield NULL (not the accumulator seed): this is
+    exported API, and a seed-valued signature would give every
+    empty-shingle doc an IDENTICAL signature — mutual LSH candidates for
+    all of them, a quadratic bucket of junk pairs.  NULL band keys drop
+    out of the candidate equi-join instead (r10 ADVICE).  All in-package
+    callers additionally filter ``size > 0`` before signing."""
     p = F.lit(MINHASH_PRIME)
 
     def step(acc: Column, x: Column) -> Column:
@@ -225,11 +245,12 @@ def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
             ),
         )
 
-    return F.aggregate(
+    sig = F.aggregate(
         ints,
         F.array(*[F.lit(MINHASH_PRIME).cast("long") for _ in range(k)]),
         step,
     )
+    return F.when(F.size(ints) > 0, sig).otherwise(F.lit(None))
 
 
 def minhash_signature(shingles: Column, k: int = 8) -> Column:

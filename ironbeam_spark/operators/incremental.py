@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ironbeam_spark.operators.dedup import (
+    MINHASH_FAMILY,
     _PERSISTED_SHINGLE_TABLES,
     guard_band_buckets,
     hashed_word_shingles,
@@ -63,6 +64,7 @@ from ironbeam_spark.operators.dedup import (
 from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
+    "check_index_family",
     "minhash_index",
     "minhash_verify_table",
     "minhash_dedup_incremental",
@@ -104,14 +106,56 @@ def minhash_index(
     DataFrame (parquet bloom filters / bucketing on ``band_key`` compose in
     the usual way).  Hash parameters must match the delta side exactly —
     pass the same ``shingle_words`` / ``k`` / ``bands`` to
-    :func:`minhash_dedup_incremental`."""
+    :func:`minhash_dedup_incremental`.
+
+    Every posting row carries ``mh_family``, a content-derived id of the
+    hash-family constants (RLE-compressed to ~nothing in parquet).  Index
+    consumers verify it against the running engine's family and fail
+    loudly on mismatch — a persisted index built under different constants
+    (e.g. any pre-r10 index after the family repair) would otherwise join
+    fresh signatures with near-zero recall and NO error (r10 ADVICE)."""
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     base = _shingled(docs, id_col, text_col, shingle_words)
     signed = base.select(
         F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
     )
-    return minhash_band_keys(signed, id_col, "sig", bands, k // bands)
+    return minhash_band_keys(signed, id_col, "sig", bands, k // bands).withColumn(
+        "mh_family", F.lit(MINHASH_FAMILY)
+    )
+
+
+def check_index_family(index: DataFrame, what: str = "minhash index") -> DataFrame:
+    """Guard a persisted band-posting index against hash-family drift.
+
+    Missing ``mh_family`` column → immediate ValueError (the index predates
+    stamping, or was built by other code: rebuild with
+    :func:`minhash_index`).  Present column → a zero-extra-job mid-scan
+    check (same pattern as ``guard_band_buckets``): any row stamped with a
+    different family raises inside the task, so a stale index can never
+    silently deliver near-zero recall.  Returns the index with the stamp
+    column dropped — downstream joins never see it."""
+    if "mh_family" not in index.columns:
+        raise ValueError(
+            f"{what}: no mh_family column — this index predates hash-family "
+            "stamping (or was not built by minhash_index) and cannot be "
+            f"verified against the running family {MINHASH_FAMILY!r}; "
+            "rebuild it with minhash_index()"
+        )
+    return index.where(
+        F.when(F.col("mh_family") == F.lit(MINHASH_FAMILY), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what}: stale hash family — index stamped "),
+                    F.col("mh_family"),
+                    F.lit(
+                        f" but the running engine is {MINHASH_FAMILY}; "
+                        "rebuild the index with minhash_index()"
+                    ),
+                )
+            )
+        )
+    ).drop("mh_family")
 
 
 def minhash_verify_table(
@@ -160,6 +204,7 @@ def minhash_dedup_incremental(
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows_per_band = k // bands
+    index = check_index_family(index, "minhash_dedup_incremental")
 
     # the delta's shingle table feeds FOUR subtrees (signature pass, its own
     # verify side twice — vs-corpus and vs-batch — and the vs-batch "first"
@@ -320,6 +365,11 @@ def minhash_index_admit(
             classification.where(F.col("status") == "unique").select(id_col),
             on=id_col,
             how="left_semi",
+        )
+    if "mh_family" not in index.columns:
+        raise ValueError(
+            "minhash_index_admit: index has no mh_family stamp — rebuild it "
+            "with minhash_index() so family drift stays detectable"
         )
     return index.unionByName(
         minhash_index(admitted, id_col, text_col, shingle_words, k, bands)

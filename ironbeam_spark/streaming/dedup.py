@@ -113,10 +113,13 @@ def stream_dedup_against_index(
         minhash_band_keys,
         minhash_signature_from_ints,
     )
-    from ironbeam_spark.operators.incremental import _shingled
+    from ironbeam_spark.operators.incremental import _shingled, check_index_family
 
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
+    # family stamp first: a stale persisted index (pre-r10 constants) must
+    # fail the stream loudly, not run at near-zero recall
+    index = check_index_family(index, "stream_dedup_against_index")
     if max_band_bucket is not None:
         index = guard_band_buckets(index, max_band_bucket, "index postings")
     # same projection+short-doc predicate as the index / verify-table build

@@ -349,3 +349,57 @@ def test_matches_batch_pairs_differential(spark):
             assert (status, dup_of) == ("dup_in_batch", batch_match[doc_id])
         else:
             assert (status, dup_of) == ("unique", None)
+
+
+def test_index_family_stamp_lifecycle(spark):
+    """r10 ADVICE: the family repair silently invalidated every pre-r10
+    persisted index.  Pin the guard: (a) minhash_index stamps mh_family;
+    (b) a stamp-less index (pre-stamp or foreign) is rejected immediately
+    with a rebuild message; (c) an index stamped by a DIFFERENT family
+    raises mid-job; (d) the happy path still classifies and admit keeps
+    the stamp through the union."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.operators.dedup import MINHASH_FAMILY
+    from ironbeam_spark.operators.incremental import (
+        check_index_family,
+        minhash_dedup_incremental,
+        minhash_index,
+        minhash_index_admit,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus, "doc_id", "text")
+    assert "mh_family" in idx.columns
+    assert idx.select("mh_family").distinct().collect()[0][0] == MINHASH_FAMILY
+
+    # (b) stamp-less index rejected with a clear message
+    with pytest.raises(ValueError, match="mh_family"):
+        minhash_dedup_incremental(batch, idx.drop("mh_family"), corpus,
+                                  "doc_id", "text")
+
+    # (c) foreign stamp raises mid-job
+    stale = idx.withColumn("mh_family", F.lit("m31:deadbeef0000"))
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="stale hash family"):
+        minhash_dedup_incremental(batch, stale, corpus, "doc_id", "text").collect()
+
+    # (d) happy path classifies; admit output keeps the stamp
+    cls = minhash_dedup_incremental(batch, idx, corpus, "doc_id", "text",
+                                    threshold=0.5)
+    rows = {r.doc_id: r.status for r in cls.collect()}
+    assert rows == {2: "dup_of_corpus", 3: "unique"}
+    grown = minhash_index_admit(idx, batch, cls, "doc_id", "text")
+    assert "mh_family" in grown.columns
+    assert check_index_family(grown).count() == grown.count()

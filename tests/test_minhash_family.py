@@ -169,3 +169,39 @@ def test_oracle_coeffs_match_engine():
 
     for i, (a, b) in enumerate(MINHASH_COEFFS[:8]):
         assert f"({i}, {a}, {b})" in _COEFFS_SQL
+
+
+def test_empty_and_null_shingles_sign_as_null(spark):
+    """Exported-API guard (r10 ADVICE): an empty shingle array must yield a
+    NULL signature, not the accumulator seed — seed-valued signatures give
+    every empty doc an identical signature and band key, making all empty
+    docs mutual LSH candidates (a quadratic junk bucket at corpus scale).
+    NULL band keys drop out of the candidate equi-join instead."""
+    df = spark.createDataFrame(
+        [(1, [11, 22, 33]), (2, []), (3, None)],
+        "doc_id long, ints array<long>",
+    )
+    rows = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", minhash_signature_from_ints(F.col("ints"), 8).alias("sig")
+        ).collect()
+    }
+    assert rows[1] is not None and len(rows[1]) == 8
+    assert all(v != MINHASH_PRIME for v in rows[1])
+    assert rows[2] is None
+    assert rows[3] is None
+
+    from ironbeam_spark.operators.dedup import minhash_signature
+
+    sdf = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, [])],
+        "doc_id long, shingles array<string>",
+    )
+    srows = {
+        r.doc_id: r.sig
+        for r in sdf.select(
+            "doc_id", minhash_signature(F.col("shingles"), 8).alias("sig")
+        ).collect()
+    }
+    assert srows[1] is not None and srows[2] is None

@@ -3,10 +3,15 @@
 Usage: python tools/ab_bench.py WORKTREE_DIR SF_DIR NAME [NAME ...]
 
 Runs the named suite queries FROM THE CODE AT ``WORKTREE_DIR`` (a git
-worktree of the prior round's commit) under the SAME timing protocol as
-bench.py's timed pass (one untimed warm-up, then best-of-2 with a third
-run > 0.5s and a fourth > 1.5s) and prints ONE JSON line
-``{name: best_sec, ...}`` on stdout.
+worktree of the prior round's commit) under a DEEPER variant of bench.py's
+timing protocol: TWO untimed warm-ups, then a minimum of THREE timed runs
+(a fourth while best > 0.5s, a fifth while best > 1.5s), printing ONE JSON
+line ``{name: best_sec, ...}`` on stdout.  The extra warm-up and timed
+iteration exist because each A/B side runs in a FRESH JVM whose C2
+compiler needs more iterations to settle, and the A/B verdict hinges on
+small deltas the headline bench never has to resolve (see the r11
+convergence curves in SCALE.md: the guarded dedup plan takes ~6 runs to
+reach steady state in a cold JVM).
 
 This exists because round-over-round bench deltas on a shared box are
 otherwise unfalsifiable: CORRECTNESS/BENCH rounds are days apart, and
