@@ -317,12 +317,26 @@ def minhash_index_admit(
     shingle_words: int = 3,
     k: int = 8,
     bands: int = 4,
-    admit: str = "unique",
+    admit: str = "all",
 ) -> DataFrame:
     """Next corpus-index version: ``index`` plus the band postings of the
     delta docs selected by the ``admit`` policy.
 
-    ``admit="unique"`` (default): only docs with ``status == 'unique'`` in
+    ``admit="all"`` (DEFAULT — the production choice for continuous
+    ingestion, decided on an r11 measurement): every shingleable delta doc
+    is indexed, duplicate or not — full chain recall (a future near-dup of
+    ANY delta doc collides with its postings) at the cost of dup groups
+    accumulating one posting set per member.  Measured on the real sf0.01
+    corpus with a 300-doc chain-heavy delta: admit="unique" permanently
+    missed 8.7% of the next delta's chain-tail near-dups (recall 0.913 vs
+    1.0) while saving only 612 posting rows — index growth is
+    delta-proportional (``bands`` rows/doc) under EITHER policy, so the
+    bytes saved never justify a silent, permanent recall hole.  The
+    quadratic hazard of dup groups growing their own band bucket is the
+    hot-bucket problem the suite-default ``max_band_bucket`` guard already
+    bounds — keep it on in the classifier.
+
+    ``admit="unique"``: only docs with ``status == 'unique'`` in
     ``classification`` (the output of :func:`minhash_dedup_incremental` for
     the same delta) are indexed.  Duplicates are NOT — indexing both sides
     of a near-dup pair would double every future candidate hit on the
@@ -334,15 +348,9 @@ def minhash_index_admit(
     This is the standard greedy-transitive-closure trade-off (the batch
     path makes the same choice).  Admitting a component REPRESENTATIVE
     would not help — the a~b~c component's min-id representative is a,
-    which still leaves c's content unindexed.
-
-    ``admit="all"``: every shingleable delta doc is indexed, duplicate or
-    not — full chain recall (a future near-dup of ANY delta doc collides
-    with its postings) at the cost of dup groups accumulating one posting
-    set per member, multiplying candidate hits on the group by its size.
-    Use when recall against chain tails matters more than index size —
-    and pair it with ``max_band_bucket`` in the classifier, since
-    boilerplate clusters now grow their own bucket with every delta.
+    which still leaves c's content unindexed.  Choose this policy only
+    when index size is the binding constraint AND the corpus is known
+    chain-free (e.g. exact-dup-dominated ingestion).
     ``classification`` is ignored in this mode (pass the same frame; the
     signature stays uniform across the per-delta loop).
 

@@ -227,8 +227,10 @@ def test_two_delta_lifecycle_with_admit(spark, tmp_path):
     got1 = {r["doc_id"]: r["status"] for r in cls1.collect()}
     assert got1 == {10: "unique", 11: "dup_of_corpus"}
 
-    # admit delta-1 survivors; duplicates are NOT indexed
-    idx2 = minhash_index_admit(idx1, delta1, cls1, "doc_id", "text")
+    # admit delta-1 survivors only (explicit policy — the default became
+    # admit="all" in r11); duplicates are NOT indexed under "unique"
+    idx2 = minhash_index_admit(idx1, delta1, cls1, "doc_id", "text",
+                               admit="unique")
     indexed_ids = {r["doc_id"] for r in idx2.select("doc_id").distinct().collect()}
     assert indexed_ids == {1, 10}
 
@@ -403,3 +405,15 @@ def test_index_family_stamp_lifecycle(spark):
     grown = minhash_index_admit(idx, batch, cls, "doc_id", "text")
     assert "mh_family" in grown.columns
     assert check_index_family(grown).count() == grown.count()
+
+
+def test_admit_default_is_all(spark):
+    """r11 decision (measured: admit='unique' leaves a permanent 8.7%
+    chain-tail recall hole on a chain-heavy delta for 612 saved posting
+    rows): the production default is full-delta admission."""
+    import inspect
+
+    from ironbeam_spark.operators.incremental import minhash_index_admit
+
+    sig = inspect.signature(minhash_index_admit)
+    assert sig.parameters["admit"].default == "all"
