@@ -197,7 +197,7 @@ def test_simhash_pairs_brute_force_on_real_corpus(spark):
     """End-to-end differential on the sf0.001 corpus: the chunked pigeonhole
     pipeline must equal brute-force all-pairs Hamming over the same
     fingerprints — recall AND precision 1.0 within the distance bound (the
-    pigeonhole guarantee is deterministic, so exact equality, no slack)."""
+    pigeonhole guarantee is deterministic, so exact equality, no tolerance)."""
     from ironbeam_spark.operators.dedup import simhash, simhash_pairs
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
@@ -354,7 +354,7 @@ def _madow_multiplicities(weights: list[int], k: int, offset: int) -> list[int]:
 def test_madow_identity_sum_over_all_offsets_is_exact():
     """Exact combinatorial identity of Madow (1949) systematic PPS: summed
     over ALL W possible offsets, item i is selected exactly k·w_i times —
-    i.e. E[multiplicity_i] = k·w_i/W with NO statistical slack.  Verifying
+    i.e. E[multiplicity_i] = k·w_i/W with NO statistical tolerance.  Verifying
     the identity on the documented probe arithmetic proves the probe
     spacing delivers inclusion probability proportional to weight; the
     existing Spark-vs-_ref differentials (test_weighted_sample.py) pin the
