@@ -61,7 +61,53 @@ REPRESENTATIVES = [
     # collect over a distributed sort — its membership AND order must not
     # depend on partitioning, nor may the per-anchor exclusion filter
     "q_contrastive_pairs",
+    # --- r11: the differential now covers the ENTIRE headline set (the
+    # r10-committed rule pairs bench membership with this differential and
+    # the sf1 ladder; closing the historical gap makes the statement
+    # unconditional).  Mechanisms worth naming:
+    # float-fold determinism claims (sorted ratio-sum / rational LM):
+    "q_dsir_weights",
+    "q_lm_score",
+    # top-k by float score with id tiebreaks:
+    "q_ann_bruteforce",
+    "q_ann_ivfpq",
+    # gram-posting span assembly + min-winner scrub:
+    "q_substring_spans",
+    # window-chain history/snapshot tiebreaks:
+    "q_scd2",
+    "q_cdc_apply",
+    "q_rollup_cascade",
+    # prefix-filter candidate generation order:
+    "q_setsim_search",
+    # codec + dead-letter paths under different input splits:
+    "q_audio_decode",
+    # multi-stage composites:
+    "q_quality_pipeline",
+    "q_training_pipeline",
+    "q_multi_join_revenue",
+    # windowing / running totals:
+    "q_tumble_global",
+    "q_running_total",
+    # plain relational (cheap; completes the headline set):
+    "q_flat_map_tokens",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "q_join_inner",
+    "q_text_stats",
 ]
+
+
+def test_headline_set_is_fully_covered(spark):
+    """The r10-committed rule: every bench headliner is in this
+    differential (and the sf1 ladder) — pin it so a future headline
+    addition cannot silently skip the invariance check."""
+    bench = {n for n, q in QUERIES.items() if q.bench}
+    assert bench <= set(REPRESENTATIVES), sorted(bench - set(REPRESENTATIVES))
 
 
 def _canon(df):
