@@ -65,6 +65,7 @@ from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
     "check_index_family",
+    "write_minhash_index_table",
     "minhash_index",
     "minhash_verify_table",
     "minhash_dedup_incremental",
@@ -123,6 +124,42 @@ def minhash_index(
     return minhash_band_keys(signed, id_col, "sig", bands, k // bands).withColumn(
         "mh_family", F.lit(MINHASH_FAMILY)
     )
+
+
+def write_minhash_index_table(
+    index: DataFrame, table: str, buckets: int, mode: str = "overwrite"
+) -> None:
+    """Persist a :func:`minhash_index` as a catalog table BUCKETED (and
+    sorted) on ``band_key`` — the write-side layout that makes every later
+    delta run cheaper, as the module docstring promises:
+
+    - the delta-vs-index candidate join needs both sides hash-partitioned
+      on ``band_key``; a bucketed scan already IS ``HashPartitioning(
+      band_key, buckets)``, so the index side joins with ZERO exchange —
+      only the (small) delta shuffles;
+    - the hot-bucket guard's window count requires the same clustering, so
+      with a bucketed index even ``max_band_bucket`` adds no index-side
+      shuffle (pinned by the plan test in tests/test_incremental_dedup.py);
+    - in-bucket sorting gives sort-free sort-merge joins and parquet
+      row-group locality for ``band_key`` point lookups.
+
+    At 100 TB the index is `bands` rows per corpus doc — re-shuffling it
+    per delta is the dominant incremental cost this write amortizes away.
+    Read back with ``spark.sparkSession.table(table)``; pick ``buckets``
+    so one bucket's postings fit an executor core (e.g. corpus_docs ×
+    bands / buckets ≈ 10-50M rows).  Appending a new delta's postings
+    keeps the layout: ``write_minhash_index_table(new_postings, table,
+    buckets, mode="append")`` (Spark enforces matching bucketing specs on
+    append)."""
+    from ironbeam_spark.sources.bucketing import write_bucketed
+
+    if "mh_family" not in index.columns:
+        raise ValueError(
+            "write_minhash_index_table: index has no mh_family stamp — "
+            "build it with minhash_index()"
+        )
+    write_bucketed(index, table, ["band_key"], buckets,
+                   sort_by=["band_key"], mode=mode)
 
 
 def check_index_family(index: DataFrame, what: str = "minhash index") -> DataFrame:

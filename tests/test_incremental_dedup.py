@@ -417,3 +417,69 @@ def test_admit_default_is_all(spark):
 
     sig = inspect.signature(minhash_index_admit)
     assert sig.parameters["admit"].default == "all"
+
+
+def test_bucketed_index_table_joins_without_index_side_exchange(spark):
+    """write_minhash_index_table's 100 TB claim, pinned in the plan: with
+    the index bucketed on band_key, the delta-vs-index candidate join AND
+    the hot-bucket guard's window consume the bucketed scan's
+    HashPartitioning directly — exactly ONE band_key exchange remains in
+    the whole classification plan (the delta side), where the plain-parquet
+    path pays one per side.  Results must be identical to the unbucketed
+    path."""
+    from ironbeam_spark.operators.incremental import write_minhash_index_table
+
+    corpus = spark.createDataFrame(
+        [(1, _A), (2, _B), (3, _C)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, _A), (11, "fresh unseen words entirely " * 8)],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus, "doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS t_mh_idx_bucketed")
+    write_minhash_index_table(idx, "t_mh_idx_bucketed", buckets=4)
+    prior = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = minhash_dedup_incremental(
+            batch, spark.table("t_mh_idx_bucketed"), corpus, "doc_id", "text",
+            max_band_bucket=10_000,
+        )
+        got = {r.doc_id: r.status for r in out.collect()}
+        assert got == {10: "dup_of_corpus", 11: "unique"}
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final, final[:3000]
+        import re
+        n_bk_exchanges = len(
+            re.findall(r"Exchange hashpartitioning\(band_key", final)
+        )
+        assert n_bk_exchanges == 1, (
+            f"expected only the delta side to shuffle on band_key, found "
+            f"{n_bk_exchanges} exchanges:\n{final[:3000]}"
+        )
+
+        # identical classification via the plain (unbucketed) index
+        plain = {
+            r.doc_id: r.status
+            for r in minhash_dedup_incremental(
+                batch, idx, corpus, "doc_id", "text", max_band_bucket=10_000
+            ).collect()
+        }
+        assert plain == got
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS t_mh_idx_bucketed")
