@@ -288,7 +288,14 @@ def minhash_band_keys(
     keep the shingle array on the row this way, because joining the
     postings back to their own source frame would be a stream-stream
     self-join (watermark-bounded state Spark refuses in a plain pipeline,
-    and pointless state here)."""
+    and pointless state here).
+
+    NULL signatures (the empty-shingle contract of
+    :func:`minhash_signature_from_ints`) emit NO postings: without the
+    filter, ``concat_ws`` swallows the NULL slice and every null-sig doc
+    would share the literal key ``"<band>#"`` — re-creating the junk
+    bucket the NULL contract exists to prevent."""
+    df = df.where(F.col(sig_col).isNotNull())
     band_key = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),

@@ -205,3 +205,20 @@ def test_empty_and_null_shingles_sign_as_null(spark):
         ).collect()
     }
     assert srows[1] is not None and srows[2] is None
+
+
+def test_null_signatures_emit_no_band_postings(spark):
+    """Companion to the NULL-on-empty contract: minhash_band_keys must drop
+    NULL-signature rows entirely.  Without its filter, concat_ws swallows
+    the NULL band slice and every null-sig doc shares the literal key
+    '<band>#' — mutual LSH candidates, the junk bucket again."""
+    from ironbeam_spark.operators.dedup import minhash_band_keys
+
+    df = spark.createDataFrame(
+        [(1, [11, 22, 33, 44, 55, 66, 77, 88]), (2, None)],
+        "doc_id long, sig array<long>",
+    )
+    rows = minhash_band_keys(df, "doc_id", "sig", bands=4, rows_per_band=2).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert len(rows) == 4
+    assert all("#" in r.band_key and not r.band_key.endswith("#") for r in rows)
