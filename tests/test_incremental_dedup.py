@@ -483,3 +483,74 @@ def test_bucketed_index_table_joins_without_index_side_exchange(spark):
             else:
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS t_mh_idx_bucketed")
+
+
+def test_bucketed_index_also_serves_the_streaming_admission_join(spark, tmp_path):
+    """The streaming complement of the bucketed-layout claim: per
+    micro-batch, the stream-static candidate join consumes the bucketed
+    static scan directly — in sort-merge mode the ONLY band_key exchange
+    in the micro-batch plan is the stream side's banding; the corpus index
+    is never re-shuffled, batch after batch."""
+    import contextlib
+    import io
+    import re
+    import tempfile
+
+    from ironbeam_spark.operators.incremental import (
+        minhash_index,
+        minhash_verify_table,
+        write_minhash_index_table,
+    )
+    from ironbeam_spark.streaming.dedup import stream_dedup_against_index
+
+    static = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = static.where(F.col("doc_id") % 3 != 1)
+    idx = minhash_index(corpus, "doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS t_mh_sidx")
+    write_minhash_index_table(idx, "t_mh_sidx", buckets=4)
+    prior = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        ver = minhash_verify_table(corpus, "doc_id", "text")
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet("/root/testdata/sf0.001")
+            .where(F.col("doc_id") % 3 == 1)
+            .select("doc_id", "text")
+        )
+        matches = stream_dedup_against_index(
+            sdf, spark.table("t_mh_sidx"), ver, "doc_id", "text"
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_bidx_", dir=str(tmp_path))
+        q = (
+            matches.writeStream.format("memory")
+            .queryName("t_mh_sidx_out")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.table("t_mh_sidx_out").count() > 0
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain()
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan, plan[:3000]
+        n = len(re.findall(r"Exchange hashpartitioning\(band_key", plan))
+        assert n == 1, f"expected only the stream side to shuffle, got {n}:\n{plan[:3000]}"
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS t_mh_sidx")
