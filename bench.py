@@ -75,8 +75,6 @@ def _ab_drift_check(
     import shutil
     import subprocess
 
-    import subprocess as _sp
-
     def _round_no(p: Path) -> int:
         m = re.search(r"r(\d+)", p.name)
         return int(m.group(1)) if m else -1
@@ -88,7 +86,7 @@ def _ab_drift_check(
     # round first and take the first file git knows a commit for.
     prior_file = commit = None
     for cand in sorted(Path(_REPO).glob("BENCH_r*.json"), key=_round_no, reverse=True):
-        c = _sp.run(
+        c = subprocess.run(
             ["git", "log", "-n", "1", "--format=%H", "--", cand.name],
             cwd=_REPO, capture_output=True, text=True,
         ).stdout.strip()
