@@ -425,3 +425,112 @@ def test_shard_affine_multiplier_wraps():
     # seeds rotate b over the whole line, not a degenerate orbit
     bs = {affine_params(s)[1] for s in range(100)}
     assert len(bs) == 100
+
+
+# ---------------------------------------------------------------------------
+# Mirrored-formula scoring: from-spec python models + ground truth
+# (a sign/direction slip in BM25/TF-IDF/lang-id would be reproduced verbatim
+# by the SQL oracle — the same blindness that hid the minhash bug)
+# ---------------------------------------------------------------------------
+
+
+def _ws_tokens(text):
+    return [t for t in text.split(" ") if t]
+
+
+def test_bm25_ranking_matches_from_spec_python_model(spark):
+    """q_bm25_rational vs BM25 written from the published formula
+    (Robertson/Spärck Jones; k1=1.2, b=0.75, rational idf
+    (N−df+0.5)/(df+0.5), tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))) in pure
+    python over the raw corpus text.  The SQL oracle mirrors the Spark
+    expression; this model mirrors only the SPEC, so an inverted idf, a
+    swapped b term, or a tf/dl direction slip fails here."""
+    from ironbeam_spark.suite import QUERIES
+
+    terms = ["vector", "filter", "data"]
+    docs = {
+        r.doc_id: _ws_tokens(r.text)
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfs = {
+        term: sum(1 for t in docs.values() if term in t) for term in terms
+    }
+    scores = {}
+    for did, toks in docs.items():
+        dl = len(toks)
+        s = 0.0
+        for term in terms:
+            tf = sum(1 for t in toks if t == term)
+            idf = (n - dfs[term] + 0.5) / (dfs[term] + 0.5)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        if any(term in toks for term in terms):
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.doc_id, r.score)
+        for r in QUERIES["q_bm25_rational"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9 * max(1.0, abs(ws)), (gd, gs, ws)
+
+
+def test_tfidf_matches_from_spec_python_model(spark):
+    """q_tfidf_topterms vs the documented rational tf-idf
+    (tf · (N+1)/(df+1), top-3 per doc, score-desc then term-asc) computed
+    in pure python from the raw text — catches an inverted idf or a
+    df-direction slip the mirrored oracle cannot."""
+    from collections import Counter
+
+    from ironbeam_spark.suite import QUERIES
+
+    docs = {
+        r.doc_id: _ws_tokens(r.text.lower())
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r.doc_id < 300
+    }
+    n = len(docs)
+    tfs = {did: Counter(toks) for did, toks in docs.items()}
+    df_count = Counter(t for c in tfs.values() for t in c)
+    want = {}
+    for did, c in tfs.items():
+        ranked = sorted(
+            ((tf * (n + 1) / (df_count[t] + 1), t) for t, tf in c.items()),
+            key=lambda st: (-st[0], st[1]),
+        )[:3]
+        want[did] = [(t, s) for s, t in ranked]
+    got = {}
+    for r in QUERIES["q_tfidf_topterms"].fn(spark, SF_SMOKE).collect():
+        got.setdefault(r.doc_id, []).append((r.term, r.score, r.rank))
+    assert set(got) == set(want)
+    for did, rows in got.items():
+        rows = sorted(rows, key=lambda x: x[2])
+        assert [t for t, _, _ in rows] == [t for t, _ in want[did]], did
+        for (t, s, _), (_, ws) in zip(rows, want[did]):
+            assert abs(s - ws) < 1e-9 * max(1.0, ws), (did, t, s, ws)
+
+
+def test_lang_id_ground_truth(spark):
+    """lang_id on actual sentences in each supported language (plus
+    stopword-free gibberish → 'und').  The oracle mirrors the CASE chain,
+    so swapped stopword lists or an inverted argmax would stay green
+    everywhere else."""
+    from ironbeam_spark.functions.text import lang_id
+
+    rows = [
+        (1, "the cat sat in the corner of the room and it looked at the door", "en"),
+        (2, "el perro corre por la calle y un gato duerme en la casa de los vecinos", "es"),
+        (3, "le chien et le chat dorment dans la maison des voisins et du jardin", "fr"),
+        (4, "der hund und die katze schlafen in der wohnung mit den kindern auf dem sofa", "de"),
+        (5, "我 是 一 个 人 他 在 有 不 了 的 地方", "zh"),
+        (6, "zzzqq wwxyz blorp fnord glemp", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert got == {i: lang for i, _, lang in rows}
