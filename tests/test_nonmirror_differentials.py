@@ -534,3 +534,48 @@ def test_lang_id_ground_truth(spark):
     df = spark.createDataFrame([(i, t) for i, t, _ in rows], "id long, text string")
     got = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
     assert got == {i: lang for i, _, lang in rows}
+
+
+def test_repetition_filter_matches_from_spec_python_model(spark):
+    """q_repetition_filter vs the Gopher-rule definitions (Rae et al. 2021
+    §A1.1) computed in pure python from raw text: top-token fraction,
+    top-bigram fraction, distinct-token ratio, and the thresholded keep
+    verdict (≤0.2 / ≤0.4 / ≥0.3).  An inverted threshold or a swapped
+    numerator would keep exactly the garbage the filter exists to drop —
+    and the mirrored oracle would agree with it."""
+    from collections import Counter
+
+    from ironbeam_spark.suite import QUERIES
+
+    docs = {
+        r.doc_id: _ws_tokens(r.text)
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {}
+    for did, toks in docs.items():
+        if not toks:
+            continue
+        uni = Counter(toks)
+        bigrams = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        ttf = max(uni.values()) / len(toks)
+        tbf = (max(bigrams.values()) / sum(bigrams.values())) if bigrams else 0.0
+        dfr = len(uni) / len(toks)
+        want[did] = (
+            len(toks), ttf, tbf, dfr,
+            ttf <= 0.2 and tbf <= 0.4 and dfr >= 0.3,
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.top_token_frac, r.top_bigram_frac,
+                   r.distinct_frac, r.keep)
+        for r in QUERIES["q_repetition_filter"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for did, (n, ttf, tbf, dfr, keep) in want.items():
+        gn, gttf, gtbf, gdfr, gkeep = got[did]
+        assert gn == n and gkeep == keep, (did, got[did], want[did])
+        for g, w in ((gttf, ttf), (gtbf, tbf), (gdfr, dfr)):
+            assert abs(g - w) < 1e-12, (did, g, w)
+    # the verdict must actually discriminate on this corpus
+    assert any(k for *_, k in want.values())
