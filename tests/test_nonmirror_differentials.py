@@ -579,3 +579,35 @@ def test_repetition_filter_matches_from_spec_python_model(spark):
             assert abs(g - w) < 1e-12, (did, g, w)
     # the verdict must actually discriminate on this corpus
     assert any(k for *_, k in want.values())
+
+
+def test_training_mix_and_split_deliver_their_rates(spark):
+    """Empirical rate contract for the md5-priority recipe steps (their
+    oracles mirror the same CASE-chain arithmetic, so a swapped source
+    weight or an inverted threshold would stay green there): per-source
+    keep fraction ≈ the requested weight, split fractions ≈ train/val/test,
+    unknown sources dropped at default_weight=0.  4000 keys per source ⇒
+    binomial σ ≤ 0.008, bounds set at >5σ."""
+    from collections import Counter
+
+    from ironbeam_spark.operators.sampling import train_val_test_split, training_mix
+
+    rows = [(f"{src}-{i}", src) for src in ("web", "books", "code", "mystery")
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "key string, source string")
+    weights = {"web": 0.1, "books": 1.0, "code": 0.5}
+    kept = Counter(
+        r.source for r in training_mix(df, "source", weights, 7, "key").collect()
+    )
+    assert kept["books"] == 4000          # weight 1.0 keeps everything
+    assert "mystery" not in kept          # default_weight=0 drops unknowns
+    assert abs(kept["web"] / 4000 - 0.1) < 0.05, kept["web"]
+    assert abs(kept["code"] / 4000 - 0.5) < 0.05, kept["code"]
+
+    splits = Counter(
+        r.split for r in train_val_test_split(df, "key", 11).collect()
+    )
+    n = len(rows)
+    assert abs(splits["train"] / n - 0.8) < 0.03, splits
+    assert abs(splits["val"] / n - 0.1) < 0.03, splits
+    assert abs(splits["test"] / n - 0.1) < 0.03, splits
