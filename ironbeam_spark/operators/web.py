@@ -1,0 +1,97 @@
+"""Web-corpus DataFrame operators: domain-level rollups and blocklist
+filtering over URL columns (north-star web-pipeline curation — no
+reference counterpart; the RefinedWeb/C4 front half: URL-level blocklist
+filtering and per-domain volume/quality accounting feed every downstream
+keep/drop decision in a Common-Crawl-scale pretraining pipeline).
+
+Scale shape: the per-row work (parse → canonical host → registered
+domain) is pure whole-stage-codegen expression work from
+:mod:`ironbeam_spark.functions.web`; ``domain_stats`` then costs exactly
+one partial+final aggregation shuffle on the (low-cardinality) domain
+key; ``blocklist_filter`` is a broadcast LEFT ANTI join (the blocklist —
+even industry ones like UT1 — is a few MB, never shuffle-joined).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+from ironbeam_spark.functions.web import registered_domain, url_host
+
+__all__ = ["with_registered_domain", "blocklist_filter", "domain_stats"]
+
+
+def with_registered_domain(
+    df: DataFrame, url_col: str, out_col: str = "registered_domain"
+) -> DataFrame:
+    """Add canonical-host and PSL registered-domain columns for ``url_col``
+    (``<out_col>_host`` and ``out_col``; NULL for unparseable URLs,
+    IP-literal hosts, and bare public suffixes)."""
+    host = url_host(url_col)
+    return df.withColumn(f"{out_col}_host", host).withColumn(
+        out_col, registered_domain(F.col(f"{out_col}_host"))
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    domain_col: str,
+    blocked: DataFrame | Iterable[str],
+    *,
+    keep_null_domain: bool = False,
+) -> DataFrame:
+    """Drop rows whose registered domain is on a blocklist.
+
+    ``blocked`` is a 1-column DataFrame (any column name) or an iterable
+    of domain strings; either way it is broadcast into a LEFT ANTI join —
+    the scale-correct shape for a list that is always tiny relative to
+    the corpus.  Rows with a NULL domain (unparseable URL / IP host) are
+    dropped by default: a document whose provenance can't be resolved
+    can't be vetted against the blocklist (C4 keeps the same default).
+    """
+    if not isinstance(blocked, DataFrame):
+        blocked = df.sparkSession.createDataFrame(
+            [(d,) for d in sorted(set(blocked))], "blocked_domain string"
+        )
+    else:
+        blocked = blocked.toDF("blocked_domain")
+    out = df.join(
+        F.broadcast(blocked),
+        df[domain_col] == blocked["blocked_domain"],
+        "left_anti",
+    )
+    if not keep_null_domain:
+        out = out.where(F.col(domain_col).isNotNull())
+    return out
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str,
+    *,
+    blocklist: DataFrame | Iterable[str] | None = None,
+    agg_cols: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Per-registered-domain rollup: document count, distinct canonical
+    hosts, plus any caller aggregates (e.g. exact char sums, distinct
+    language counts).  With ``blocklist``, blocked domains are dropped
+    first via :func:`blocklist_filter` (broadcast LEFT ANTI).
+
+    Rows whose URL yields no registered domain are excluded (they have
+    no domain to account under).  One aggregation shuffle on the domain
+    key; distinct-host counting rides the same partial/final aggregate.
+    """
+    base = with_registered_domain(df, url_col)
+    if blocklist is not None:
+        base = blocklist_filter(base, "registered_domain", blocklist)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("registered_domain_host").alias("n_hosts"),
+    ] + [expr.alias(name) for name, expr in (agg_cols or {}).items()]
+    return (
+        base.where(F.col("registered_domain").isNotNull())
+        .groupBy("registered_domain")
+        .agg(*aggs)
+    )

@@ -16,6 +16,7 @@ from ironbeam_spark.suite import (  # noqa: E402,F401
     llmops,
     reshape,
     timeseries,
+    web,
 )
 
 

@@ -1,0 +1,317 @@
+"""Web-corpus queries: URL canonicalization, domain-level curation
+rollups, and HTML text extraction (north-star web-pipeline front half —
+no reference counterpart; registered after the driver's current 50-query
+window, driver rows arrive via the freshness window, oracle-checked by
+tools/check.py now).
+
+The documents table carries no URL/HTML columns, so each query derives a
+deterministic messy input from doc_id (same pattern as q_pii_scrub's
+planted PII): mixed-case schemes/hosts, userinfo, default and explicit
+ports, duplicate slashes, tracking params, fragments, trailing host
+dots, IP hosts, bare single-label hosts — every branch of the
+canonicalization contract is exercised by some residue class.  The
+oracles re-derive the same inputs and mirror the published rule set
+(mirrored-formula class: the from-spec differentials live in
+tests/test_web_models.py — urllib.parse / html.parser / PSL-algorithm
+ground truth that shares no regex text with the implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironbeam_spark.functions.web import (
+    MULTI_LABEL_SUFFIXES,
+    TRACKING_PARAM_RE,
+    URL_PARSE_RE,
+    canonicalize_url,
+    html_to_text,
+    registered_domain,
+    url_host,
+)
+from ironbeam_spark.operators.web import domain_stats
+from ironbeam_spark.sources.io import read_table
+from ironbeam_spark.suite.registry import query
+
+# ---------------------------------------------------------------------------
+# deterministic messy-URL derivation (Spark and SQL sides must agree)
+
+_RAW_HOSTS = [
+    "WWW.Example.COM",          # case folding + www kept (no www-stripping rule)
+    "news.Example.co.uk",       # 2-label public suffix
+    "Blog.sample.ORG.",         # trailing dot
+    "cdn.static.example.com",   # deep subdomain, same registered domain as 0
+    "USER.Pages.GitHub.IO",     # PaaS suffix: registered domain is pages.github.io
+    "ads.TRACKER.net",          # blocklisted registered domain
+    "192.168.10.5",             # IP literal: no registered domain
+    "intranet",                 # single label: no registered domain
+]
+_SCHEMES = ["HTTPS", "http", "Http"]
+_PORTS = [":443", ":80", ":8080", "", ""]
+_QUERYSTRINGS = [
+    "?utm_source=rss&z=9&a=1",          # tracking param dropped, rest sorted
+    "?gclid=abc123",                    # all params dropped -> no '?'
+    "?b=2&utm_campaign=x&a=1&a=0",      # duplicate param kept, sorted
+    "",
+]
+_BLOCKLIST = ["tracker.net"]
+
+
+def _synth_url() -> F.Column:
+    d = F.col("doc_id")
+    idx = lambda m: (d % m + 1).cast("int")  # noqa: E731
+    return F.concat(
+        F.element_at(F.lit(_SCHEMES), idx(3)),
+        F.lit("://"),
+        F.when(d % 7 == 0, F.lit("crawler:secret@")).otherwise(F.lit("")),
+        F.element_at(F.lit(_RAW_HOSTS), idx(8)),
+        F.element_at(F.lit(_PORTS), idx(5)),
+        F.lit("//crawl//"),
+        (d % 97).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.element_at(F.lit(_QUERYSTRINGS), idx(4)),
+        F.when(d % 2 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def _sql_list(items: list[str] | tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+
+_SYNTH_URL_SQL = (
+    f"list_extract({_sql_list(_SCHEMES)}, (doc_id % 3 + 1)::INT) || '://'"
+    " || CASE WHEN doc_id % 7 = 0 THEN 'crawler:secret@' ELSE '' END"
+    f" || list_extract({_sql_list(_RAW_HOSTS)}, (doc_id % 8 + 1)::INT)"
+    f" || list_extract({_sql_list(_PORTS)}, (doc_id % 5 + 1)::INT)"
+    " || '//crawl//' || (doc_id % 97)::VARCHAR"
+    " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
+    f" || list_extract({_sql_list(_QUERYSTRINGS)}, (doc_id % 4 + 1)::INT)"
+    " || CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END"
+)
+
+# the canonicalization rule set from functions/web.py, as DuckDB CTEs
+# (regex text interpolated from the same constants the engine compiles)
+_CANON_CTES = f"""
+  urls AS (
+    SELECT doc_id, n_chars, lang, source, {_SYNTH_URL_SQL} AS url
+    FROM documents
+  ),
+  parsed AS (
+    SELECT *,
+      lower(regexp_extract(url, '{URL_PARSE_RE}', 1)) AS scheme,
+      regexp_replace(regexp_extract(url, '{URL_PARSE_RE}', 2), '^.*@', '') AS hostport,
+      regexp_extract(url, '{URL_PARSE_RE}', 3) AS rawpath,
+      regexp_extract(url, '{URL_PARSE_RE}', 4) AS rawquery
+    FROM urls
+  ),
+  hosted AS (
+    SELECT *,
+      regexp_replace(lower(regexp_replace(hostport, ':[0-9]*$', '')), '\\.$', '') AS host,
+      regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+    FROM parsed
+  ),
+  pathq AS (
+    SELECT *,
+      CASE WHEN p1 = '' THEN '/'
+           WHEN length(p1) > 1 AND p1 LIKE '%/' THEN regexp_replace(p1, '/$', '')
+           ELSE p1 END AS path,
+      array_to_string(list_sort(list_filter(string_split(rawquery, '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&') AS qs
+    FROM (SELECT *, regexp_replace(rawpath, '/{{2,}}', '/', 'g') AS p1 FROM hosted)
+  ),
+  canon AS (
+    SELECT *,
+      CASE WHEN scheme <> '' AND host <> '' THEN
+        scheme || '://' || host ||
+        CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                   OR (scheme = 'https' AND port = '443'))
+             THEN ':' || port ELSE '' END ||
+        path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+      END AS canonical_url,
+      CASE WHEN host = '' THEN NULL ELSE host END AS chost
+    FROM pathq
+  ),
+  domained AS (
+    SELECT *,
+      CASE WHEN chost IS NULL OR regexp_matches(chost, '^[0-9]+(\\.[0-9]+){{3}}$')
+                OR len(string_split(chost, '.')) < 2 THEN NULL
+           WHEN list_contains({_sql_list(MULTI_LABEL_SUFFIXES)},
+                              array_to_string(string_split(chost, '.')[-2:], '.'))
+                THEN CASE WHEN len(string_split(chost, '.')) >= 3
+                          THEN array_to_string(string_split(chost, '.')[-3:], '.') END
+           ELSE array_to_string(string_split(chost, '.')[-2:], '.') END AS domain
+    FROM canon
+  )
+"""
+
+
+@query(
+    "q_url_canonical",
+    f"""
+    WITH {_CANON_CTES}
+    SELECT doc_id, canonical_url, chost AS host, domain AS registered_domain
+    FROM domained
+    ORDER BY doc_id
+    """,
+    doc=(
+        "URL canonicalization (north-star web curation): scheme/host folding, "
+        "userinfo + default-port + fragment stripping, slash collapsing, "
+        "tracking-param removal with bytewise param sort, PSL registered "
+        "domain — all whole-stage-codegen expressions (functions/web.py), "
+        "zero UDFs/shuffles; the exact-URL dedup key C4 §2.1 dedups on"
+    ),
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _synth_url().alias("url"))
+    host = url_host("url")
+    return urls.select(
+        "doc_id",
+        canonicalize_url("url").alias("canonical_url"),
+        host.alias("host"),
+        registered_domain(host).alias("registered_domain"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_domain_stats",
+    f"""
+    WITH {_CANON_CTES}
+    SELECT domain AS registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT chost) AS BIGINT) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM domained
+    WHERE domain IS NOT NULL AND domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
+    GROUP BY domain
+    ORDER BY registered_domain
+    """,
+    doc=(
+        "per-domain curation rollup (north-star web curation): registered-"
+        "domain rollup of doc volume / distinct hosts / exact char mass / "
+        "language spread after a broadcast LEFT ANTI blocklist join "
+        "(operators/web.py) — one aggregation shuffle on the low-cardinality "
+        "domain key; the RefinedWeb-style domain accounting pass"
+    ),
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", "n_chars", "lang", _synth_url().alias("url"))
+    return domain_stats(
+        urls,
+        "url",
+        blocklist=_BLOCKLIST,
+        agg_cols={
+            "sum_chars": F.sum("n_chars").cast("long"),
+            "n_langs": F.countDistinct("lang"),
+        },
+    ).orderBy("registered_domain")
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+
+_HTML_PREFIX = "<html><!-- id "
+_HTML_HEAD = (
+    " --><head><title>Doc "
+)
+_HTML_AFTER_TITLE = (
+    '</title><style>p { color: red; }</style>'
+    '<script type="text/javascript">if (1 < 2) { document.write("<p>junk</p>"); }</script>'
+    "</head><body><h1>Doc &amp; "
+)
+_HTML_AFTER_H1 = "</h1><p>"
+_HTML_AFTER_TEXT = '</p><div class="meta">chars &lt; '
+_HTML_AFTER_CHARS = " &nbsp;total</div><ul><li>lang: "
+_HTML_AFTER_LANG = "</li><li>src: "
+_HTML_SUFFIX = "</li></ul></body></html>"
+
+
+def _synth_html() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit(_HTML_PREFIX), d,
+        F.lit(_HTML_HEAD), d,
+        F.lit(_HTML_AFTER_TITLE), d,
+        F.lit(_HTML_AFTER_H1), F.col("text"),
+        F.lit(_HTML_AFTER_TEXT), F.col("n_chars").cast("string"),
+        F.lit(_HTML_AFTER_CHARS), F.col("lang"),
+        F.lit(_HTML_AFTER_LANG), F.col("source"),
+        F.lit(_HTML_SUFFIX),
+    )
+
+
+_SYNTH_HTML_SQL = (
+    f"'{_HTML_PREFIX}' || doc_id::VARCHAR"
+    f" || '{_HTML_HEAD}' || doc_id::VARCHAR"
+    f" || '{_HTML_AFTER_TITLE}' || doc_id::VARCHAR"
+    f" || '{_HTML_AFTER_H1}' || text"
+    f" || '{_HTML_AFTER_TEXT}' || n_chars::VARCHAR"
+    f" || '{_HTML_AFTER_CHARS}' || lang"
+    f" || '{_HTML_AFTER_LANG}' || source"
+    f" || '{_HTML_SUFFIX}'"
+)
+
+_BLOCK_TAG_RE_SQL = (
+    r"(?i)</?(?:p|br|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote"
+    r"|section|article|header|footer)\b[^>]*>"
+)
+
+_EXTRACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "replace(replace(replace(replace(replace(replace(replace("
+    "regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(html, '(?s)<!--.*?-->', '', 'g')"
+    ", '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g')"
+    ", '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g')"
+    ", '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', '', 'g')"
+    ", '(?is)<template\\b[^>]*>.*?</template\\s*>', '', 'g')"
+    f", '{_BLOCK_TAG_RE_SQL}', chr(10), 'g')"
+    ", '(?s)<[^>]*>', '', 'g')"
+    ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), "
+    "'&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
+    ", '[ \\t]+', ' ', 'g')"
+    ", ' ?\\n ?', chr(10), 'g')"
+    ", '\\n{2,}', chr(10), 'g')"
+    ", '^\\s+|\\s+$', '', 'g')"
+)
+
+
+@query(
+    "q_html_extract",
+    f"""
+    WITH wrapped AS (
+      SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents
+    ),
+    extracted AS (
+      SELECT doc_id, {_EXTRACT_SQL} AS txt FROM wrapped
+    )
+    SELECT doc_id,
+           md5(txt) AS text_md5,
+           CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
+           CAST(length(txt) AS BIGINT) AS n_chars_clean
+    FROM extracted
+    ORDER BY doc_id
+    """,
+    doc=(
+        "HTML text extraction (north-star web curation, C4-style): comment/"
+        "script/style removal WITH content, block-tag newlines, tag strip, "
+        "core entity decode, whitespace normalization — a pure regexp_replace "
+        "chain (functions/web.html_to_text) in the scan stage, RE2-safe so "
+        "the oracle shares the exact pattern text; from-spec html.parser "
+        "differential in tests/test_web_models.py"
+    ),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id", _synth_html().alias("html"))
+    extracted = wrapped.select("doc_id", html_to_text("html").alias("txt"))
+    return extracted.select(
+        "doc_id",
+        F.md5("txt").alias("text_md5"),
+        F.size(F.split("txt", "\n", -1)).cast("long").alias("n_lines"),
+        F.length("txt").cast("long").alias("n_chars_clean"),
+    ).orderBy("doc_id")
