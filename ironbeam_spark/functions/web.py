@@ -52,12 +52,18 @@ __all__ = [
     "TRACKING_PARAM_RE",
     "MULTI_LABEL_SUFFIXES",
     "URL_PARSE_RE",
+    "HREF_RE",
     "parse_url",
     "canonicalize_url",
     "url_host",
     "registered_domain",
     "html_to_text",
+    "extract_links",
 ]
+
+# double-quoted href attribute inside an <a> tag (RE2-safe; the documented
+# subset: hrefs are double-quoted, no '>' inside attribute values)
+HREF_RE = r'(?i)<a\b[^>]*href="([^"]*)"'
 
 # RFC 3986-ish absolute-URL splitter (RE2-safe: no lookaround/backrefs).
 # groups: 1=scheme 2=authority 3=path 4=query 5=fragment
@@ -189,6 +195,16 @@ def registered_domain(host: Column | str) -> Column:
         .when(multi, F.lit(None).cast("string"))
         .otherwise(last2)
     )
+
+
+def extract_links(html: Column | str) -> Column:
+    """All href values of ``<a>`` tags in an HTML fragment, in document
+    order (``array<string>``, possibly empty — the raw hrefs; compose
+    with :func:`canonicalize_url` / :func:`registered_domain` after
+    ``explode`` for web-graph construction).  Same documented subset as
+    :func:`html_to_text`: double-quoted attributes, no ``>`` inside
+    attribute values."""
+    return F.regexp_extract_all(_col(html), F.lit(HREF_RE), 1)
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from ironbeam_spark.functions.web import registered_domain, url_host
 
-__all__ = ["with_registered_domain", "blocklist_filter", "domain_stats"]
+__all__ = [
+    "with_registered_domain",
+    "blocklist_filter",
+    "domain_stats",
+    "domain_filter",
+]
 
 
 def with_registered_domain(
@@ -95,3 +100,41 @@ def domain_stats(
         .groupBy("registered_domain")
         .agg(*aggs)
     )
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str,
+    stat_col: str,
+    min_mean: float,
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Keep only rows whose registered domain's MEAN of ``stat_col``
+    meets ``min_mean`` — domain-level quality gating (Gopher/RefinedWeb
+    drop entire low-quality domains, not just low-quality documents).
+
+    The mean comparison is exact rational arithmetic — ``sum * scale >=
+    count * round(min_mean * scale)`` on int64 — so the keep set is
+    deterministic and oracle-exact (no FP mean).  Rows with no
+    registered domain are dropped (nothing to account them under).
+
+    Plan shape: one partial+final aggregation shuffle on the domain key
+    produces the (low-cardinality) per-domain stat table, which then
+    broadcast-joins back onto the corpus — the aggregate→join-back
+    pattern costs ONE shuffle of domain-sized rows, never a corpus
+    shuffle.
+    """
+    base = with_registered_domain(df, url_col)
+    threshold = round(min_mean * scale)
+    stats = (
+        base.where(F.col("registered_domain").isNotNull())
+        .groupBy("registered_domain")
+        .agg(
+            F.sum(F.col(stat_col).cast("long")).alias("_stat_sum"),
+            F.count(F.lit(1)).alias("_stat_n"),
+        )
+        .where(F.col("_stat_sum") * scale >= F.col("_stat_n") * threshold)
+        .select("registered_domain")
+    )
+    return base.join(F.broadcast(stats), "registered_domain", "left_semi")

@@ -90,6 +90,32 @@ _SYNTH_URL_SQL = (
     " || CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END"
 )
 
+def _host_sql(url_expr: str) -> str:
+    """Canonical host (NULL when absent) of a URL SQL expression."""
+    hostport = (
+        f"regexp_replace(regexp_extract({url_expr}, '{URL_PARSE_RE}', 2), '^.*@', '')"
+    )
+    return (
+        "nullif(regexp_replace(lower(regexp_replace("
+        + hostport
+        + ", ':[0-9]*$', '')), '\\.$', ''), '')"
+    )
+
+
+def _domain_sql(host_col: str) -> str:
+    """PSL registered-domain CASE chain over a (already canonical) host
+    column reference — mirror of functions/web.registered_domain."""
+    split = f"string_split({host_col}, '.')"
+    return f"""CASE WHEN {host_col} IS NULL
+                OR regexp_matches({host_col}, '^[0-9]+(\\.[0-9]+){{3}}$')
+                OR len({split}) < 2 THEN NULL
+           WHEN list_contains({_sql_list(MULTI_LABEL_SUFFIXES)},
+                              array_to_string({split}[-2:], '.'))
+                THEN CASE WHEN len({split}) >= 3
+                          THEN array_to_string({split}[-3:], '.') END
+           ELSE array_to_string({split}[-2:], '.') END"""
+
+
 # the canonicalization rule set from functions/web.py, as DuckDB CTEs
 # (regex text interpolated from the same constants the engine compiles)
 _CANON_CTES = f"""
@@ -133,14 +159,7 @@ _CANON_CTES = f"""
     FROM pathq
   ),
   domained AS (
-    SELECT *,
-      CASE WHEN chost IS NULL OR regexp_matches(chost, '^[0-9]+(\\.[0-9]+){{3}}$')
-                OR len(string_split(chost, '.')) < 2 THEN NULL
-           WHEN list_contains({_sql_list(MULTI_LABEL_SUFFIXES)},
-                              array_to_string(string_split(chost, '.')[-2:], '.'))
-                THEN CASE WHEN len(string_split(chost, '.')) >= 3
-                          THEN array_to_string(string_split(chost, '.')[-3:], '.') END
-           ELSE array_to_string(string_split(chost, '.')[-2:], '.') END AS domain
+    SELECT *, {_domain_sql('chost')} AS domain
     FROM canon
   )
 """
@@ -315,3 +334,168 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("txt", "\n", -1)).cast("long").alias("n_lines"),
         F.length("txt").cast("long").alias("n_chars_clean"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# domain-level link graph + domain-quality gating
+
+from ironbeam_spark.functions.web import HREF_RE, extract_links  # noqa: E402
+from ironbeam_spark.operators.web import domain_filter  # noqa: E402
+
+_LINK_SUFFIXES = ["?utm_source=feed&x=1", "#top", ""]
+
+
+def _link_url_spark(i: int) -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("Http://"),
+        F.element_at(F.lit(_RAW_HOSTS), ((d + 3 * i + 1) % 8 + 1).cast("int")),
+        F.lit("/p/"),
+        ((d + i) % 50).cast("string"),
+        F.lit(_LINK_SUFFIXES[i]),
+    )
+
+
+def _link_url_sql(i: int) -> str:
+    return (
+        f"'Http://' || list_extract({_sql_list(_RAW_HOSTS)},"
+        f" ((doc_id + {3 * i + 1}) % 8 + 1)::INT)"
+        f" || '/p/' || ((doc_id + {i}) % 50)::VARCHAR || '{_LINK_SUFFIXES[i]}'"
+    )
+
+
+def _links_html_spark() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit('<div><a href="'), _link_url_spark(0), F.lit('">l0</a>'),
+        F.when(
+            d % 3 >= 1,
+            F.concat(F.lit('<a href="'), _link_url_spark(1), F.lit('">l1</a>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 2,
+            F.concat(F.lit('<a href="'), _link_url_spark(2), F.lit('">l2</a>')),
+        ).otherwise(F.lit("")),
+        F.lit("</div>"),
+    )
+
+
+_LINKS_HTML_SQL = (
+    f"""'<div><a href="' || {_link_url_sql(0)} || '">l0</a>'"""
+    f""" || CASE WHEN doc_id % 3 >= 1 THEN '<a href="' || {_link_url_sql(1)} || '">l1</a>' ELSE '' END"""
+    f""" || CASE WHEN doc_id % 3 = 2 THEN '<a href="' || {_link_url_sql(2)} || '">l2</a>' ELSE '' END"""
+    " || '</div>'"
+)
+
+
+@query(
+    "q_link_graph",
+    f"""
+    WITH {_CANON_CTES},
+    linked AS (
+      SELECT domain AS src_domain, doc_id, {_LINKS_HTML_SQL} AS html
+      FROM domained
+      WHERE domain IS NOT NULL
+    ),
+    hrefs AS (
+      SELECT src_domain,
+             unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+      FROM linked
+    ),
+    dhosts AS (
+      SELECT src_domain, {_host_sql('href')} AS dhost FROM hrefs
+    ),
+    edges AS (
+      SELECT src_domain, {_domain_sql('dhost')} AS dst_domain FROM dhosts
+    )
+    SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+    FROM edges
+    WHERE dst_domain IS NOT NULL
+    GROUP BY src_domain, dst_domain
+    ORDER BY src_domain, dst_domain
+    """,
+    doc=(
+        "domain-level link graph (north-star web curation): href extraction "
+        "from anchor tags (regexp_extract_all, scan-stage), per-href "
+        "canonical host + PSL registered domain, explode -> one aggregation "
+        "shuffle on the (src,dst) domain pair — the web-graph construction "
+        "pass whose output feeds PageRank-style domain ranking; IP-host and "
+        "suffix-only link targets drop as NULL"
+    ),
+)
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.web import with_registered_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _synth_url().alias("url"))
+    base = with_registered_domain(urls, "url")
+    linked = base.where(F.col("registered_domain").isNotNull()).select(
+        F.col("registered_domain").alias("src_domain"),
+        _links_html_spark().alias("html"),
+    )
+    hrefs = linked.select(
+        "src_domain", F.explode(extract_links("html")).alias("href")
+    )
+    dst = registered_domain(url_host("href"))
+    edges = hrefs.select("src_domain", dst.alias("dst_domain")).where(
+        dst.isNotNull()
+    )
+    return (
+        edges.groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("src_domain", "dst_domain")
+    )
+
+
+# planted domain-quality signal: docs on hosts 1 (example.co.uk) and 5
+# (tracker.net) score n_chars % 40 (mean < 40); every other domain scores
+# 100 + n_chars % 40 (mean >= 100) — threshold 60 splits them exactly
+_STAT_SQL = (
+    "CASE WHEN doc_id % 8 IN (1, 5) THEN n_chars % 40"
+    " ELSE 100 + n_chars % 40 END"
+)
+
+
+def _stat_spark() -> F.Column:
+    d = F.col("doc_id")
+    return F.when(
+        (d % 8 == 1) | (d % 8 == 5), F.col("n_chars") % 40
+    ).otherwise(F.lit(100) + F.col("n_chars") % 40)
+
+
+@query(
+    "q_domain_filter",
+    f"""
+    WITH {_CANON_CTES},
+    statted AS (
+      SELECT doc_id, domain AS registered_domain, {_STAT_SQL} AS stat
+      FROM domained
+      WHERE domain IS NOT NULL
+    ),
+    kept_domains AS (
+      SELECT registered_domain
+      FROM statted
+      GROUP BY registered_domain
+      HAVING sum(stat) * 1000 >= count(*) * 60000
+    )
+    SELECT doc_id, registered_domain
+    FROM statted
+    WHERE registered_domain IN (SELECT registered_domain FROM kept_domains)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "domain-level quality gate (north-star web curation, Gopher/"
+        "RefinedWeb-style drop-the-whole-domain filtering): per-domain mean "
+        "of a quality stat via EXACT rational compare (sum*scale >= "
+        "count*threshold, int64 — no FP mean), then a broadcast LEFT SEMI "
+        "join back onto the corpus (operators/web.domain_filter) — one "
+        "domain-key aggregation shuffle, never a corpus shuffle"
+    ),
+)
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", _synth_url().alias("url"), _stat_spark().alias("stat")
+    )
+    kept = domain_filter(urls, "url", "stat", min_mean=60.0)
+    return kept.select("doc_id", "registered_domain").orderBy("doc_id")

@@ -299,3 +299,57 @@ def test_domain_stats_counts(spark):
     assert rows["example.com"].n_docs == 3 and rows["example.com"].n_hosts == 2
     assert rows["other.org"].n_docs == 1 and rows["other.org"].n_hosts == 1
     assert set(rows) == {"example.com", "other.org"}  # unparseable row excluded
+
+
+# ---------------------------------------------------------------------------
+# link extraction + domain gating (round-11 wave 2)
+
+def test_extract_links_matches_html_parser_model(spark):
+    """href collection vs a stdlib html.parser model (no engine regexes)."""
+    from ironbeam_spark.functions.web import extract_links
+
+    class _Links(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.hrefs: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                for k, v in attrs:
+                    if k == "href" and v is not None:
+                        self.hrefs.append(v)
+
+    corpus = [
+        '<a href="http://a.com/x">one</a> text <A HREF="https://b.org/y?z=1">two</A>',
+        '<div><a class="c" href="/relative/path">rel</a><a href="">empty</a></div>',
+        '<a name="anchor-no-href">none</a><p>no links here</p>',
+        '<a href="http://x.com/1"><img src="i.png"/></a><a href="http://x.com/1">dup kept</a>',
+        "plain text",
+    ]
+    df = spark.createDataFrame([(h,) for h in corpus], "x string")
+    got = [r.l for r in df.select(extract_links("x").alias("l")).collect()]
+    for h, g in zip(corpus, got):
+        p = _Links()
+        p.feed(h)
+        p.close()
+        assert list(g) == p.hrefs, (h, list(g), p.hrefs)
+
+
+def test_domain_filter_exact_threshold_semantics(spark):
+    """The rational mean compare keeps a domain at EXACTLY the threshold
+    (>=) and drops one epsilon-below — plus the broadcast semi join-back
+    plan shape."""
+    from ironbeam_spark.operators.web import domain_filter
+
+    rows = [
+        # keep.com: mean stat = (59 + 61) / 2 = 60.0 -> kept at >= 60
+        (1, "http://a.keep.com/", 59), (2, "http://b.keep.com/", 61),
+        # drop.org: mean = (59 + 60) / 2 = 59.5 -> dropped
+        (3, "http://a.drop.org/", 59), (4, "http://b.drop.org/", 60),
+        (5, "not a url", 1000),  # no domain -> dropped regardless of stat
+    ]
+    df = spark.createDataFrame(rows, "id int, url string, stat int")
+    kept = domain_filter(df, "url", "stat", min_mean=60.0)
+    assert sorted(r.id for r in kept.collect()) == [1, 2]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
