@@ -99,6 +99,13 @@ REPRESENTATIVES = [
     "q21_suppliers_kept_waiting",
     "q_join_inner",
     "q_text_stats",
+    # r11 web-corpus family (same-round rule: new families enter the
+    # differential when they enter the registry)
+    "q_url_canonical",
+    "q_domain_stats",
+    "q_html_extract",
+    "q_link_graph",
+    "q_domain_filter",
 ]
 
 
