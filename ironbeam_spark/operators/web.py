@@ -25,6 +25,7 @@ __all__ = [
     "blocklist_filter",
     "domain_stats",
     "domain_filter",
+    "registered_domain_via_join",
 ]
 
 
@@ -138,3 +139,59 @@ def domain_filter(
         .select("registered_domain")
     )
     return base.join(F.broadcast(stats), "registered_domain", "left_semi")
+
+
+def registered_domain_via_join(
+    df: DataFrame,
+    host_col: str,
+    suffixes: DataFrame | Iterable[str] | None = None,
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """Registered-domain extraction via a broadcast suffix join — the
+    full-PSL scale path promised in functions/web.py.
+
+    The expression form (:func:`ironbeam_spark.functions.web.registered_domain`)
+    probes an embedded literal array per row, which is ideal for a
+    curated subset but awkward for the full ~9k-entry publicsuffix.org
+    list.  This variant takes the multi-label suffix table as DATA: a
+    1-column DataFrame (or iterable) of 2-label public suffixes, LEFT
+    broadcast-joined against each host's last-2-label string.  Longest
+    match wins exactly as in the expression form: a matched 2-label
+    suffix promotes the registered domain to the last 3 labels (NULL if
+    the host IS the suffix); otherwise the implicit 1-label TLD rule
+    yields the last 2 labels; IP literals and single labels yield NULL.
+
+    Plan shape: ONE broadcast hash join (suffix table is KB-MB scale),
+    zero shuffles of the corpus — semantically interchangeable with the
+    expression form (equality pinned in tests/test_web_models.py).
+    """
+    from ironbeam_spark.functions.web import MULTI_LABEL_SUFFIXES
+
+    spark = df.sparkSession
+    if suffixes is None:
+        suffixes = MULTI_LABEL_SUFFIXES
+    if not isinstance(suffixes, DataFrame):
+        suffixes = spark.createDataFrame(
+            [(s,) for s in sorted(set(suffixes))], "_psl_suffix string"
+        )
+    else:
+        suffixes = suffixes.toDF("_psl_suffix")
+
+    h = F.col(host_col)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    base = df.withColumn("_psl_last2", F.array_join(F.slice(labels, -2, 2), "."))
+    joined = base.join(
+        F.broadcast(suffixes),
+        base["_psl_last2"] == suffixes["_psl_suffix"],
+        "left",
+    )
+    is_ip = h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    matched = F.col("_psl_suffix").isNotNull()
+    domain = (
+        F.when(h.isNull() | is_ip | (n < 2), F.lit(None).cast("string"))
+        .when(matched & (n >= 3), F.array_join(F.slice(labels, -3, 3), "."))
+        .when(matched, F.lit(None).cast("string"))
+        .otherwise(F.col("_psl_last2"))
+    )
+    return joined.withColumn(out_col, domain).drop("_psl_last2", "_psl_suffix")

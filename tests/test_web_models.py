@@ -353,3 +353,25 @@ def test_domain_filter_exact_threshold_semantics(spark):
     assert sorted(r.id for r in kept.collect()) == [1, 2]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_registered_domain_join_variant_matches_expression_form(spark):
+    """The broadcast-suffix-join scale path (full-PSL form) is
+    semantically interchangeable with the embedded-literal expression
+    form, and its plan is a single broadcast join (no corpus shuffle)."""
+    from ironbeam_spark.operators.web import registered_domain_via_join
+
+    hosts = [h for h, _ in _PSL_CASES] + [
+        "a.very.deep.sub.domain.example.co.uk",
+        "example.net.ua",
+        "only.net.ua",
+        "",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    via_join = registered_domain_via_join(df, "h", out_col="d_join")
+    both = via_join.withColumn("d_expr", registered_domain("h"))
+    plan = via_join._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    for r in both.collect():
+        assert r.d_join == r.d_expr, (r.h, r.d_join, r.d_expr)
