@@ -499,3 +499,62 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = domain_filter(urls, "url", "stat", min_mean=60.0)
     return kept.select("doc_id", "registered_domain").orderBy("doc_id")
+
+
+@query(
+    "q_warc_roundtrip",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc=(
+        "WARC sink+source end-to-end (north-star web-corpus I/O, ISO 28500 "
+        "— the Common Crawl container): partition-parallel write with one "
+        "gzip MEMBER per record (CC's record-random-access layout), "
+        "binaryFile + Arrow-batched multi-member decode back, doc identity "
+        "recovered from WARC-Target-URI, payload decoded and aggregated — "
+        "oracle computes the same aggregate straight from parquet, so any "
+        "header/framing corruption breaks the value hash"
+    ),
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.warc import read_warc, write_warc
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.concat(
+            F.lit("http://corpus.local/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_warc_q_")
+    write_warc(docs, path, uri_col="uri", payload_col="text", compress=True)
+    back = read_warc(spark, path)
+    parsed = back.select(
+        F.regexp_extract("target_uri", r"^http://corpus\.local/([a-z]+)/([0-9]+)$", 1)
+        .alias("lang"),
+        F.regexp_extract("target_uri", r"^http://corpus\.local/([a-z]+)/([0-9]+)$", 2)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.col("payload").cast("string")).alias("n_chars_payload"),
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_payload").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

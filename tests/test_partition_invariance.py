@@ -106,6 +106,7 @@ REPRESENTATIVES = [
     "q_html_extract",
     "q_link_graph",
     "q_domain_filter",
+    "q_warc_roundtrip",
 ]
 
 
