@@ -56,6 +56,7 @@ __all__ = [
     "parse_url",
     "canonicalize_url",
     "url_host",
+    "url_path",
     "registered_domain",
     "html_to_text",
     "extract_links",
@@ -135,6 +136,27 @@ def parse_url(url: Column | str) -> Column:
     )
 
 
+def _canonical_path(raw_path: Column) -> Column:
+    """Canonicalization rule 3: collapse ``/`` runs, empty → ``/``, strip
+    the trailing slash except on the root path."""
+    path = F.regexp_replace(raw_path, r"/{2,}", "/")
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    return F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.regexp_replace(path, r"/$", ""),
+    ).otherwise(path)
+
+
+def url_path(url: Column | str) -> Column:
+    """Canonical path of an absolute URL (``/`` when empty; NULL when the
+    URL is not parseable) — the robots.txt matching input."""
+    p = parse_url(url)
+    return F.when(
+        (p["scheme"] != F.lit("")) & (p["host"] != F.lit("")),
+        _canonical_path(p["path"]),
+    )
+
+
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical URL string per the module-docstring rule set (NULL for
     input that is not an absolute ``scheme://host...`` URL)."""
@@ -148,12 +170,7 @@ def canonicalize_url(url: Column | str) -> Column:
         (port != F.lit("")) & ~default_port, F.concat(F.lit(":"), port)
     ).otherwise(F.lit(""))
 
-    path = F.regexp_replace(p["path"], r"/{2,}", "/")
-    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.regexp_replace(path, r"/$", ""),
-    ).otherwise(path)
+    path = _canonical_path(p["path"])
 
     params = F.filter(
         F.split(p["query"], "&"),

@@ -558,3 +558,108 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt gating (RFC 9309)
+
+# per-domain robots texts the engine PARSES at query time; the oracle's
+# rule table below is HAND-DERIVED from these texts per RFC 9309, so the
+# oracle doubles as non-mirror evidence for the parser (a parsing or
+# group-selection bug diverges from the hand answers and fails the hash)
+_ROBOTS_TXT = {
+    "example.com": (
+        "# corpus robots\n"
+        "User-agent: ironbeam\n"
+        "Allow: /crawl/\n"
+        "Disallow: /crawl/1*\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    ),
+    "example.co.uk": (
+        "User-agent: other-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: IronBeam\n"
+        "User-agent: second-bot\n"
+        "Disallow: /crawl/4\n"
+        "Allow: /crawl/44\n"
+    ),
+    "sample.org": (
+        "User-agent: *\n"
+        "Allow: /crawl/2$\n"
+        "Disallow: /crawl/2\n"
+    ),
+    "tracker.net": "User-agent: *\nDisallow:\n",  # empty pattern: allow all
+}
+
+# hand-derived ironbeam rule set (domain, allow_i, rule_len, like_pat):
+# example.com's specific group SILENCES its '*' group; tracker.net's
+# empty Disallow drops; pages.github.io has no robots at all
+_ROBOTS_ORACLE_RULES = """
+    VALUES ('example.com',   1, 7, '/crawl/%'),
+           ('example.com',   0, 9, '/crawl/1%'),
+           ('example.co.uk', 0, 8, '/crawl/4%'),
+           ('example.co.uk', 1, 9, '/crawl/44%'),
+           ('sample.org',    1, 9, '/crawl/2'),
+           ('sample.org',    0, 8, '/crawl/2%')
+"""
+
+
+@query(
+    "q_robots_filter",
+    f"""
+    WITH {_CANON_CTES},
+    paths AS (
+      SELECT doc_id, domain AS registered_domain, path
+      FROM domained WHERE domain IS NOT NULL
+    ),
+    rules(registered_domain, allow_i, rule_len, like_pat) AS ({_ROBOTS_ORACLE_RULES}),
+    matched AS (
+      SELECT p.doc_id, r.allow_i,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY r.rule_len DESC, r.allow_i DESC) AS rn
+      FROM paths p
+      JOIN rules r ON p.registered_domain = r.registered_domain
+                  AND p.path LIKE r.like_pat ESCAPE '!'
+    )
+    SELECT p.doc_id, p.registered_domain, p.path,
+           coalesce(m.allow_i = 1, TRUE) AS robots_allowed
+    FROM paths p
+    LEFT JOIN (SELECT doc_id, allow_i FROM matched WHERE rn = 1) m USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    doc=(
+        "robots.txt gating (north-star crawl politeness, RFC 9309): raw "
+        "robots texts parsed via expression+window work on the metadata-"
+        "scale robots table (record grouping, specific-agent-silences-star "
+        "selection, trailing-$ anchor, * wildcards as LIKE translation), "
+        "then ONE broadcast join + per-row HOF fold picks the longest-match/"
+        "Allow-wins verdict — the corpus never shuffles.  The oracle's rule "
+        "table is HAND-DERIVED from the same texts, so it is non-mirror "
+        "evidence for the parser; the from-spec loop model lives in "
+        "tests/test_robots.py"
+    ),
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.web import url_path
+    from ironbeam_spark.operators.robots import robots_filter
+    from ironbeam_spark.operators.web import with_registered_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _synth_url().alias("url"))
+    base = with_registered_domain(urls, "url")
+    paths = base.where(F.col("registered_domain").isNotNull()).select(
+        "doc_id", "registered_domain", url_path("url").alias("path")
+    )
+    robots = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
+    )
+    out = robots_filter(
+        paths, "path", robots, "ironbeam",
+        key_col="registered_domain", verdict_col="robots_allowed",
+    )
+    return out.select(
+        "doc_id", "registered_domain", "path", "robots_allowed"
+    ).orderBy("doc_id")

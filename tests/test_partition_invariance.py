@@ -107,6 +107,7 @@ REPRESENTATIVES = [
     "q_link_graph",
     "q_domain_filter",
     "q_warc_roundtrip",
+    "q_robots_filter",
 ]
 
 
