@@ -663,3 +663,101 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "registered_domain", "path", "robots_allowed"
     ).orderBy("doc_id")
+
+
+@query(
+    "q_web_pipeline",
+    f"""
+    WITH {_CANON_CTES},
+    paths AS (
+      SELECT doc_id, domain AS registered_domain, path
+      FROM domained WHERE domain IS NOT NULL
+    ),
+    rules(registered_domain, allow_i, rule_len, like_pat) AS ({_ROBOTS_ORACLE_RULES}),
+    matched AS (
+      SELECT p.doc_id, r.allow_i,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY r.rule_len DESC, r.allow_i DESC) AS rn
+      FROM paths p
+      JOIN rules r ON p.registered_domain = r.registered_domain
+                  AND p.path LIKE r.like_pat ESCAPE '!'
+    ),
+    gated AS (
+      SELECT p.doc_id, p.registered_domain FROM paths p
+      LEFT JOIN (SELECT doc_id, allow_i FROM matched WHERE rn = 1) m USING (doc_id)
+      WHERE coalesce(m.allow_i = 1, TRUE)
+        AND p.registered_domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
+    ),
+    wrapped AS (
+      SELECT doc_id, g.registered_domain, {_SYNTH_HTML_SQL} AS html
+      FROM gated g JOIN documents USING (doc_id)
+    ),
+    extracted AS (
+      SELECT doc_id, registered_domain, {_EXTRACT_SQL} AS txt FROM wrapped
+    )
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(txt)) AS BIGINT) AS sum_chars_clean,
+           md5(string_agg(md5(txt), '' ORDER BY doc_id)) AS corpus_md5
+    FROM extracted
+    GROUP BY registered_domain
+    ORDER BY registered_domain
+    """,
+    bench=True,
+    doc=(
+        "web-curation composite (north-star flagship for the r11 web "
+        "family): synth URL+HTML corpus → RFC 9309 robots gate (broadcast "
+        "+ HOF fold, hand-derived-rule oracle) → blocklist drop → C4-style "
+        "HTML text extraction in the scan stage → per-domain rollup with an "
+        "order-pinned corpus digest.  One domain-key aggregation shuffle "
+        "end-to-end; every per-row stage is whole-stage-codegen expression "
+        "work — the Common-Crawl front half as ONE declarative plan"
+    ),
+)
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.web import url_path
+    from ironbeam_spark.operators.robots import robots_filter
+    from ironbeam_spark.operators.web import blocklist_filter, with_registered_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = with_registered_domain(
+        docs.select("doc_id", "text", "lang", "source", "n_chars",
+                    _synth_url().alias("url")),
+        "url",
+    )
+    paths = base.where(F.col("registered_domain").isNotNull()).withColumn(
+        "path", url_path("url")
+    )
+    robots = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
+    )
+    gated = robots_filter(
+        paths, "path", robots, "ironbeam", key_col="registered_domain"
+    )
+    kept = blocklist_filter(gated, "registered_domain", _BLOCKLIST)
+    extracted = kept.select(
+        "doc_id",
+        "registered_domain",
+        html_to_text(_synth_html()).alias("txt"),
+    )
+    per_doc = extracted.select(
+        "doc_id", "registered_domain",
+        F.length("txt").alias("n_chars_clean"),
+        F.md5("txt").alias("doc_md5"),
+    )
+    return (
+        per_doc.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_clean").cast("long").alias("sum_chars_clean"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "doc_md5"))
+                    ).getField("doc_md5"),
+                    "",
+                )
+            ).alias("corpus_md5"),
+        )
+        .orderBy("registered_domain")
+    )

@@ -108,6 +108,7 @@ REPRESENTATIVES = [
     "q_domain_filter",
     "q_warc_roundtrip",
     "q_robots_filter",
+    "q_web_pipeline",
 ]
 
 
