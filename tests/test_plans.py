@@ -310,3 +310,43 @@ def test_minhash_guard_band_key_exchange_is_reused_in_smj_mode(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_web_pipeline_corpus_never_shuffles_before_rollup(spark):
+    """q_web_pipeline's claim: the CORPUS side carries zero hash exchanges
+    before the final domain-key aggregation — every shuffle in the plan
+    either IS that rollup exchange / the output sort, or lives inside a
+    BroadcastExchange subtree (the metadata-scale robots-rules table).
+    Walk the plan-tree art by indentation and assert it."""
+    from ironbeam_spark.suite import QUERIES
+
+    plan = (
+        QUERIES["q_web_pipeline"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+    def depth(line: str) -> int:
+        for marker in ("+- ", ":- "):
+            if marker in line:
+                return line.index(marker)
+        return -1
+
+    corpus_exchanges = 0
+    broadcast_depth: int | None = None
+    for line in plan.splitlines():
+        d = depth(line)
+        if broadcast_depth is not None:
+            if d >= 0 and d <= broadcast_depth:
+                broadcast_depth = None  # left the broadcast subtree
+            else:
+                continue  # metadata-scale work under a BroadcastExchange
+        if "BroadcastExchange" in line:
+            broadcast_depth = d
+        elif "Exchange hashpartitioning" in line:
+            assert "registered_domain" in line, line  # only the rollup key
+            corpus_exchanges += 1
+    assert corpus_exchanges == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
