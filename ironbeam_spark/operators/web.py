@@ -175,7 +175,9 @@ def registered_domain_via_join(
             [(s,) for s in sorted(set(suffixes))], "_psl_suffix string"
         )
     else:
-        suffixes = suffixes.toDF("_psl_suffix")
+        # a duplicate suffix row would DUPLICATE every matching corpus row
+        # through the left join — dedup the (tiny) table up front
+        suffixes = suffixes.toDF("_psl_suffix").distinct()
 
     h = F.col(host_col)
     labels = F.split(h, r"\.")

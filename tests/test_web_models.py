@@ -375,3 +375,15 @@ def test_registered_domain_join_variant_matches_expression_form(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     for r in both.collect():
         assert r.d_join == r.d_expr, (r.h, r.d_join, r.d_expr)
+
+
+def test_registered_domain_join_dedups_suffix_table(spark):
+    """A duplicate row in a DataFrame suffix table must not duplicate
+    matching corpus rows through the left join."""
+    from ironbeam_spark.operators.web import registered_domain_via_join
+
+    dupes = spark.createDataFrame([("co.uk",), ("co.uk",)], "s string")
+    df = spark.createDataFrame([("news.bbc.co.uk",), ("x.example.com",)], "h string")
+    out = registered_domain_via_join(df, "h", suffixes=dupes).collect()
+    assert len(out) == 2
+    assert {r.registered_domain for r in out} == {"bbc.co.uk", "example.com"}
