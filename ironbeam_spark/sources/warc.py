@@ -38,7 +38,13 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "write_warc", "warc_record_bytes", "parse_warc_records"]
+__all__ = [
+    "read_warc",
+    "read_warc_streaming",
+    "write_warc",
+    "warc_record_bytes",
+    "parse_warc_records",
+]
 
 WARC_VERSION = b"WARC/1.0"
 DEFAULT_WARC_DATE = "2026-01-01T00:00:00Z"
@@ -119,12 +125,13 @@ def _maybe_gunzip(name: str, blob: bytes) -> bytes:
         return fh.read()
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Read WARC file(s) (glob ok; ``.gz`` names decompressed, multi-member
-    streams included) into rows of :data:`WARC_SCHEMA`."""
+def _decode_warc_files(files: DataFrame) -> DataFrame:
+    """Arrow-batched record decode over a (path, content) file frame —
+    shared by the batch and streaming readers (mapInPandas is stateless,
+    so the same transformation applies to a streaming binaryFile scan)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    files = files.select("path", "content")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -151,6 +158,33 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(decode, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC file(s) (glob ok; ``.gz`` names decompressed, multi-member
+    streams included) into rows of :data:`WARC_SCHEMA`."""
+    return _decode_warc_files(spark.read.format("binaryFile").load(path))
+
+
+#: binaryFile's fixed schema — the streaming source requires it explicitly
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_streaming(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC reader: a ``binaryFile`` file-source stream (new
+    shards are discovered per micro-batch — the continuous-ingestion
+    shape for a crawl landing directory) through the same Arrow-batched
+    record decode as :func:`read_warc`.  Per-file parallelism, exactly
+    like batch; pair with ``Trigger.AvailableNow`` for batch-equivalent
+    runs (pytest-asserted)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+    )
+    return _decode_warc_files(files)
 
 
 def write_warc(

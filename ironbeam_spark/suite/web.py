@@ -761,3 +761,66 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("registered_domain")
     )
+
+
+@query(
+    "q_stream_warc_ingest",
+    # Trigger.AvailableNow over a bounded landing directory is batch-
+    # equivalent, so the straight-parquet aggregate is an exact oracle
+    # (stream-vs-batch equivalence also pytest-asserted in tests/test_warc.py)
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc=(
+        "streaming WARC ingestion (north-star web-corpus streaming, beyond "
+        "reference scope): documents written as per-record-gzipped WARC "
+        "shards into a landing directory, then readStream(binaryFile) → "
+        "the same Arrow-batched record decode as batch → aggregate → memory "
+        "sink under Trigger.AvailableNow — the continuous crawl-ingestion "
+        "shape (new shards picked up per micro-batch); per-file parallelism "
+        "identical to batch"
+    ),
+)
+def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.sources.warc import read_warc_streaming, write_warc
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.concat(
+            F.lit("http://corpus.local/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_warc_stream_q_")
+    write_warc(docs, path, uri_col="uri", payload_col="text", compress=True)
+
+    parsed = read_warc_streaming(spark, path).select(
+        F.regexp_extract("target_uri", r"^http://corpus\.local/([a-z]+)/[0-9]+$", 1)
+        .alias("lang"),
+        F.length(F.col("payload").cast("string")).alias("n_chars_payload"),
+    )
+    agg = parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_payload").cast("long").alias("sum_chars"),
+    )
+    name = "q_stream_warc_ingest_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("lang")
