@@ -195,6 +195,7 @@ def write_warc(
     payload_col: str,
     date_col: str | None = None,
     content_type: str = "text/plain",
+    warc_type: str = "response",
     compress: bool = False,
     mode: str = "overwrite",
 ) -> int:
@@ -202,9 +203,11 @@ def write_warc(
     ``part-NNNNN.warc`` (or ``.warc.gz`` with per-record gzip members
     when ``compress=True`` — the Common Crawl layout).
 
-    ``payload_col`` may be string (UTF-8 encoded) or binary.  ``mode``
-    follows DataFrameWriter semantics (same contract as write_msgpack).
-    Returns the number of records written.
+    ``payload_col`` may be string (UTF-8 encoded) or binary.
+    ``warc_type="conversion"`` writes Common-Crawl-WET-style extracted-
+    text records (same framing; only the WARC-Type header differs).
+    ``mode`` follows DataFrameWriter semantics (same contract as
+    write_msgpack).  Returns the number of records written.
     """
     from pyspark.sql import functions as F
 
@@ -245,6 +248,7 @@ def write_warc(
                     str(rec[uri_c]),
                     bytes(payload),
                     date=str(rec[date_c]) if date_c else DEFAULT_WARC_DATE,
+                    warc_type=warc_type,
                     content_type=content_type,
                 )
                 # mtime=0 pins the gzip header — shard bytes stay

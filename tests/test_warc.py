@@ -207,3 +207,13 @@ def test_streaming_reader_picks_up_new_shards_incrementally(spark):
                       compress=True, mode="append") == 1
     second = run()  # same checkpoint: only the NEW shard is processed
     assert sorted(second) == sorted(first + ["http://corpus.local/en/9"]), second
+
+
+def test_wet_style_conversion_records(spark):
+    """Common Crawl WET layout: warc_type='conversion' extracted-text
+    records, same framing — round-trips with the type preserved."""
+    tmp = tempfile.mkdtemp(prefix="warc_wet_")
+    _write(spark, tmp, warc_type="conversion", compress=True)
+    rows = read_warc(spark, tmp).collect()
+    assert len(rows) == len(_ROWS)
+    assert {r.warc_type for r in rows} == {"conversion"}
