@@ -1,8 +1,19 @@
-"""Web-corpus queries: URL canonicalization, domain-level curation
-rollups, and HTML text extraction (north-star web-pipeline front half —
-no reference counterpart; registered after the driver's current 50-query
-window, driver rows arrive via the freshness window, oracle-checked by
-tools/check.py now).
+"""Web-corpus queries — the Common-Crawl-style front half of a
+pretraining pipeline (north-star, no reference counterpart; registered
+after the driver's current 50-query window, driver rows arrive via the
+freshness window, oracle-checked by tools/check.py now):
+
+- q_url_canonical / q_domain_stats / q_html_extract — URL
+  canonicalization, domain rollups behind a blocklist, C4-style HTML
+  text extraction;
+- q_link_graph / q_domain_filter — anchor-href domain link graph,
+  exact-rational domain-quality gate;
+- q_robots_filter — RFC 9309 gating (the oracle's rule table is
+  HAND-DERIVED from the raw robots texts: non-mirror evidence);
+- q_warc_roundtrip / q_stream_warc_ingest — ISO 28500 WARC sink+source,
+  batch and streaming landing-directory ingestion;
+- q_web_pipeline — the flagship composite (bench headliner): robots
+  gate → blocklist → HTML extract → domain rollup as one plan.
 
 The documents table carries no URL/HTML columns, so each query derives a
 deterministic messy input from doc_id (same pattern as q_pii_scrub's
