@@ -13,27 +13,29 @@ move to the block immediately after slot 50.  See the rotation history in
 
 from ironbeam_spark.suite import CANONICAL_ORDER, QUERIES
 
-# Current frozen prefix (r11 FRESHNESS WAVE 1 applied — the rotation
-# retired after r10; slots 1-15 now hold the 15 stalest-green queries per
-# the oldest-green-first policy documented in ironbeam_spark/suite/
-# __init__.py, named mechanically by `python tools/freshness.py`).
+# Current frozen prefix (r12 FRESHNESS WAVE 2 applied — slots 1-9 hold the
+# never-driver-sampled r11 web family, slots 10-15 the six stalest-green
+# queries, per the oldest-green-first policy documented in
+# ironbeam_spark/suite/__init__.py, named mechanically by
+# `python tools/freshness.py`).
 FROZEN_PREFIX = [
-    # 1-15: freshness window, wave 1 (all last green r1)
-    "q_filter_map_project",
-    "q_flat_map_tokens",
-    "q_top_k_global",
-    "q_distinct_exact",
-    "q_distinct_rows",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q7_volume_shipping",
-    "q19_discounted_revenue",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q_side_multimap",
-    "q_partition_tags",
-    "q_try_map",
-    "q_bottom_k_per_key",
+    # 1-9: freshness window, wave 2 — never driver-sampled (r11 web family)
+    "q_url_canonical",
+    "q_domain_stats",
+    "q_html_extract",
+    "q_link_graph",
+    "q_domain_filter",
+    "q_warc_roundtrip",
+    "q_robots_filter",
+    "q_web_pipeline",
+    "q_stream_warc_ingest",
+    # 10-15: freshness window, wave 2 — stalest green (all last green r1)
+    "q_latest_global",
+    "q_tumble_offset",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     # 16-50: IMMUTABLE cross-section
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -70,7 +72,23 @@ FROZEN_PREFIX = [
     "q_ann_lsh",
     "q_training_mix",
     "q_lang_id",
-    # 51-65: displaced from the r10 window (all green in CORRECTNESS_r10)
+    # 51-65: displaced from the r11 window (all green in CORRECTNESS_r11)
+    "q_filter_map_project",
+    "q_flat_map_tokens",
+    "q_top_k_global",
+    "q_distinct_exact",
+    "q_distinct_rows",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q7_volume_shipping",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q_side_multimap",
+    "q_partition_tags",
+    "q_try_map",
+    "q_bottom_k_per_key",
+    # 66-80: displaced from the r10 window (all green in CORRECTNESS_r10)
     "q_scan_float_key",
     "q_dedup_incremental",
     "q_stream_dedup_index",
@@ -86,7 +104,7 @@ FROZEN_PREFIX = [
     "q_fingerprint",
     "q_table_diff",
     "q_compaction",
-    # 66-80: displaced from the r9 window (all green in CORRECTNESS_r09)
+    # 81-95: displaced from the r9 window (all green in CORRECTNESS_r09)
     "q_prefix_scan",
     "q_token_packing",
     "q_scan_string_key",
@@ -102,7 +120,7 @@ FROZEN_PREFIX = [
     "q_substring_scrub",
     "q_bloom_skip",
     "q_unicode_norm",
-    # 81-93: displaced from the r8 window (all green in CORRECTNESS_r08)
+    # 96-108: displaced from the r8 window (all green in CORRECTNESS_r08)
     "q_weighted_sample",
     "q_jpeg_progressive",
     "q_mpeg_probe",
@@ -116,7 +134,7 @@ FROZEN_PREFIX = [
     "q_scd2_merge",
     "q_line_dedup",
     "q_phrase_search",
-    # 94-106: displaced from the r7 window (all green in CORRECTNESS_r07)
+    # 109-121: displaced from the r7 window (all green in CORRECTNESS_r07)
     "q_bpe_tokenize",
     "q_jpeg_decode",
     "q_substring_spans",
@@ -130,7 +148,7 @@ FROZEN_PREFIX = [
     "q_stream_cdc",
     "q_stream_left_join",
     "q_stream_sink",
-    # 107-118: displaced from the r6 window (all green in CORRECTNESS_r06)
+    # 122-133: displaced from the r6 window (all green in CORRECTNESS_r06)
     "q_winnow_fingerprints",
     "q_token_counts",
     "q_audio_decode",
@@ -143,7 +161,7 @@ FROZEN_PREFIX = [
     "q_webdataset",
     "q_tar_image_pipeline",
     "q_asof_join",
-    # 119-130: displaced from the r5 window (all green in CORRECTNESS_r05)
+    # 134-145: displaced from the r5 window (all green in CORRECTNESS_r05)
     "q_winnow_match",
     "q_stream_dedup",
     "q_image_decode",
@@ -156,7 +174,7 @@ FROZEN_PREFIX = [
     "q_avro",
     "q_simhash_fingerprints",
     "q_interval_join",
-    # 131-140: displaced from the r4 window (all green in CORRECTNESS_r04)
+    # 146-155: displaced from the r4 window (all green in CORRECTNESS_r04)
     "q_setsim_search",
     "q_corpus_clean",
     "q_ts_motif",
@@ -167,7 +185,7 @@ FROZEN_PREFIX = [
     "q_asof_nearest",
     "q_stream_session",
     "q_stream_sliding",
-    # 141-152: displaced from the r3 window (all green in CORRECTNESS_r03)
+    # 156-167: displaced from the r3 window (all green in CORRECTNESS_r03)
     "q_pii_scrub",
     "q_vocab_topk",
     "q_heavy_hitters",
