@@ -411,11 +411,15 @@ def minhash_index_admit(
             on=id_col,
             how="left_semi",
         )
-    if "mh_family" not in index.columns:
-        raise ValueError(
-            "minhash_index_admit: index has no mh_family stamp — rebuild it "
-            "with minhash_index() so family drift stays detectable"
-        )
-    return index.unionByName(
+    # Full family check (not just column presence): a stale-family index
+    # admitted here would silently union mixed-family postings and only be
+    # caught later by a reader's check_index_family — fail loudly at admit
+    # time instead, matching the contract everywhere else.  The guard is
+    # the usual zero-extra-job mid-scan raise; the stamp is re-applied so
+    # the returned index stays a valid stamped index.
+    checked = check_index_family(index, "minhash_index_admit").withColumn(
+        "mh_family", F.lit(MINHASH_FAMILY)
+    )
+    return checked.unionByName(
         minhash_index(admitted, id_col, text_col, shingle_words, k, bands)
     )

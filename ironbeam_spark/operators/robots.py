@@ -146,17 +146,24 @@ def robots_filter(
     transform → array_max over (rule_len, allow_i) structs — longest
     match, Allow wins ties).  Rows with no robots entry are allowed.
     """
+    # collision-safe helper column: the rule array must not shadow an
+    # input column (the name is interpolated into the fold expression)
+    rules_col = "_robots"
+    while rules_col in df.columns:
+        rules_col += "_"
     rules = robots_rules(robots_df, agent, key_col=key_col, text_col=text_col)
     rule_arr = rules.groupBy(key_col).agg(
-        F.collect_list(F.struct("rule_len", "allow_i", "like_pat")).alias("_robots")
+        F.collect_list(F.struct("rule_len", "allow_i", "like_pat")).alias(rules_col)
     )
     joined = df.join(F.broadcast(rule_arr), key_col, "left")
+    # backtick-quote the interpolated names so non-identifier column names
+    # (dots, spaces, hyphens) parse as column references, not expressions
     winner = F.expr(
         "array_max(transform("
-        f"  filter(_robots, r -> {path_col} LIKE r.like_pat ESCAPE '!'),"
+        f"  filter(`{rules_col}`, r -> `{path_col}` LIKE r.like_pat ESCAPE '!'),"
         "  r -> struct(r.rule_len AS l, r.allow_i AS a)))"
     )
     verdict = F.when(winner.isNull(), F.lit(True)).otherwise(winner["a"] == 1)
     if verdict_col is not None:
-        return joined.withColumn(verdict_col, verdict).drop("_robots")
-    return joined.where(verdict).drop("_robots")
+        return joined.withColumn(verdict_col, verdict).drop(rules_col)
+    return joined.where(verdict).drop(rules_col)

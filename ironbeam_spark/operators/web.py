@@ -115,10 +115,15 @@ def domain_filter(
     meets ``min_mean`` — domain-level quality gating (Gopher/RefinedWeb
     drop entire low-quality domains, not just low-quality documents).
 
-    The mean comparison is exact rational arithmetic — ``sum * scale >=
-    count * round(min_mean * scale)`` on int64 — so the keep set is
-    deterministic and oracle-exact (no FP mean).  Rows with no
-    registered domain are dropped (nothing to account them under).
+    The mean comparison is exact rational arithmetic on int64 — each
+    stat value is scaled to ``round(stat * scale)`` BEFORE the int64
+    cast (so fractional stats participate at 1/scale resolution instead
+    of silently flooring), then ``sum_scaled >= count * round(min_mean *
+    scale)`` — the keep set is deterministic and oracle-exact (no FP
+    mean).  Integer stats are compared exactly for any ``scale``;
+    fractional stats are compared at 1/scale resolution (round-half-even
+    on ``stat * scale``).  Rows with no registered domain are dropped
+    (nothing to account them under).
 
     Plan shape: one partial+final aggregation shuffle on the domain key
     produces the (low-cardinality) per-domain stat table, which then
@@ -128,14 +133,15 @@ def domain_filter(
     """
     base = with_registered_domain(df, url_col)
     threshold = round(min_mean * scale)
+    scaled_stat = F.round(F.col(stat_col) * scale).cast("long")
     stats = (
         base.where(F.col("registered_domain").isNotNull())
         .groupBy("registered_domain")
         .agg(
-            F.sum(F.col(stat_col).cast("long")).alias("_stat_sum"),
+            F.sum(scaled_stat).alias("_stat_sum"),
             F.count(F.lit(1)).alias("_stat_n"),
         )
-        .where(F.col("_stat_sum") * scale >= F.col("_stat_n") * threshold)
+        .where(F.col("_stat_sum") >= F.col("_stat_n") * threshold)
         .select("registered_domain")
     )
     return base.join(F.broadcast(stats), "registered_domain", "left_semi")
