@@ -153,53 +153,175 @@ def registered_domain_via_join(
     suffixes: DataFrame | Iterable[str] | None = None,
     out_col: str = "registered_domain",
 ) -> DataFrame:
-    """Registered-domain extraction via a broadcast suffix join — the
-    full-PSL scale path promised in functions/web.py.
+    """Registered-domain extraction via broadcast suffix joins — the
+    FULL publicsuffix.org algorithm over an arbitrary rule table.
 
     The expression form (:func:`ironbeam_spark.functions.web.registered_domain`)
-    probes an embedded literal array per row, which is ideal for a
-    curated subset but awkward for the full ~9k-entry publicsuffix.org
-    list.  This variant takes the multi-label suffix table as DATA: a
-    1-column DataFrame (or iterable) of 2-label public suffixes, LEFT
-    broadcast-joined against each host's last-2-label string.  Longest
-    match wins exactly as in the expression form: a matched 2-label
-    suffix promotes the registered domain to the last 3 labels (NULL if
-    the host IS the suffix); otherwise the implicit 1-label TLD rule
-    yields the last 2 labels; IP literals and single labels yield NULL.
+    probes an embedded literal array of curated 2-label suffixes per
+    row; this variant takes the rule table as DATA (a 1-column DataFrame
+    or iterable of rule strings in PSL syntax) and implements the
+    published algorithm exactly:
 
-    Plan shape: ONE broadcast hash join (suffix table is KB-MB scale),
-    zero shuffles of the corpus — semantically interchangeable with the
-    expression form (equality pinned in tests/test_web_models.py).
+    - **normal rules** of any label count (``com``, ``co.uk``,
+      ``pref.hokkaido.jp``): the rule is the public suffix when it
+      equals the host's label-suffix of the same length;
+    - **wildcard rules** (``*.ck``, ``*.kawasaki.jp``): ``*`` consumes
+      exactly one host label, so the rule matches hosts with at least
+      as many labels as the rule and the public suffix spans the rule's
+      label count;
+    - **exception rules** (``!www.ck``, ``!city.kawasaki.jp``): if one
+      matches it prevails over EVERY other match, and the public suffix
+      is the rule minus its leftmost label;
+    - otherwise the prevailing rule is the matching rule with the most
+      labels; if nothing matches, the implicit default rule ``*`` makes
+      the bare TLD the public suffix.
+
+    The registered domain (eTLD+1) is the public suffix plus one label
+    — NULL when the host IS a public suffix (or shorter), is an IPv4
+    literal, or is NULL.  With a 2-label normal-rules-only table this
+    reduces to the previous curated-subset behavior.
+
+    Plan shape: the rule table is grouped by key label-count into at
+    most ``max(label count)`` tiny per-length tables (~5 for the real
+    PSL), each LEFT **broadcast** hash-joined against the host's
+    label-suffix of that length — zero shuffles of the corpus, and the
+    per-row work stays whole-stage-codegen expressions.  The only
+    driver-side materialization is the rule table's distinct key
+    lengths (≤ ~6 rows — metadata-bounded).
     """
     from ironbeam_spark.functions.web import MULTI_LABEL_SUFFIXES
 
     spark = df.sparkSession
     if suffixes is None:
         suffixes = MULTI_LABEL_SUFFIXES
-    if not isinstance(suffixes, DataFrame):
-        suffixes = spark.createDataFrame(
-            [(s,) for s in sorted(set(suffixes))], "_psl_suffix string"
-        )
-    else:
-        # a duplicate suffix row would DUPLICATE every matching corpus row
-        # through the left join — dedup the (tiny) table up front
-        suffixes = suffixes.toDF("_psl_suffix").distinct()
 
+    def _parse(rule: str) -> tuple[str, bool, bool] | None:
+        """rule → (key, is_exception, is_wildcard); None for the bare
+        default rule '*' (implicit in the fallback) / empty lines."""
+        exc = rule.startswith("!")
+        body = rule[1:] if exc else rule
+        wc = body.startswith("*.")
+        key = body[2:] if wc else body
+        if not key or key == "*":
+            return None
+        return key, exc, wc
+
+    # Build one tiny per-key-length table of presence flags.  For an
+    # iterable rule set (incl. the default curated table) this happens
+    # driver-side into literal DataFrames — the corpus-side plan then
+    # contains ONLY broadcast joins, zero exchanges anywhere.  For a
+    # DataFrame rule set the same normalization runs data-side (the
+    # dedup/aggregation exchange touches the KB-scale rule table only,
+    # underneath its BroadcastExchange — never the corpus).
+    per_len_tables: dict[int, DataFrame] = {}
+    if not isinstance(suffixes, DataFrame):
+        per_len: dict[int, dict[str, list[bool]]] = {}
+        for rule in sorted(set(suffixes)):
+            parsed = _parse(rule)
+            if parsed is None:
+                continue
+            key, exc, wc = parsed
+            flags = per_len.setdefault(key.count(".") + 1, {}).setdefault(
+                key, [False, False, False]
+            )
+            flags[0] |= not exc and not wc
+            flags[1] |= exc
+            flags[2] |= wc
+        for L, entries in per_len.items():
+            per_len_tables[L] = spark.createDataFrame(
+                [
+                    (k, 1 if e else None, 1 if x else None, 1 if w else None)
+                    for k, (e, x, w) in sorted(entries.items())
+                ],
+                f"_psl_k{L} string, _psl_e{L} int, _psl_x{L} int, _psl_w{L} int",
+            )
+    else:
+        # a duplicate rule row would DUPLICATE every matching corpus row
+        # through the left join — the groupBy below dedups the (tiny)
+        # table up front
+        rules = suffixes.toDF("_psl_rule")
+        raw = F.col("_psl_rule")
+        body = F.when(raw.startswith("!"), F.substring(raw, 2, 2**30)).otherwise(raw)
+        keyed = (
+            rules.select(
+                raw.startswith("!").alias("_exc"),
+                body.startswith("*.").alias("_wc"),
+                F.when(
+                    body.startswith("*."), F.substring(body, 3, 2**30)
+                ).otherwise(body).alias("_psl_key"),
+            )
+            .where((F.col("_psl_key") != "") & (F.col("_psl_key") != "*"))
+            .withColumn("_klen", F.size(F.split(F.col("_psl_key"), r"\.")))
+        )
+        # metadata-bounded collect: distinct key label-counts (≤ ~6 for
+        # the full 9k-entry publicsuffix.org list)
+        for (L,) in keyed.select("_klen").distinct().collect():
+            per_len_tables[L] = (
+                keyed.where(F.col("_klen") == L)
+                .groupBy("_psl_key")
+                .agg(
+                    F.max(
+                        F.when(~F.col("_exc") & ~F.col("_wc"), 1)
+                    ).alias(f"_psl_e{L}"),
+                    F.max(F.when(F.col("_exc"), 1)).alias(f"_psl_x{L}"),
+                    F.max(F.when(F.col("_wc"), 1)).alias(f"_psl_w{L}"),
+                )
+                .withColumnRenamed("_psl_key", f"_psl_k{L}")
+            )
+
+    key_lens = sorted(per_len_tables)
     h = F.col(host_col)
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    base = df.withColumn("_psl_last2", F.array_join(F.slice(labels, -2, 2), "."))
-    joined = base.join(
-        F.broadcast(suffixes),
-        base["_psl_last2"] == suffixes["_psl_suffix"],
-        "left",
+    base = df
+    tail_cols: list[str] = []
+    for L in key_lens:
+        tc = f"_psl_t{L}"
+        tail_cols.append(tc)
+        base = base.withColumn(
+            tc,
+            F.when(n >= L, F.array_join(F.slice(labels, -L, L), ".")),
+        )
+
+    joined = base
+    drop_cols = list(tail_cols)
+    for L in key_lens:
+        tL = per_len_tables[L]
+        joined = joined.join(
+            F.broadcast(tL),
+            joined[f"_psl_t{L}"] == tL[f"_psl_k{L}"],
+            "left",
+        )
+        drop_cols += [f"_psl_k{L}", f"_psl_e{L}", f"_psl_x{L}", f"_psl_w{L}"]
+
+    def _greatest(cols: list) -> F.Column:
+        if not cols:
+            return F.lit(None).cast("int")
+        if len(cols) == 1:
+            return cols[0]
+        return F.greatest(*cols)
+
+    # Public-suffix label count: exception match (rule minus leftmost
+    # label) beats all; else the longest match among normal rules (ps =
+    # key length) and wildcard rules (ps = key length + 1, needing one
+    # host label for the '*'); else the default rule '*' (ps = 1).
+    exc_ps = _greatest(
+        [F.when(F.col(f"_psl_x{L}").isNotNull(), F.lit(L - 1)) for L in key_lens]
     )
+    norm_ps = _greatest(
+        [F.when(F.col(f"_psl_e{L}").isNotNull(), F.lit(L)) for L in key_lens]
+        + [
+            F.when(
+                F.col(f"_psl_w{L}").isNotNull() & (n >= L + 1), F.lit(L + 1)
+            )
+            for L in key_lens
+        ]
+    )
+    ps = F.coalesce(exc_ps, norm_ps, F.lit(1))
+    dlen = ps + F.lit(1)
     is_ip = h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
-    matched = F.col("_psl_suffix").isNotNull()
     domain = (
-        F.when(h.isNull() | is_ip | (n < 2), F.lit(None).cast("string"))
-        .when(matched & (n >= 3), F.array_join(F.slice(labels, -3, 3), "."))
-        .when(matched, F.lit(None).cast("string"))
-        .otherwise(F.col("_psl_last2"))
+        F.when(h.isNull() | is_ip | (n < dlen), F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.slice(labels, -dlen, dlen), "."))
     )
-    return joined.withColumn(out_col, domain).drop("_psl_last2", "_psl_suffix")
+    return joined.withColumn(out_col, domain).drop(*drop_cols)

@@ -13,7 +13,10 @@ freshness window, oracle-checked by tools/check.py now):
 - q_warc_roundtrip / q_stream_warc_ingest — ISO 28500 WARC sink+source,
   batch and streaming landing-directory ingestion;
 - q_web_pipeline — the flagship composite (bench headliner): robots
-  gate → blocklist → HTML extract → domain rollup as one plan.
+  gate → blocklist → HTML extract → domain rollup as one plan;
+- q_psl_domains — FULL publicsuffix.org semantics (wildcard/exception/
+  3-label rules) through registered_domain_via_join; the oracle's
+  per-class answers are HAND-DERIVED from the published algorithm.
 
 The documents table carries no URL/HTML columns, so each query derives a
 deterministic messy input from doc_id (same pattern as q_pii_scrub's
@@ -849,3 +852,113 @@ def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# full publicsuffix.org semantics (wildcard / exception / 3-label rules)
+
+# Real PSL entries exercising every rule class the published algorithm
+# defines: a 2-label normal rule, a 3-label normal rule, wildcard rules
+# (``*`` consumes one host label) at two depths, and the exception rules
+# that carve registrable domains back out of the wildcards.
+_PSL_RULES = (
+    "co.uk",
+    "*.ck",
+    "!www.ck",
+    "pref.hokkaido.jp",
+    "*.kawasaki.jp",
+    "!city.kawasaki.jp",
+)
+
+# residue classes m = doc_id % 12 → synthesized host; the oracle's
+# expected registered domain per class is HAND-DERIVED from the
+# publicsuffix.org algorithm (it never runs the algorithm itself — the
+# same non-mirror oracle pattern as q_robots_filter):
+#   m=0  site<id>.com              → site<id>.com        (default rule '*')
+#   m=1  www.site<id>.co.uk        → site<id>.co.uk      (2-label rule)
+#   m=2  co.uk                     → NULL                (host IS the suffix)
+#   m=3  www.ck                    → www.ck              (!www.ck beats *.ck)
+#   m=4  shop<id>.ck               → NULL                (*.ck: host IS a suffix)
+#   m=5  www.shop<id>.ck           → www.shop<id>.ck     (*.ck + one label)
+#   m=6  img.cdn<id>.pref.hokkaido.jp → cdn<id>.pref.hokkaido.jp (3-label rule)
+#   m=7  pref.hokkaido.jp          → NULL                (host IS the suffix)
+#   m=8  city.kawasaki.jp          → city.kawasaki.jp    (exception rule)
+#   m=9  sub<id>.city.kawasaki.jp  → city.kawasaki.jp    (exception rule)
+#   m=10 a.b<id>.kawasaki.jp       → a.b<id>.kawasaki.jp (*.kawasaki.jp + one)
+#   m=11 10.0.<id%200>.7           → NULL                (IPv4 literal)
+
+
+@query(
+    "q_psl_domains",
+    """
+    WITH hosts AS (
+      SELECT doc_id,
+             CASE doc_id % 12
+               WHEN 0 THEN 'site' || CAST(doc_id AS VARCHAR) || '.com'
+               WHEN 1 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+               WHEN 2 THEN 'co.uk'
+               WHEN 3 THEN 'www.ck'
+               WHEN 4 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.ck'
+               WHEN 5 THEN 'www.shop' || CAST(doc_id AS VARCHAR) || '.ck'
+               WHEN 6 THEN 'img.cdn' || CAST(doc_id AS VARCHAR) || '.pref.hokkaido.jp'
+               WHEN 7 THEN 'pref.hokkaido.jp'
+               WHEN 8 THEN 'city.kawasaki.jp'
+               WHEN 9 THEN 'sub' || CAST(doc_id AS VARCHAR) || '.city.kawasaki.jp'
+               WHEN 10 THEN 'a.b' || CAST(doc_id AS VARCHAR) || '.kawasaki.jp'
+               ELSE '10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+             END AS host
+      FROM documents
+    )
+    SELECT doc_id, host,
+           CASE doc_id % 12
+             WHEN 0 THEN host
+             WHEN 1 THEN 'site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+             WHEN 3 THEN 'www.ck'
+             WHEN 5 THEN host
+             WHEN 6 THEN 'cdn' || CAST(doc_id AS VARCHAR) || '.pref.hokkaido.jp'
+             WHEN 8 THEN 'city.kawasaki.jp'
+             WHEN 9 THEN 'city.kawasaki.jp'
+             WHEN 10 THEN host
+             ELSE NULL
+           END AS registered_domain
+    FROM hosts
+    ORDER BY doc_id
+    """,
+    doc=(
+        "FULL publicsuffix.org registered-domain extraction (north-star web "
+        "curation): wildcard rules (*.ck — '*' consumes one host label), "
+        "exception rules (!www.ck — prevails over every other match, public "
+        "suffix = rule minus leftmost label), 3-label normal rules "
+        "(pref.hokkaido.jp), longest-match, and the implicit default rule, "
+        "via operators/web.registered_domain_via_join: one tiny broadcast "
+        "table per rule label-count, all-broadcast-join plan, zero corpus "
+        "shuffles.  The oracle's per-residue-class answers are HAND-DERIVED "
+        "from the published algorithm (non-mirror: the oracle never runs "
+        "PSL logic, q_robots_filter pattern)"
+    ),
+)
+def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.web import registered_domain_via_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 12
+    i = F.col("doc_id").cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("site"), i, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("www.site"), i, F.lit(".co.uk")))
+        .when(m == 2, F.lit("co.uk"))
+        .when(m == 3, F.lit("www.ck"))
+        .when(m == 4, F.concat(F.lit("shop"), i, F.lit(".ck")))
+        .when(m == 5, F.concat(F.lit("www.shop"), i, F.lit(".ck")))
+        .when(m == 6, F.concat(F.lit("img.cdn"), i, F.lit(".pref.hokkaido.jp")))
+        .when(m == 7, F.lit("pref.hokkaido.jp"))
+        .when(m == 8, F.lit("city.kawasaki.jp"))
+        .when(m == 9, F.concat(F.lit("sub"), i, F.lit(".city.kawasaki.jp")))
+        .when(m == 10, F.concat(F.lit("a.b"), i, F.lit(".kawasaki.jp")))
+        .otherwise(
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".7"))
+        )
+    )
+    hosts = docs.select("doc_id", host.alias("host"))
+    out = registered_domain_via_join(hosts, "host", suffixes=_PSL_RULES)
+    return out.select("doc_id", "host", "registered_domain").orderBy("doc_id")

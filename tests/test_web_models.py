@@ -377,6 +377,65 @@ def test_registered_domain_join_variant_matches_expression_form(spark):
         assert r.d_join == r.d_expr, (r.h, r.d_join, r.d_expr)
 
 
+def test_registered_domain_join_full_psl_rules(spark):
+    """Full publicsuffix.org semantics: 3-label normal rules, wildcard
+    rules (``*`` consumes one label), exception rules (prevail over all,
+    public suffix = rule minus leftmost label), longest-match, and the
+    implicit default rule.  Every expected value below is HAND-DERIVED
+    from the published algorithm (publicsuffix.org/list/) — the test
+    shares no code with the implementation.  Rules are real PSL entries."""
+    from ironbeam_spark.operators.web import registered_domain_via_join
+
+    rules = [
+        "co.uk",
+        "*.ck",
+        "!www.ck",
+        "pref.hokkaido.jp",
+        "*.kawasaki.jp",
+        "!city.kawasaki.jp",
+    ]
+    cases = [
+        # default rule '*': bare TLD is the public suffix
+        ("example.com", "example.com"),
+        ("deep.sub.example.com", "example.com"),
+        # 2-label normal rule
+        ("www.example.co.uk", "example.co.uk"),
+        ("co.uk", None),                      # host IS the suffix
+        # wildcard *.ck: every <label>.ck is a public suffix
+        ("shop.ck", None),                    # host IS a (wildcard) suffix
+        ("www.shop.ck", "www.shop.ck"),
+        ("a.b.shop.ck", "b.shop.ck"),
+        ("ck", None),                         # default rule, single label
+        # exception !www.ck: prevails over *.ck; ps = 'ck'
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        # 3-label normal rule
+        ("foo.pref.hokkaido.jp", "foo.pref.hokkaido.jp"),
+        ("bar.foo.pref.hokkaido.jp", "foo.pref.hokkaido.jp"),
+        ("pref.hokkaido.jp", None),           # host IS the suffix
+        ("hokkaido.jp", "hokkaido.jp"),       # only the default rule matches
+        # wildcard *.kawasaki.jp (3-label suffixes)
+        ("foo.kawasaki.jp", None),
+        ("x.foo.kawasaki.jp", "x.foo.kawasaki.jp"),
+        ("y.x.foo.kawasaki.jp", "x.foo.kawasaki.jp"),
+        ("kawasaki.jp", "kawasaki.jp"),       # wildcard needs one more label
+        # exception !city.kawasaki.jp: ps = 'kawasaki.jp'
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+        # IP / single label
+        ("192.168.0.1", None),
+        ("localhost", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    out = registered_domain_via_join(df, "h", suffixes=rules, out_col="d")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    got = {r.h: r.d for r in out.collect()}
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+
+
 def test_registered_domain_join_dedups_suffix_table(spark):
     """A duplicate row in a DataFrame suffix table must not duplicate
     matching corpus rows through the left join."""
