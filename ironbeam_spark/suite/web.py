@@ -46,7 +46,7 @@ from ironbeam_spark.functions.web import (
 )
 from ironbeam_spark.operators.web import domain_stats
 from ironbeam_spark.sources.io import read_table
-from ironbeam_spark.suite.registry import query
+from ironbeam_spark.suite.registry import QUERIES, query
 
 # Written-WARC corpus cache, keyed by (Spark application id, sf_dir):
 # q_warc_roundtrip and q_stream_warc_ingest derive the IDENTICAL corpus
@@ -108,7 +108,11 @@ _QUERYSTRINGS = [
 _BLOCKLIST = ["tracker.net"]
 
 
-def _synth_url() -> F.Column:
+def _synth_url(full_id: bool = False) -> F.Column:
+    """Deterministic messy URL per doc.  ``full_id=True`` puts the FULL
+    doc_id in the path (unique URI per document — the crawl-corpus
+    variant, so WARC record identity survives the container roundtrip);
+    the default keeps ``doc_id % 97`` (the original web-family shape)."""
     d = F.col("doc_id")
     idx = lambda m: (d % m + 1).cast("int")  # noqa: E731
     return F.concat(
@@ -118,7 +122,7 @@ def _synth_url() -> F.Column:
         F.element_at(F.lit(_RAW_HOSTS), idx(8)),
         F.element_at(F.lit(_PORTS), idx(5)),
         F.lit("//crawl//"),
-        (d % 97).cast("string"),
+        (d if full_id else d % 97).cast("string"),
         F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
         F.element_at(F.lit(_QUERYSTRINGS), idx(4)),
         F.when(d % 2 == 1, F.lit("#frag")).otherwise(F.lit("")),
@@ -129,16 +133,21 @@ def _sql_list(items: list[str] | tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{s}'" for s in items) + "]"
 
 
-_SYNTH_URL_SQL = (
-    f"list_extract({_sql_list(_SCHEMES)}, (doc_id % 3 + 1)::INT) || '://'"
-    " || CASE WHEN doc_id % 7 = 0 THEN 'crawler:secret@' ELSE '' END"
-    f" || list_extract({_sql_list(_RAW_HOSTS)}, (doc_id % 8 + 1)::INT)"
-    f" || list_extract({_sql_list(_PORTS)}, (doc_id % 5 + 1)::INT)"
-    " || '//crawl//' || (doc_id % 97)::VARCHAR"
-    " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
-    f" || list_extract({_sql_list(_QUERYSTRINGS)}, (doc_id % 4 + 1)::INT)"
-    " || CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END"
-)
+def _synth_url_sql(path_id_sql: str = "(doc_id % 97)") -> str:
+    return (
+        f"list_extract({_sql_list(_SCHEMES)}, (doc_id % 3 + 1)::INT) || '://'"
+        " || CASE WHEN doc_id % 7 = 0 THEN 'crawler:secret@' ELSE '' END"
+        f" || list_extract({_sql_list(_RAW_HOSTS)}, (doc_id % 8 + 1)::INT)"
+        f" || list_extract({_sql_list(_PORTS)}, (doc_id % 5 + 1)::INT)"
+        f" || '//crawl//' || {path_id_sql}::VARCHAR"
+        " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
+        f" || list_extract({_sql_list(_QUERYSTRINGS)}, (doc_id % 4 + 1)::INT)"
+        " || CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END"
+    )
+
+
+_SYNTH_URL_SQL = _synth_url_sql()
+_CRAWL_URL_SQL = _synth_url_sql("doc_id")
 
 def _host_sql(url_expr: str) -> str:
     """Canonical host (NULL when absent) of a URL SQL expression."""
@@ -167,10 +176,16 @@ def _domain_sql(host_col: str) -> str:
 
 
 # the canonicalization rule set from functions/web.py, as DuckDB CTEs
-# (regex text interpolated from the same constants the engine compiles)
-_CANON_CTES = f"""
+# (regex text interpolated from the same constants the engine compiles);
+# parametrized on the URL derivation so the crawl-corpus variant (full
+# doc_id in the path) shares the identical rule chain
+def _canon_ctes(url_sql: str) -> str:
+    return _CANON_CTES_TEMPLATE.replace("__URL_SQL__", url_sql)
+
+
+_CANON_CTES_TEMPLATE = f"""
   urls AS (
-    SELECT doc_id, n_chars, lang, source, {_SYNTH_URL_SQL} AS url
+    SELECT doc_id, n_chars, lang, source, __URL_SQL__ AS url
     FROM documents
   ),
   parsed AS (
@@ -213,6 +228,9 @@ _CANON_CTES = f"""
     FROM canon
   )
 """
+
+_CANON_CTES = _canon_ctes(_SYNTH_URL_SQL)
+_CRAWL_CANON_CTES = _canon_ctes(_CRAWL_URL_SQL)
 
 
 @query(
@@ -962,3 +980,262 @@ def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts = docs.select("doc_id", host.alias("host"))
     out = registered_domain_via_join(hosts, "host", suffixes=_PSL_RULES)
     return out.select("doc_id", "host", "registered_domain").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# WARC → training shards: the full crawl-to-corpus pipeline as ONE plan
+
+# crawl-corpus variant of the WARC cache: uri = _synth_url(full_id=True)
+# (unique per document — record identity survives the container), payload
+# = the synthetic HTML page.  Same cache discipline as _warc_corpus.
+_CRAWL_CORPUS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _crawl_warc_corpus(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ironbeam_spark.sources.warc import write_warc
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CRAWL_CORPUS_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    # repartition(32): one WARC shard per slot — binaryFile reads are
+    # per-file-parallel, so a single-file corpus would serialize the whole
+    # downstream decode+canonicalize+robots chain onto one task.  This is
+    # also the honest container layout: Common Crawl ships ~100 MB
+    # segment files by the thousand, never one monolith.
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            _synth_url(full_id=True).alias("uri"),
+            _synth_html().alias("page"),
+        )
+        .repartition(32)
+    )
+    path = tempfile.mkdtemp(prefix="ironbeam_crawl_warc_")
+    write_warc(docs, path, uri_col="uri", payload_col="page", compress=True)
+    _CRAWL_CORPUS_CACHE[key] = path
+    return path
+
+
+def _crawl_to_shards_sql() -> str:
+    from ironbeam_spark.suite.text_ml import _MINHASH_CTES, _TOKS_SQL
+
+    minhash = _MINHASH_CTES.replace("FROM documents", "FROM exact")
+    blocklist = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+    return f"""
+    WITH RECURSIVE {_CRAWL_CANON_CTES},
+    cpaths AS (
+      SELECT doc_id, domain AS registered_domain, path
+      FROM domained WHERE domain IS NOT NULL
+    ),
+    crules(registered_domain, allow_i, rule_len, like_pat) AS ({_ROBOTS_ORACLE_RULES}),
+    cmatched AS (
+      SELECT p.doc_id, r.allow_i,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY r.rule_len DESC, r.allow_i DESC) AS rn
+      FROM cpaths p
+      JOIN crules r ON p.registered_domain = r.registered_domain
+                   AND p.path LIKE r.like_pat ESCAPE '!'
+    ),
+    cgated AS (
+      SELECT p.doc_id FROM cpaths p
+      LEFT JOIN (SELECT doc_id, allow_i FROM cmatched WHERE rn = 1) m USING (doc_id)
+      WHERE coalesce(m.allow_i = 1, TRUE)
+        AND p.registered_domain NOT IN ({blocklist})
+    ),
+    cwrapped AS (
+      SELECT doc_id, {_SYNTH_HTML_SQL} AS html
+      FROM cgated JOIN documents USING (doc_id)
+    ),
+    cextracted AS (
+      SELECT doc_id, {_EXTRACT_SQL} AS text FROM cwrapped
+    ),
+    cscored AS (
+      SELECT doc_id, text,
+             CASE WHEN len({_TOKS_SQL}) BETWEEN 10 AND 100000
+                  THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - len({_TOKS_SQL}) + 1)::DOUBLE
+                         / len({_TOKS_SQL})::DOUBLE BETWEEN 2.0 AND 12.0
+                    THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                         / length(text)::DOUBLE <= 0.2
+                    THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS quality
+      FROM cextracted WHERE length(text) > 0 AND len({_TOKS_SQL}) > 0
+    ),
+    ckept AS (SELECT doc_id, text FROM cscored WHERE quality >= 0.6),
+    exact AS (
+      SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      FROM ckept
+      GROUP BY md5(regexp_replace(lower(text), '[0-9]+', '', 'g'))
+    ),
+    {minhash},
+    e2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    r(n, m) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e2)
+      UNION
+      SELECT r.n, e2.d FROM r JOIN e2 ON r.m = e2.s
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n),
+    survivors AS (
+      SELECT ex.* FROM exact ex
+      LEFT JOIN (SELECT node FROM comp WHERE node <> component) l
+        ON ex.doc_id = l.node
+      WHERE l.node IS NULL
+    ),
+    toks AS (
+      SELECT doc_id, md5(text) AS doc_md5,
+             len({_TOKS_SQL})::BIGINT AS n_tokens
+      FROM survivors
+    ),
+    cum AS (
+      SELECT doc_id, doc_md5, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::BIGINT AS cum_end
+      FROM toks
+    ),
+    sharded AS (
+      SELECT doc_id, doc_md5, n_tokens,
+             (cum_end - n_tokens) // 4096 AS shard_id
+      FROM cum
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           md5(string_agg(doc_md5, '' ORDER BY doc_id)) AS shard_md5
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """
+
+
+@query(
+    "q_crawl_to_shards",
+    None,  # assembled below — needs the shared minhash/tokenizer SQL
+    bench=True,
+    doc=(
+        "WARC bytes → training shards, end-to-end (north-star FLAGSHIP: "
+        "both halves of the pretraining pipeline as ONE plan): per-record-"
+        "gzipped WARC corpus → Arrow-batched record decode → URL "
+        "canonicalization + PSL registered domain → RFC 9309 robots gate "
+        "(broadcast + HOF fold) → blocklist drop → C4-style HTML text "
+        "extraction → quality gate → digit-normalized exact dedup → "
+        "MinHash-LSH near-dup components → distributed prefix-sum token "
+        "packing into 4096-token shards → per-shard stats with an "
+        "order-pinned content digest.  Corpus-side shuffles: exact-dedup "
+        "groupBy, the minhash band equi-joins, the two-level scan, the "
+        "final shard rollup — every join either broadcast or bucket-keyed; "
+        "the oracle replays the whole chain (recursive-CTE components) "
+        "bit-exactly"
+    ),
+)
+def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.functions.text import quality_score, token_count
+    from ironbeam_spark.functions.web import url_path
+    from ironbeam_spark.operators.dedup import (
+        RECOMMENDED_MAX_BAND_BUCKET,
+        dedup_components,
+        dedup_exact,
+        minhash_dedup_pairs,
+    )
+    from ironbeam_spark.operators.robots import robots_filter
+    from ironbeam_spark.operators.scan import global_running_sum, pack_layout
+    from ironbeam_spark.operators.web import blocklist_filter, with_registered_domain
+    from ironbeam_spark.sources.warc import read_warc
+
+    # 1. crawl ingest: WARC container → (doc_id, url, html)
+    corpus = read_warc(spark, _crawl_warc_corpus(spark, sf_dir))
+    docs = corpus.select(
+        F.regexp_extract("target_uri", r"//crawl//([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    # 2. URL canonicalization + registered domain + robots + blocklist
+    base = with_registered_domain(docs, "url")
+    paths = base.where(F.col("registered_domain").isNotNull()).withColumn(
+        "path", url_path("url")
+    )
+    robots = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
+    )
+    gated = robots_filter(
+        paths, "path", robots, "ironbeam", key_col="registered_domain"
+    )
+    kept = blocklist_filter(gated, "registered_domain", _BLOCKLIST)
+    # 3. HTML → text, quality gate
+    extracted = kept.select(
+        "doc_id", html_to_text("html").alias("text")
+    ).where((F.length("text") > 0) & (token_count("text") > 0))
+    quality = extracted.where(quality_score("text") >= 0.6)
+    # 4. digit-normalized exact dedup (page chrome embeds doc_id/n_chars,
+    #    so the byte-exact key would never collide; stripping digits
+    #    restores content identity), min-id winner
+    # eager localCheckpoint: the cleaned post-gate corpus feeds minhash
+    # shingling (twice, via the pair self-join) AND the survivor anti-join
+    # AND the token scan; a lazy persist would leave the first action's
+    # concurrent stages racing to populate the cache and re-executing the
+    # WARC decode + extraction chain.  This is local-mode's analogue of
+    # the production break point — a real pipeline writes the cleaned
+    # corpus to parquet here (same pattern as q_heavy_hitters).
+    exact = (
+        dedup_exact(
+            quality.withColumn(
+                "fp", F.md5(F.regexp_replace(F.lower("text"), "[0-9]+", ""))
+            ),
+            ["fp"],
+            "doc_id",
+        )
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    # 5. MinHash-LSH near-dup components, drop group losers
+    pairs = minhash_dedup_pairs(
+        exact, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+        max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
+    )
+    losers = (
+        dedup_components(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    survivors = exact.join(losers, on="doc_id", how="left_anti")
+    # 6. token packing into 4096-token shards via the distributed scan
+    toks = survivors.select(
+        "doc_id",
+        F.md5("text").alias("doc_md5"),
+        token_count("text").alias("n_tokens"),
+    )
+    scanned = global_running_sum(toks, ["doc_id"], "n_tokens", "cum_end")
+    sharded = pack_layout(scanned, "n_tokens", "cum_end", cap=4096).select(
+        "doc_id", "doc_md5", "n_tokens", F.col("pack_id").alias("shard_id")
+    )
+    # 7. per-shard manifest with an order-pinned content digest
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "doc_md5"))
+                    ).getField("doc_md5"),
+                    "",
+                )
+            ).alias("shard_md5"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+QUERIES["q_crawl_to_shards"].oracle = _crawl_to_shards_sql()

@@ -109,6 +109,9 @@ REPRESENTATIVES = [
     "q_warc_roundtrip",
     "q_robots_filter",
     "q_web_pipeline",
+    # r12 additions (same-round rule)
+    "q_psl_domains",
+    "q_crawl_to_shards",
 ]
 
 

@@ -199,6 +199,8 @@ def test_no_scale_killers_in_any_query(spark):
         "q_shard_export",         # same scan stats row (shard_assignment rides
                                   # global_running_sum)
         "q_weighted_sample",      # same scan stats row + 1-row W/offset row
+        "q_crawl_to_shards",      # same scan stats row (token packing rides
+                                  # global_running_sum's bucketed path)
     }
     bnlj_hits, cartesian_hits = set(), set()
     for name, q in QUERIES.items():
@@ -310,6 +312,35 @@ def test_minhash_guard_band_key_exchange_is_reused_in_smj_mode(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_crawl_to_shards_plan_census(spark):
+    """q_crawl_to_shards' 100 TB claims, pinned on the executed plan:
+
+    - the WARC decode + canonicalize + robots + extract + quality + exact
+      dedup front half materializes EXACTLY ONCE (the eager localCheckpoint
+      — its consumers scan an ExistingRDD; no Python stage and no WARC
+      MapInPandas may appear in the post-checkpoint plan);
+    - zero CartesianProduct; BNLJ only as the scan's 1-row stats carrier
+      (global_running_sum bucketed path, the q_token_packing class);
+    - the corpus-side hash-exchange census stays countable on fingers:
+      the survivor anti-join / token-scan join-backs on doc_id, the two
+      scan bucket exchanges, and the final shard rollup — pinned ≤ 12 so
+      a regression that re-shuffles the corpus an extra time fails here.
+    """
+    from ironbeam_spark.suite import QUERIES
+
+    df = QUERIES["q_crawl_to_shards"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # decode ran once, behind the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 12, f"{n_exchanges} corpus exchanges:\n{plan[:3000]}"
 
 
 def test_web_pipeline_corpus_never_shuffles_before_rollup(spark):
