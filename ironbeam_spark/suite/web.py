@@ -16,7 +16,12 @@ freshness window, oracle-checked by tools/check.py now):
   gate → blocklist → HTML extract → domain rollup as one plan;
 - q_psl_domains — FULL publicsuffix.org semantics (wildcard/exception/
   3-label rules) through registered_domain_via_join; the oracle's
-  per-class answers are HAND-DERIVED from the published algorithm.
+  per-class answers are HAND-DERIVED from the published algorithm;
+- q_crawl_to_shards — WARC bytes → training shards end-to-end (bench
+  headliner): decode → canonicalize → robots → blocklist → extract →
+  quality → exact + MinHash dedup → prefix-sum token packing;
+- q_stream_crawl_gate — the same politeness-gated front half as a
+  stream-static pipeline over the WARC landing directory.
 
 The documents table carries no URL/HTML columns, so each query derives a
 deterministic messy input from doc_id (same pattern as q_pii_scrub's
@@ -1239,3 +1244,104 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_crawl_to_shards"].oracle = _crawl_to_shards_sql()
+
+
+@query(
+    "q_stream_crawl_gate",
+    f"""
+    WITH {_CRAWL_CANON_CTES},
+    spaths AS (
+      SELECT doc_id, domain AS registered_domain, path
+      FROM domained WHERE domain IS NOT NULL
+    ),
+    srules(registered_domain, allow_i, rule_len, like_pat) AS ({_ROBOTS_ORACLE_RULES}),
+    smatched AS (
+      SELECT p.doc_id, r.allow_i,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY r.rule_len DESC, r.allow_i DESC) AS rn
+      FROM spaths p
+      JOIN srules r ON p.registered_domain = r.registered_domain
+                   AND p.path LIKE r.like_pat ESCAPE '!'
+    ),
+    sgated AS (
+      SELECT p.doc_id, p.registered_domain FROM spaths p
+      LEFT JOIN (SELECT doc_id, allow_i FROM smatched WHERE rn = 1) m USING (doc_id)
+      WHERE coalesce(m.allow_i = 1, TRUE)
+        AND p.registered_domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
+    ),
+    swrapped AS (
+      SELECT doc_id, g.registered_domain, {_SYNTH_HTML_SQL} AS html
+      FROM sgated g JOIN documents USING (doc_id)
+    ),
+    sextracted AS (
+      SELECT doc_id, registered_domain, {_EXTRACT_SQL} AS txt FROM swrapped
+    )
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(txt)) AS BIGINT) AS sum_chars_clean
+    FROM sextracted
+    GROUP BY registered_domain
+    ORDER BY registered_domain
+    """,
+    doc=(
+        "STREAMING crawl-gate pipeline (north-star continuous ingestion "
+        "with politeness): readStream(binaryFile) over the WARC landing "
+        "directory → the same Arrow-batched record decode as batch → URL "
+        "canonicalization + PSL registered domain → RFC 9309 robots gate "
+        "as a STREAM-STATIC broadcast join (the rules table is static "
+        "metadata; the stream never shuffles before the rollup) → "
+        "blocklist → C4-style HTML extraction → per-domain rollup under "
+        "Trigger.AvailableNow.  The oracle is the batch replay of the "
+        "identical chain — stream/batch equivalence is the correctness "
+        "claim (new WARC shards landing in the directory are picked up "
+        "per micro-batch with per-file parallelism)"
+    ),
+)
+def q_stream_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ironbeam_spark.functions.web import url_path
+    from ironbeam_spark.operators.robots import robots_filter
+    from ironbeam_spark.operators.web import blocklist_filter, with_registered_domain
+    from ironbeam_spark.sources.warc import read_warc_streaming
+
+    path = _crawl_warc_corpus(spark, sf_dir)
+    corpus = read_warc_streaming(spark, path)
+    docs = corpus.select(
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    base = with_registered_domain(docs, "url")
+    paths = base.where(F.col("registered_domain").isNotNull()).withColumn(
+        "path", url_path("url")
+    )
+    robots = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
+    )
+    gated = robots_filter(
+        paths, "path", robots, "ironbeam", key_col="registered_domain"
+    )
+    kept = blocklist_filter(gated, "registered_domain", _BLOCKLIST)
+    agg = (
+        kept.select(
+            "registered_domain",
+            F.length(html_to_text("html")).alias("n_chars_clean"),
+        )
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_clean").cast("long").alias("sum_chars_clean"),
+        )
+    )
+    name = "q_stream_crawl_gate_sink"
+    ckpt = tempfile.mkdtemp(prefix="ironbeam_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("registered_domain")
