@@ -26,6 +26,7 @@ __all__ = [
     "domain_stats",
     "domain_filter",
     "registered_domain_via_join",
+    "crawl_schedule",
 ]
 
 
@@ -325,3 +326,52 @@ def registered_domain_via_join(
         .otherwise(F.array_join(F.slice(labels, -dlen, dlen), "."))
     )
     return joined.withColumn(out_col, domain).drop(*drop_cols)
+
+
+def crawl_schedule(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    delay: int,
+    out_col: str = "scheduled_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Politeness scheduler: assign each request its earliest fetch slot
+    under a fixed per-key minimum ``delay`` (int64, same unit as
+    ``ts_col``) — the crawl-frontier rate limit (one request per domain
+    per delay window, RFC 9309 §2.5's crawl-delay shape).
+
+    Semantics are the sequential recurrence over each key's requests in
+    ``(ts, tiebreak)`` order::
+
+        s_0 = ts_0;  s_i = max(ts_i, s_{i-1} + delay)
+
+    A per-key sequential loop cannot scale, so the recurrence is
+    UNROLLED into associative window algebra: with 0-based in-key rank
+    ``r``, ``s_i = max_{j<=i}(ts_j - r_j*delay) + r_i*delay`` — a
+    running MAX, which Spark evaluates as one hash exchange on the key
+    plus one in-partition sort shared by both window passes.  Exact
+    int64 throughout (no FP).  Parallelism is across keys — the honest
+    limit, since each key's schedule is inherently order-dependent; a
+    100 TB frontier has ~10^8 domains, so the key space saturates any
+    cluster.
+
+    ``tiebreak_col`` makes the in-key order total when timestamps can
+    collide (required for deterministic output).
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w_rank = W.partitionBy(key_col).orderBy(*order)
+    r = F.row_number().over(w_rank) - F.lit(1)
+    return df.withColumn("_cs_rank", r.cast("long")).withColumn(
+        out_col,
+        F.max(F.col(ts_col) - F.col("_cs_rank") * F.lit(delay)).over(
+            W.partitionBy(key_col)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        + F.col("_cs_rank") * F.lit(delay),
+    ).drop("_cs_rank")

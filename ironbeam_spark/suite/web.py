@@ -21,7 +21,9 @@ freshness window, oracle-checked by tools/check.py now):
   headliner): decode → canonicalize → robots → blocklist → extract →
   quality → exact + MinHash dedup → prefix-sum token packing;
 - q_stream_crawl_gate — the same politeness-gated front half as a
-  stream-static pipeline over the WARC landing directory.
+  stream-static pipeline over the WARC landing directory;
+- q_crawl_schedule — per-domain politeness scheduler: the sequential
+  min-delay recurrence unrolled into window algebra (one exchange).
 
 The documents table carries no URL/HTML columns, so each query derives a
 deterministic messy input from doc_id (same pattern as q_pii_scrub's
@@ -1345,3 +1347,69 @@ def q_stream_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("registered_domain")
+
+
+@query(
+    "q_crawl_schedule",
+    f"""
+    WITH {_CANON_CTES},
+    reqs AS (
+      SELECT doc_id, domain AS registered_domain,
+             ((doc_id * 7919) % 1000000)::BIGINT AS arrival_us
+      FROM domained WHERE domain IS NOT NULL
+    ),
+    ranked AS (
+      SELECT doc_id, registered_domain, arrival_us,
+             (row_number() OVER (PARTITION BY registered_domain
+                                 ORDER BY arrival_us, doc_id) - 1)::BIGINT AS r
+      FROM reqs
+    ),
+    sched AS (
+      SELECT doc_id, registered_domain, arrival_us,
+             (max(arrival_us - r * 250000) OVER (
+                PARTITION BY registered_domain
+                ORDER BY arrival_us, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + r * 250000)::BIGINT AS scheduled_us
+      FROM ranked
+    )
+    SELECT doc_id, registered_domain, arrival_us, scheduled_us,
+           (scheduled_us - arrival_us)::BIGINT AS wait_us
+    FROM sched
+    ORDER BY doc_id
+    """,
+    doc=(
+        "crawl-frontier politeness scheduler (north-star crawl planning, "
+        "RFC 9309 §2.5 crawl-delay shape): each request's earliest fetch "
+        "slot under a 250 ms per-domain minimum delay.  The sequential "
+        "recurrence s_i = max(ts_i, s_(i-1)+d) is UNROLLED into "
+        "associative window algebra (running max of ts_j - r_j*d, plus "
+        "r_i*d) — one hash exchange on the domain key, one shared "
+        "in-partition sort, exact int64; parallelism is across domains, "
+        "the honest limit for an order-dependent per-key schedule "
+        "(operators/web.crawl_schedule).  The from-spec loop-model "
+        "differential lives in tests/test_web_models.py"
+    ),
+)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.web import crawl_schedule, with_registered_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _synth_url().alias("url"))
+    reqs = (
+        with_registered_domain(urls, "url")
+        .where(F.col("registered_domain").isNotNull())
+        .select(
+            "doc_id",
+            "registered_domain",
+            ((F.col("doc_id") * 7919) % 1000000).cast("long").alias("arrival_us"),
+        )
+    )
+    out = crawl_schedule(
+        reqs, "registered_domain", "arrival_us", 250000,
+        out_col="scheduled_us", tiebreak_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "registered_domain", "arrival_us", "scheduled_us",
+        (F.col("scheduled_us") - F.col("arrival_us")).cast("long").alias("wait_us"),
+    ).orderBy("doc_id")

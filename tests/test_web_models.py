@@ -446,3 +446,53 @@ def test_registered_domain_join_dedups_suffix_table(spark):
     out = registered_domain_via_join(df, "h", suffixes=dupes).collect()
     assert len(out) == 2
     assert {r.registered_domain for r in out} == {"bbc.co.uk", "example.com"}
+
+
+def test_crawl_schedule_matches_loop_model(spark):
+    """From-spec differential: the window-algebra unrolling must equal
+    the SEQUENTIAL recurrence s_0 = ts_0; s_i = max(ts_i, s_{i-1}+d) —
+    evaluated here as a literal Python loop that shares no algebra with
+    the implementation (the loop never computes ts_j - r_j*d)."""
+    import random
+
+    from ironbeam_spark.operators.web import crawl_schedule
+
+    rng = random.Random(0xC5)
+    rows = []
+    for i in range(400):
+        rows.append((i, f"d{rng.randrange(6)}", rng.randrange(0, 5000)))
+    delay = 700
+
+    # loop model
+    expected: dict[int, int] = {}
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for i, k, ts in rows:
+        by_key.setdefault(k, []).append((ts, i))
+    for k, reqs in by_key.items():
+        prev = None
+        for ts, i in sorted(reqs):
+            s = ts if prev is None else max(ts, prev + delay)
+            expected[i] = s
+            prev = s
+
+    df = spark.createDataFrame(rows, "id long, k string, ts long")
+    out = crawl_schedule(df, "k", "ts", delay, tiebreak_col="id").collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.scheduled_ts == expected[r.id], (r.id, r.scheduled_ts, expected[r.id])
+        assert r.scheduled_ts >= r.ts  # never schedule before arrival
+
+
+def test_crawl_schedule_single_exchange(spark):
+    """Both window passes share ONE hash exchange + sort on the key."""
+    from ironbeam_spark.operators.web import crawl_schedule
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 37 % 1000).alias("ts"),
+    )
+    plan = (
+        crawl_schedule(df, "k", "ts", 10, tiebreak_col="id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
