@@ -23,21 +23,173 @@ Implemented contract (the RFC 9309 core, documented subset):
   matching ("Goog" matching "Googlebot").
 
 Scale shape: robots tables are metadata-scale (one small text per host/
-domain — Common Crawl's robots subset is ~GBs against TBs of pages), so
-parsing runs as expression+window work over the tiny table, rules
-aggregate to one array row per key, and the corpus-side evaluation is a
-BROADCAST left join plus a per-row higher-order-function fold — the
-corpus itself never shuffles.
+domain — Common Crawl's robots subset is ~GBs against TBs of pages), and
+a robots.txt is parsed ROW-AT-A-TIME as one expression chain (split →
+higher-order transform/filter/aggregate over the line array) — the parse
+carries ZERO exchanges and never explodes the texts into a line table.
+Rules aggregate to one array row per key, and the corpus-side evaluation
+is a BROADCAST left join plus a per-row higher-order-function fold — the
+corpus itself never shuffles.  (Earlier rounds parsed via posexplode +
+windows + 4 self-joins of the line table: ~10 exchanges and a 4×
+duplicated parse subtree per query — measured ~0.9 s of pure fixed cost
+at bench scale, and at crawl scale it would shuffle 10^10 line rows
+repeatedly.  The per-row parse removes all of it; optimization round 12,
+guide §2.4/§4.1.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["robots_rules", "robots_filter"]
 
 _DIRECTIVES = ("user-agent", "allow", "disallow")
+
+
+def _like_pat(pattern: Column) -> Column:
+    """SQL LIKE translation of a robots path pattern (escape char ``!``):
+    ``*`` → ``%``, a trailing ``$`` anchors (no trailing ``%``), otherwise
+    a trailing ``%`` expresses prefix-match."""
+    anchored = pattern.endswith("$")
+    # a TRAILING $ anchors and is removed BEFORE wildcard translation
+    body = F.when(
+        anchored, pattern.substr(F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    escaped = F.replace(
+        F.replace(
+            F.replace(body, F.lit("!"), F.lit("!!")), F.lit("%"), F.lit("!%")
+        ),
+        F.lit("_"),
+        F.lit("!_"),
+    )
+    wild = F.replace(escaped, F.lit("*"), F.lit("%"))
+    return F.when(anchored, wild).otherwise(F.concat(wild, F.lit("%")))
+
+
+def _rules_array(text: Column, agent: str) -> Column:
+    """The rule set of ONE robots.txt text that applies to ``agent``, as
+    ``array<struct<allow_i int, pattern string, rule_len int,
+    like_pat string>>`` — pure per-row expressions, no shuffle anywhere.
+
+    Parse steps (RFC 9309, module docstring contract):
+
+    1. split into lines, strip ``#`` comments, drop blank / colon-less
+       lines, parse ``directive: value``, keep known directives;
+    2. group into records: a ``User-agent`` line NOT directly preceded by
+       another ``User-agent`` line starts a new record (record ids via one
+       ``aggregate`` fold carrying (rec, prev_ua) state); rules before any
+       ``User-agent`` line are ignored (rec 0);
+    3. select records: all records naming ``agent`` (case-insensitive
+       exact token); if none, the ``*`` records (§2.2.1);
+    4. emit the selected records' non-empty ``Allow``/``Disallow``
+       patterns with their LIKE translation and as-written length.
+    """
+    agent_l = agent.lower()
+    lines = F.split(text, "\n")
+    dirs = F.filter(
+        F.transform(lines, _parse_line),
+        lambda x: x["d"].isin(*_DIRECTIVES),
+    )
+    # record grouping: one fold over the directive array; acc carries the
+    # running record id, whether the PREVIOUS directive line was a
+    # User-agent, and the accumulated (rec, d, v) rows.  Robots texts are
+    # tens of lines, so the O(n^2) array append inside the fold is noise.
+    empty = F.array().cast(
+        "array<struct<rec:int,d:string,v:string>>"
+    )
+    recs = F.aggregate(
+        dirs,
+        F.struct(
+            F.lit(0).alias("rec"), F.lit(False).alias("prev_ua"), empty.alias("out")
+        ),
+        lambda acc, x: F.struct(
+            (
+                acc["rec"]
+                + F.when(
+                    (x["d"] == "user-agent") & ~acc["prev_ua"], F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("rec"),
+            (x["d"] == "user-agent").alias("prev_ua"),
+            F.array_append(
+                acc["out"],
+                F.struct(
+                    (
+                        acc["rec"]
+                        + F.when(
+                            (x["d"] == "user-agent") & ~acc["prev_ua"], F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).alias("rec"),
+                    x["d"].alias("d"),
+                    x["v"].alias("v"),
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+
+    def _selected(rs: Column) -> Column:
+        specific = F.array_distinct(
+            F.transform(
+                F.filter(
+                    rs,
+                    lambda r: (r["d"] == "user-agent")
+                    & (F.lower(r["v"]) == agent_l),
+                ),
+                lambda r: r["rec"],
+            )
+        )
+        star = F.array_distinct(
+            F.transform(
+                F.filter(
+                    rs,
+                    lambda r: (r["d"] == "user-agent") & (r["v"] == "*"),
+                ),
+                lambda r: r["rec"],
+            )
+        )
+        # specific-group presence silences the * group entirely (§2.2.1)
+        chosen = F.when(F.size(specific) > 0, specific).otherwise(star)
+        return F.transform(
+            F.filter(
+                rs,
+                lambda r: (r["d"] != "user-agent")
+                & (r["v"] != "")
+                & (r["rec"] > 0)  # rules before any User-agent line: ignored
+                & F.array_contains(chosen, r["rec"]),
+            ),
+            lambda r: F.struct(
+                F.when(r["d"] == "allow", F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("allow_i"),
+                r["v"].alias("pattern"),
+                F.length(r["v"]).cast("int").alias("rule_len"),
+                _like_pat(r["v"]).alias("like_pat"),
+            ),
+        )
+
+    # let-bind the parsed record array so the fold runs once, not once per
+    # branch of the record-selection expression
+    from ironbeam_spark.functions.hof import let_
+
+    return let_(recs, _selected)
+
+
+def _parse_line(raw: Column) -> Column:
+    """``raw`` robots.txt line → struct(d=directive lowered, v=value);
+    blank / comment-only / colon-less lines yield d='' (filtered out)."""
+    line = F.trim(F.regexp_replace(raw, r"#.*$", ""))
+    has = (line != "") & F.instr(line, ":").cast("boolean")
+    return F.struct(
+        F.when(has, F.lower(F.trim(F.substring_index(line, ":", 1))))
+        .otherwise(F.lit(""))
+        .alias("d"),
+        F.when(
+            has, F.trim(line.substr(F.instr(line, ":") + 1, F.length(line)))
+        )
+        .otherwise(F.lit(""))
+        .alias("v"),
+    )
 
 
 def robots_rules(
@@ -55,72 +207,18 @@ def robots_rules(
     ``!``): ``*`` → ``%``, a trailing ``$`` anchors (no trailing ``%``),
     otherwise a trailing ``%`` expresses prefix-match.  ``rule_len`` is
     the pattern length AS WRITTEN (the RFC's specificity measure).
+
+    The parse is a per-row expression chain (:func:`_rules_array`) plus
+    one ``explode`` — zero exchanges, no line-table self-joins.
     """
-    key = F.col(key_col)
-    w = Window.partitionBy(key_col).orderBy("pos")
-
-    lines = robots_df.select(
-        key_col, F.posexplode(F.split(text_col, "\n")).alias("pos", "raw")
-    )
-    cleaned = lines.select(
+    return robots_df.select(
+        key_col, F.explode(_rules_array(F.col(text_col), agent)).alias("_r")
+    ).select(
         key_col,
-        "pos",
-        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
-    ).where((F.col("line") != "") & F.col("line").contains(":"))
-    parsed = cleaned.select(
-        key_col,
-        "pos",
-        F.lower(F.trim(F.substring_index("line", ":", 1))).alias("directive"),
-        F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("value"),
-    ).where(F.col("directive").isin(*_DIRECTIVES))
-
-    is_ua = F.col("directive") == "user-agent"
-    recs = parsed.withColumn(
-        "rec_id",
-        F.sum(
-            (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))).cast("int")
-        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    ).where(F.col("rec_id") > 0)  # rules before any User-agent line: ignored
-
-    uas = recs.where(is_ua).select(
-        key_col, "rec_id", F.lower(F.col("value")).alias("agent_name")
-    )
-    rules = recs.where(~is_ua & (F.col("value") != "")).select(
-        key_col,
-        "rec_id",
-        (F.col("directive") == "allow").cast("int").alias("allow_i"),
-        F.col("value").alias("pattern"),
-    )
-
-    agent_l = agent.lower()
-    specific = uas.where(F.col("agent_name") == agent_l).select(key_col, "rec_id").distinct()
-    star = uas.where(F.col("agent_name") == "*").select(key_col, "rec_id").distinct()
-    # specific-group presence silences the * group entirely (RFC 9309 §2.2.1)
-    selected = specific.unionByName(
-        star.join(specific.select(key_col).distinct(), key_col, "left_anti")
-    )
-    chosen = rules.join(selected, [key_col, "rec_id"], "left_semi")
-
-    anchored = F.col("pattern").endswith("$")
-    # a TRAILING $ anchors and is removed BEFORE wildcard translation
-    body = F.when(
-        anchored, F.expr("substring(pattern, 1, length(pattern) - 1)")
-    ).otherwise(F.col("pattern"))
-    escaped = F.replace(
-        F.replace(
-            F.replace(body, F.lit("!"), F.lit("!!")), F.lit("%"), F.lit("!%")
-        ),
-        F.lit("_"),
-        F.lit("!_"),
-    )
-    wild = F.replace(escaped, F.lit("*"), F.lit("%"))
-    like_pat = F.when(anchored, wild).otherwise(F.concat(wild, F.lit("%")))
-    return chosen.select(
-        key_col,
-        "allow_i",
-        "pattern",
-        F.length("pattern").cast("int").alias("rule_len"),
-        like_pat.alias("like_pat"),
+        F.col("_r.allow_i").alias("allow_i"),
+        F.col("_r.pattern").alias("pattern"),
+        F.col("_r.rule_len").alias("rule_len"),
+        F.col("_r.like_pat").alias("like_pat"),
     )
 
 
@@ -151,9 +249,14 @@ def robots_filter(
     rules_col = "_robots"
     while rules_col in df.columns:
         rules_col += "_"
-    rules = robots_rules(robots_df, agent, key_col=key_col, text_col=text_col)
-    rule_arr = rules.groupBy(key_col).agg(
-        F.collect_list(F.struct("rule_len", "allow_i", "like_pat")).alias(rules_col)
+    # per-row expression parse (zero exchanges), then ONE tiny aggregate
+    # merging rule arrays per key (duplicate-key robots rows union their
+    # rules; winner selection is order-independent, so collection order
+    # is irrelevant)
+    rule_arr = robots_df.groupBy(key_col).agg(
+        F.flatten(
+            F.collect_list(_rules_array(F.col(text_col), agent))
+        ).alias(rules_col)
     )
     joined = df.join(F.broadcast(rule_arr), key_col, "left")
     # backtick-quote the interpolated names so non-identifier column names

@@ -59,8 +59,14 @@ def blocklist_filter(
     can't be vetted against the blocklist (C4 keeps the same default).
     """
     if not isinstance(blocked, DataFrame):
-        blocked = df.sparkSession.createDataFrame(
-            [(d,) for d in sorted(set(blocked))], "blocked_domain string"
+        from ironbeam_spark.scale import local_metadata_df
+
+        # JVM-literal local frame: a parallelized createDataFrame would pay
+        # one Python task per default-parallelism slice at every action
+        blocked = local_metadata_df(
+            df.sparkSession,
+            [(d,) for d in sorted(set(blocked))],
+            "blocked_domain string",
         )
     else:
         blocked = blocked.toDF("blocked_domain")
@@ -229,7 +235,12 @@ def registered_domain_via_join(
             flags[1] |= exc
             flags[2] |= wc
         for L, entries in per_len.items():
-            per_len_tables[L] = spark.createDataFrame(
+            from ironbeam_spark.scale import local_metadata_df
+
+            # JVM-literal local frame (see local_metadata_df): zero Python
+            # tasks in the broadcast build
+            per_len_tables[L] = local_metadata_df(
+                spark,
                 [
                     (k, 1 if e else None, 1 if x else None, 1 if w else None)
                     for k, (e, x, w) in sorted(entries.items())

@@ -14,9 +14,51 @@ Spark") applied for the same reason: redistribute before expensive work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Iterable, Sequence
 
-__all__ = ["ensure_min_parallelism"]
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["ensure_min_parallelism", "local_metadata_df"]
+
+
+def local_metadata_df(
+    spark: SparkSession, rows: Iterable[Sequence], ddl: str
+) -> DataFrame:
+    """A metadata-scale DataFrame built from JVM literals — the fast path
+    for tiny broadcast-side tables (robots texts, blocklists, suffix
+    tables).
+
+    ``spark.createDataFrame(list, ddl)`` parallelizes the rows into a
+    Python-pickled RDD sliced ``defaultParallelism`` ways: every action
+    that touches the frame round-trips one Python worker per slice (32
+    near-empty Python tasks on ``local[32]`` — and a ``coalesce(1)`` is
+    WORSE: the single task evaluates all 32 parent slices sequentially,
+    measured ~6 s per action for a 4-row table).  This helper instead
+    inlines the rows as one literal array-of-structs over ``range(1)`` —
+    a pure-JVM ``LocalTableScan`` after constant folding, zero Python
+    round trips, zero tasks of overhead (optimization round 12).
+
+    ``ddl`` is the usual ``"name type, name type"`` schema string; values
+    are cast to the declared types (``None`` maps to typed NULL).  Row
+    order is preserved.  Only for metadata-scale data: every row becomes
+    a literal in the plan tree.
+    """
+    fields = [f.strip() for f in ddl.split(",")]
+    names = [f.split()[0].strip("`") for f in fields]
+    struct_ddl = "struct<" + ",".join(f.replace(" ", ":", 1) for f in fields) + ">"
+    structs = [
+        F.struct(
+            *[F.lit(v).alias(n) for v, n in zip(row, names, strict=True)]
+        ).cast(struct_ddl)
+        for row in rows
+    ]
+    arr = (
+        F.array(*structs)
+        if structs
+        else F.array().cast(f"array<{struct_ddl}>")
+    )
+    return spark.range(1).select(F.inline(arr))
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -52,6 +52,7 @@ from ironbeam_spark.functions.web import (
     url_host,
 )
 from ironbeam_spark.operators.web import domain_stats
+from ironbeam_spark.scale import local_metadata_df
 from ironbeam_spark.sources.io import read_table
 from ironbeam_spark.suite.registry import QUERIES, query
 
@@ -716,9 +717,11 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = base.where(F.col("registered_domain").isNotNull()).select(
         "doc_id", "registered_domain", url_path("url").alias("path")
     )
-    robots = spark.createDataFrame(
-        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
-    )
+    robots = local_metadata_df(
+        spark, sorted(_ROBOTS_TXT.items()),
+        "registered_domain string, robots_txt string",
+    )  # JVM-literal local frame: a parallelized createDataFrame would pay
+    # one Python task per default-parallelism slice on every action (opt r12)
     out = robots_filter(
         paths, "path", robots, "ironbeam",
         key_col="registered_domain", verdict_col="robots_allowed",
@@ -781,8 +784,14 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.functions.web import url_path
     from ironbeam_spark.operators.robots import robots_filter
     from ironbeam_spark.operators.web import blocklist_filter, with_registered_domain
+    from ironbeam_spark.scale import ensure_min_parallelism
 
-    docs = read_table(spark, sf_dir, "documents")
+    # single-file corpus ⇒ one scan split ⇒ the whole canonicalize/robots/
+    # extract expression chain (all under broadcast joins, no exchange
+    # until the rollup) would run on ONE core; round-robin up to cluster
+    # parallelism first — a no-op at scale where the scan has many splits
+    # (guide §2.5 input skew; optimization r12)
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
     base = with_registered_domain(
         docs.select("doc_id", "text", "lang", "source", "n_chars",
                     _synth_url().alias("url")),
@@ -791,9 +800,11 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = base.where(F.col("registered_domain").isNotNull()).withColumn(
         "path", url_path("url")
     )
-    robots = spark.createDataFrame(
-        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
-    )
+    robots = local_metadata_df(
+        spark, sorted(_ROBOTS_TXT.items()),
+        "registered_domain string, robots_txt string",
+    )  # JVM-literal local frame: a parallelized createDataFrame would pay
+    # one Python task per default-parallelism slice on every action (opt r12)
     gated = robots_filter(
         paths, "path", robots, "ironbeam", key_col="registered_domain"
     )
@@ -1170,9 +1181,11 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = base.where(F.col("registered_domain").isNotNull()).withColumn(
         "path", url_path("url")
     )
-    robots = spark.createDataFrame(
-        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
-    )
+    robots = local_metadata_df(
+        spark, sorted(_ROBOTS_TXT.items()),
+        "registered_domain string, robots_txt string",
+    )  # JVM-literal local frame: a parallelized createDataFrame would pay
+    # one Python task per default-parallelism slice on every action (opt r12)
     gated = robots_filter(
         paths, "path", robots, "ironbeam", key_col="registered_domain"
     )
@@ -1317,9 +1330,11 @@ def q_stream_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = base.where(F.col("registered_domain").isNotNull()).withColumn(
         "path", url_path("url")
     )
-    robots = spark.createDataFrame(
-        sorted(_ROBOTS_TXT.items()), "registered_domain string, robots_txt string"
-    )
+    robots = local_metadata_df(
+        spark, sorted(_ROBOTS_TXT.items()),
+        "registered_domain string, robots_txt string",
+    )  # JVM-literal local frame: a parallelized createDataFrame would pay
+    # one Python task per default-parallelism slice on every action (opt r12)
     gated = robots_filter(
         paths, "path", robots, "ironbeam", key_col="registered_domain"
     )
