@@ -539,9 +539,24 @@ def dedup_components(
     from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
     policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
+    # Symmetrize via a per-row explode, NOT union(select(a,b), select(b,a)):
+    # a union's two branches each embed the FULL ``pairs`` plan, so
+    # materializing the edge checkpoint would execute the (expensive —
+    # minhash candidate+verify joins) pair pipeline twice.  One explode of
+    # a 2-struct array reads every pair row once for the same edge set
+    # (measured at sf0.1: edge materialization 2.8s → half; at corpus
+    # scale it removes an entire pass over the verification join.
+    # Optimization r12, guide §2.4.)
     edges = policy.checkpoint(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .distinct()
     )
     # round 1: labels[n] == n, so min-over-neighbors is a plain aggregate

@@ -95,11 +95,25 @@ def pagerank(
             F.least("src", "dst").alias("src"),
             F.greatest("src", "dst").alias("dst"),
         ).distinct()
-        e = canon.unionByName(
-            canon.where(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
+        # Mirror via per-row explode, NOT unionByName(canon, canon.where(...)):
+        # the union's branches each embed the full ``canon`` plan (the
+        # edge-derivation join + distinct shuffle), so materializing the
+        # edge checkpoint would run that distinct twice.  array_distinct
+        # collapses a self-loop's two identical structs to one — exactly
+        # the `a != b` guard of the union spelling.  (Opt r12, guide §2.4;
+        # same fix as dedup_components' edge symmetrization.)
+        e = canon.select(
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("src").alias("dst")
+                        ),
+                    )
+                )
+            ).alias("_e")
+        ).select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
     else:
         e = e.distinct()
     # UNCONDITIONALLY checkpoint the tables every round rejoins (the policy

@@ -394,8 +394,14 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.functions.text import token_count
     from ironbeam_spark.operators.scan import global_running_sum, pack_layout
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", token_count("text").alias("n_tokens")
+    # narrow eager checkpoint: the two-level scan reads its input three
+    # times (stats, bucket totals, final window — operators/scan.py); the
+    # break point tokenizes each text ONCE and the (id, count) frame the
+    # passes re-read is metadata-scale (guide §2.3; opt r12)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .localCheckpoint()
     )
     scanned = global_running_sum(docs, ["doc_id"], "n_tokens", "cum_end")
     # pack arithmetic lives in operators/scan.pack_layout — integer DIV

@@ -1227,12 +1227,20 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     survivors = exact.join(losers, on="doc_id", how="left_anti")
-    # 6. token packing into 4096-token shards via the distributed scan
+    # 6. token packing into 4096-token shards via the distributed scan.
+    # NARROW eager checkpoint first: the two-level scan reads its input
+    # three times (min/max stats, bucket totals, final window — see
+    # operators/scan.py), and without the break each pass would re-run
+    # the anti-join AND re-tokenize every surviving text.  The frame is
+    # (id, md5, count) — bytes-per-row metadata, never the texts — so the
+    # checkpoint is the cheap side of the trade at any scale (guide §2.3
+    # "shuffle keys and metadata instead of payloads"; opt r12: one
+    # tokenize pass instead of three).
     toks = survivors.select(
         "doc_id",
         F.md5("text").alias("doc_md5"),
         token_count("text").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     scanned = global_running_sum(toks, ["doc_id"], "n_tokens", "cum_end")
     sharded = pack_layout(scanned, "n_tokens", "cum_end", cap=4096).select(
         "doc_id", "doc_md5", "n_tokens", F.col("pack_id").alias("shard_id")
