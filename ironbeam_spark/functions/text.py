@@ -10,6 +10,7 @@ md5-based (identical in any engine), so a SQL oracle can mirror them exactly.
 
 from __future__ import annotations
 
+from ironbeam_spark.plancache import memo_expr
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -47,16 +48,19 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+@memo_expr
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties removed."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+@memo_expr
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+@memo_expr
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish token count via regex pre-tokenization (cheap proxy for a
     BPE tokenizer's sequence length)."""
@@ -64,6 +68,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long")
 
 
+@memo_expr
 def punct_ratio(col: Column | str) -> Column:
     """punctuation chars / total chars — single int/int division."""
     c = F.col(col) if isinstance(col, str) else col
@@ -71,15 +76,18 @@ def punct_ratio(col: Column | str) -> Column:
     return n_punct.cast("double") / F.length(c).cast("double")
 
 
+@memo_expr
 def stopword_count(col: Column | str, lang: str = "en") -> Column:
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t))).cast("long")
 
 
+@memo_expr
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     return stopword_count(col, lang).cast("double") / token_count(col).cast("double")
 
 
+@memo_expr
 def quality_score(col: Column | str) -> Column:
     """Heuristic [0,1] quality score: mean word length band + punctuation band
     + non-empty band.  Deterministic: integer comparisons, fixed weights.
@@ -100,11 +108,13 @@ def quality_score(col: Column | str) -> Column:
     return let_(token_count(c), build)
 
 
+@memo_expr
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword hit counts."""
     return {lang: stopword_count(col, lang) for lang in STOPWORDS}
 
 
+@memo_expr
 def lang_id(col: Column | str) -> Column:
     """Predicted language = argmax stopword score, ties broken by fixed
     priority order (en, es, fr, de, zh) — a CASE chain, so the oracle can
@@ -142,6 +152,7 @@ def lang_id(col: Column | str) -> Column:
     return let_(tokens(col), build)
 
 
+@memo_expr
 def md5_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of lowercased trimmed text (exact-dup key)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -154,6 +165,7 @@ def token_int(tok: Column, bits_hex: int = 12) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, bits_hex), 16, 10).cast("long")
 
 
+@memo_expr
 def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over tokens: fold acc = (acc*31 + h(tok)) % mod.
     Sequential left-fold — same order in any engine, overflow-free in int64."""
@@ -164,6 +176,7 @@ def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
     )
 
 
+@memo_expr
 def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD'03 — the MOSS algorithm; public).  Hash every character
@@ -218,6 +231,7 @@ PII_PATTERNS = (
 )
 
 
+@memo_expr
 def scrub_pii(col: Column | str) -> Column:
     """Redact emails / IPv4 addresses / 13-16-digit numbers with typed
     placeholder tags — the standard pre-training text-cleaning pass, pure

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ironbeam_spark.plancache import memo_expr
+
 __all__ = [
     "TRACKING_PARAM_RE",
     "MULTI_LABEL_SUFFIXES",
@@ -111,6 +113,7 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+@memo_expr
 def parse_url(url: Column | str) -> Column:
     """Split an absolute URL into a struct
     ``(scheme, host, port, path, query, fragment)``.
@@ -147,6 +150,7 @@ def _canonical_path(raw_path: Column) -> Column:
     ).otherwise(path)
 
 
+@memo_expr
 def url_path(url: Column | str) -> Column:
     """Canonical path of an absolute URL (``/`` when empty; NULL when the
     URL is not parseable) — the robots.txt matching input."""
@@ -157,6 +161,7 @@ def url_path(url: Column | str) -> Column:
     )
 
 
+@memo_expr
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical URL string per the module-docstring rule set (NULL for
     input that is not an absolute ``scheme://host...`` URL)."""
@@ -183,12 +188,14 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.when((scheme != F.lit("")) & (host != F.lit("")), out)
 
 
+@memo_expr
 def url_host(url: Column | str) -> Column:
     """Canonical host of an absolute URL (NULL when not parseable)."""
     host = parse_url(url)["host"]
     return F.when(host != F.lit(""), host)
 
 
+@memo_expr
 def registered_domain(host: Column | str) -> Column:
     """PSL registered domain (a.k.a. eTLD+1) of a canonical host.
 
@@ -214,6 +221,7 @@ def registered_domain(host: Column | str) -> Column:
     )
 
 
+@memo_expr
 def extract_links(html: Column | str) -> Column:
     """All href values of ``<a>`` tags in an HTML fragment, in document
     order (``array<string>``, possibly empty — the raw hrefs; compose
@@ -237,6 +245,7 @@ _BLOCK_TAG_RE = (
 _DROP_ELEMENTS = ("script", "style", "noscript", "template")
 
 
+@memo_expr
 def html_to_text(html: Column | str) -> Column:
     """Extract readable text from an HTML fragment (C4-style cleaning).
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ironbeam_spark.functions.text import token_int, tokens
+from ironbeam_spark.plancache import memo_expr
 from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
@@ -47,6 +48,7 @@ __all__ = [
     "RECOMMENDED_MAX_BAND_BUCKET",
     "minhash_candidates",
     "minhash_dedup_pairs",
+    "minhash_pairs_from_shingles",
     "release_shingle_caches",
     "simhash",
     "simhash_pairs",
@@ -67,6 +69,7 @@ def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     return df.groupBy(*keys).agg(F.min(order_col).alias(order_col), *aggs)
 
 
+@memo_expr
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct sorted n-word shingles of a text column.  Texts with fewer
     than ``n`` tokens yield an EMPTY array — the guard matters because
@@ -92,6 +95,7 @@ SHINGLE_MOD = 10**17 + 3
 from ironbeam_spark.functions.hof import let_  # noqa: E402 - re-export (API compat)
 
 
+@memo_expr
 def hashed_word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct sorted n-word shingle *hashes* (int64) of a text column.
 
@@ -126,6 +130,7 @@ def hashed_word_shingles(col: Column | str, n: int = 3) -> Column:
     return let_(token_hashes, build)
 
 
+@memo_expr
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
     """Distinct sorted character n-grams.  Texts shorter than ``n`` yield an
     EMPTY array (matching SQL ``generate_series(1, 0)`` = empty); without
@@ -209,7 +214,8 @@ def minhash_affine(x: Column, a: int, b: int) -> Column:
     return (F.lit(a).cast("long") * x.bitwiseAND(p) + F.lit(b)) % p
 
 
-def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
+@memo_expr
+def minhash_signature_from_ints(ints: Column | str, k: int = 8) -> Column:
     """K minhash values (int64 array) from pre-materialized int64 shingle
     hashes.  Materialize ``ints`` in its own projection before calling — the
     md5 pass must run once per row, not once per hash function (Catalyst
@@ -227,6 +233,7 @@ def minhash_signature_from_ints(ints: Column, k: int = 8) -> Column:
     all of them, a quadratic bucket of junk pairs.  NULL band keys drop
     out of the candidate equi-join instead (r10 ADVICE).  All in-package
     callers additionally filter ``size > 0`` before signing."""
+    ints = F.col(ints) if isinstance(ints, str) else ints
     p = F.lit(MINHASH_PRIME)
 
     def step(acc: Column, x: Column) -> Column:
@@ -482,14 +489,42 @@ def minhash_dedup_pairs(
     # scan stage, re-evaluating the whole shingle expression per row in as
     # few tasks as the source has splits.  Above the persist it tests the
     # already-materialized array — one cached-column read, zero recompute.
-    base = base.where(F.size("shingles") > 0)
+    return minhash_pairs_from_shingles(
+        base, id_col, "shingles", k=k, bands=bands, threshold=threshold,
+        max_band_bucket=max_band_bucket,
+    )
+
+
+def minhash_pairs_from_shingles(
+    base: DataFrame,
+    id_col: str,
+    shingles_col: str = "shingles",
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate + exact-Jaccard-verify over PRE-MATERIALIZED int64
+    shingle arrays (:func:`hashed_word_shingles` output).
+
+    Callers that already hold the shingles on a persisted/checkpointed
+    frame (e.g. a cleaned-corpus checkpoint that other passes also read)
+    use this to skip :func:`minhash_dedup_pairs`'s re-shingling pass and
+    its separate shingle-table persist — one derived-column
+    materialization instead of two (optimization r12, guide §2.3 "don't
+    compute things twice").  This function itself persists nothing: the
+    caller owns the materialization of ``base``.
+    """
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    base = base.where(F.size(shingles_col) > 0)
     signed = base.select(
-        F.col(id_col), minhash_signature_from_ints(F.col("shingles"), k).alias("sig")
+        F.col(id_col), minhash_signature_from_ints(F.col(shingles_col), k).alias("sig")
     )
     cands = minhash_candidates(
-        signed, id_col, "sig", bands, rows_per_band, max_band_bucket=max_band_bucket
+        signed, id_col, "sig", bands, k // bands, max_band_bucket=max_band_bucket
     )
-    sh = base.select(F.col(id_col), F.col("shingles"))
+    sh = base.select(F.col(id_col), F.col(shingles_col).alias("shingles"))
     verified = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), on="id_b")
@@ -506,6 +541,7 @@ def dedup_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint_policy=None,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Duplicate *groups* from near-dup pairs: connected components by
     iterative min-label propagation.  Output: ``(node, component)`` where
@@ -547,18 +583,33 @@ def dedup_components(
     # (measured at sf0.1: edge materialization 2.8s → half; at corpus
     # scale it removes an entire pass over the verification join.
     # Optimization r12, guide §2.4.)
-    edges = policy.checkpoint(
-        pairs.select(
-            F.explode(
+    #
+    # ``dedup_edges=False`` skips the ``distinct()`` shuffle: min-label
+    # propagation is value-identical under duplicate edges (min over a
+    # multiset), so the distinct is purely an edge-table size/perf knob.
+    # Callers whose pairs are already distinct canonical (a < b) rows —
+    # every verified-candidate pipeline in this package; pinned by
+    # ``minhash_candidates``'s own distinct — pass False and save a full
+    # shuffle of the edge set per invocation (optimization r12, guide
+    # §2.4: "a distinct on data that is already unique").  The in-row
+    # array_distinct still collapses a self-loop's two mirrored structs.
+    sym = pairs.select(
+        F.explode(
+            F.array_distinct(
                 F.array(
                     F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
                     F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
                 )
-            ).alias("_e")
-        )
-        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
-        .distinct()
-    )
+            )
+        ).alias("_e")
+    ).select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+    if dedup_edges:
+        sym = sym.distinct()
+    # LAZY checkpoint: round 1's convergence count is the materializing
+    # action, so the edge derivation and the first neighbor-min aggregate
+    # run as ONE job instead of an eager-checkpoint job plus a count job
+    # (the blocks are identical either way; optimization r12)
+    edges = policy.checkpoint(sym, eager=False)
     # round 1: labels[n] == n, so min-over-neighbors is a plain aggregate
     # over edges; _old = the node's own id (what a labels frame would hold)
     first = policy.checkpoint(
@@ -624,6 +675,7 @@ def dedup_components(
     return labels
 
 
+@memo_expr
 def simhash(col: Column | str, bits: int = 48) -> Column:
     """SimHash fingerprint: per-token 48-bit md5 hash, per-bit ±1 votes over
     all tokens (with multiplicity), fingerprint bit j set iff vote > 0.

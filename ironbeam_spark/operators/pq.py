@@ -154,20 +154,48 @@ def _subdot(sub: Column, cw: Column) -> Column:
     return _fold_sum(F.zip_with(sub, cw, lambda x, c: x.cast("double") * c))
 
 
+def _sql_double(x: float) -> str:
+    import math
+
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
+    # repr() is the shortest round-trip decimal: Java's parseDouble maps it
+    # back to the identical IEEE-754 double, so the literal is bit-exact
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def _with_codebooks(
     df: DataFrame, codebooks: list[list[list[float]]]
 ) -> DataFrame:
-    """Attach the codebooks as ONE broadcast row (``_pq_cb``).  They ride
-    as DATA, not as plan literals: unrolling m·ncode·dsub literal
-    expressions costs seconds of driver-side plan construction (py4j
-    round-trips) before a single task runs — the same reason
-    ``ivf_assign_cells`` has its ``_side_array`` DataFrame path."""
+    """Attach the codebooks as ONE broadcast row (``_pq_cb``).
+
+    The row is a pure-JVM literal built from ONE ``F.expr`` string — a
+    ``LocalTableScan`` after constant folding.  Neither of the
+    alternatives survives profiling (optimization r12): a parallelized
+    ``createDataFrame`` makes every downstream ACTION round-trip one
+    near-empty Python task per default-parallelism slice (the
+    ``local_metadata_df`` lesson), and per-element ``F.lit`` unrolling
+    costs one py4j round trip per codeword float at CONSTRUCTION time
+    (m·ncode·dsub ≈ 512 trips per invocation here)."""
     dsub = len(codebooks[0][0])
     if any(len(w) != dsub for words in codebooks for w in words):
         raise ValueError("codebooks must be rectangular")
-    cb_df = df.sparkSession.createDataFrame(
-        [(codebooks,)], "_pq_cb array<array<array<double>>>"
+    sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_sql_double(float(x)) for x in w) + ")"
+                for w in words
+            )
+            + ")"
+            for words in codebooks
+        )
+        + ")"
     )
+    cb_df = df.sparkSession.range(1).select(F.expr(sql).alias("_pq_cb"))
     return df.crossJoin(F.broadcast(cb_df))
 
 

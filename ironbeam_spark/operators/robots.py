@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ironbeam_spark.plancache import memo_expr
+
 __all__ = ["robots_rules", "robots_filter"]
 
 _DIRECTIVES = ("user-agent", "allow", "disallow")
@@ -67,7 +69,8 @@ def _like_pat(pattern: Column) -> Column:
     return F.when(anchored, wild).otherwise(F.concat(wild, F.lit("%")))
 
 
-def _rules_array(text: Column, agent: str) -> Column:
+@memo_expr
+def _rules_array(text: Column | str, agent: str) -> Column:
     """The rule set of ONE robots.txt text that applies to ``agent``, as
     ``array<struct<allow_i int, pattern string, rule_len int,
     like_pat string>>`` — pure per-row expressions, no shuffle anywhere.
@@ -86,6 +89,7 @@ def _rules_array(text: Column, agent: str) -> Column:
        patterns with their LIKE translation and as-written length.
     """
     agent_l = agent.lower()
+    text = F.col(text) if isinstance(text, str) else text
     lines = F.split(text, "\n")
     dirs = F.filter(
         F.transform(lines, _parse_line),
@@ -212,7 +216,7 @@ def robots_rules(
     one ``explode`` — zero exchanges, no line-table self-joins.
     """
     return robots_df.select(
-        key_col, F.explode(_rules_array(F.col(text_col), agent)).alias("_r")
+        key_col, F.explode(_rules_array(text_col, agent)).alias("_r")
     ).select(
         key_col,
         F.col("_r.allow_i").alias("allow_i"),
@@ -255,7 +259,7 @@ def robots_filter(
     # is irrelevant)
     rule_arr = robots_df.groupBy(key_col).agg(
         F.flatten(
-            F.collect_list(_rules_array(F.col(text_col), agent))
+            F.collect_list(_rules_array(text_col, agent))
         ).alias(rules_col)
     )
     joined = df.join(F.broadcast(rule_arr), key_col, "left")

@@ -707,7 +707,11 @@ def semantic_dedup(
         & ~F.isnan(F.col("cos_sim"))
         & (F.col("cos_sim") >= F.lit(float(threshold)))
     )
-    labels = dedup_components(pairs, checkpoint_policy=checkpoint_policy)
+    # triangle-join pairs are distinct canonical (a < b; "no pair is scored
+    # twice" above) — skip the redundant edge-dedup shuffle (opt r12)
+    labels = dedup_components(
+        pairs, checkpoint_policy=checkpoint_policy, dedup_edges=False
+    )
     return (
         assigned.join(labels, assigned._sid == labels.node, "left")
         .select(

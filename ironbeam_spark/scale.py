@@ -44,6 +44,25 @@ def local_metadata_df(
     order is preserved.  Only for metadata-scale data: every row becomes
     a literal in the plan tree.
     """
+    from ironbeam_spark.plancache import session_memo
+
+    rows = [tuple(r) for r in rows]  # materialize once: rows may be a generator
+    try:  # memoize the literal plan per session: rows are metadata-scale
+        # constants, the frame is a pure LocalTableScan (no state), and
+        # re-building the literal tree costs one py4j trip per value on
+        # every query invocation (optimization round 12)
+        key = ("local_metadata_df", tuple(rows), ddl)
+        hash(key)
+    except TypeError:
+        return _build_local_metadata_df(spark, rows, ddl)
+    return session_memo(
+        spark, key, lambda: _build_local_metadata_df(spark, rows, ddl)
+    )
+
+
+def _build_local_metadata_df(
+    spark: SparkSession, rows: Iterable[Sequence], ddl: str
+) -> DataFrame:
     fields = [f.strip() for f in ddl.split(",")]
     names = [f.split()[0].strip("`") for f in fields]
     struct_ddl = "struct<" + ",".join(f.replace(" ", ":", 1) for f in fields) + ">"

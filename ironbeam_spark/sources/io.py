@@ -348,7 +348,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin UTC so queries give oracle-identical results under ANY host session
     # (get_spark already sets this, but the harness may pass a bare session)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The LAZY scan plan is memoized per (session, dir, table): re-building
+    # it costs a footer/schema read (~0.1 s) on every query invocation,
+    # while the plan object itself carries no materialized state — every
+    # action still scans the parquet files.  The conf pins above still run
+    # per call (a caller may have flipped session state in between).
+    from ironbeam_spark.plancache import session_memo
+
+    return session_memo(
+        spark,
+        ("read_table", sf_dir, name),
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TPCH_TABLES) -> dict[str, DataFrame]:

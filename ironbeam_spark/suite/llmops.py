@@ -990,7 +990,7 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     losers = (
-        dedup_components(pairs)
+        dedup_components(pairs, dedup_edges=False)  # minhash pairs: distinct a<b
         .where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )

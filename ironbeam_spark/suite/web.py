@@ -52,6 +52,7 @@ from ironbeam_spark.functions.web import (
     url_host,
 )
 from ironbeam_spark.operators.web import domain_stats
+from ironbeam_spark.plancache import memo_expr
 from ironbeam_spark.scale import local_metadata_df
 from ironbeam_spark.sources.io import read_table
 from ironbeam_spark.suite.registry import QUERIES, query
@@ -116,6 +117,7 @@ _QUERYSTRINGS = [
 _BLOCKLIST = ["tracker.net"]
 
 
+@memo_expr
 def _synth_url(full_id: bool = False) -> F.Column:
     """Deterministic messy URL per doc.  ``full_id=True`` puts the FULL
     doc_id in the path (unique URI per document — the crawl-corpus
@@ -324,6 +326,7 @@ _HTML_AFTER_LANG = "</li><li>src: "
 _HTML_SUFFIX = "</li></ul></body></html>"
 
 
+@memo_expr
 def _synth_html() -> F.Column:
     d = F.col("doc_id").cast("string")
     return F.concat(
@@ -1160,7 +1163,8 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         RECOMMENDED_MAX_BAND_BUCKET,
         dedup_components,
         dedup_exact,
-        minhash_dedup_pairs,
+        hashed_word_shingles,
+        minhash_pairs_from_shingles,
     )
     from ironbeam_spark.operators.robots import robots_filter
     from ironbeam_spark.operators.scan import global_running_sum, pack_layout
@@ -1198,14 +1202,22 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4. digit-normalized exact dedup (page chrome embeds doc_id/n_chars,
     #    so the byte-exact key would never collide; stripping digits
     #    restores content identity), min-id winner
-    # eager localCheckpoint: the cleaned post-gate corpus feeds minhash
-    # shingling (twice, via the pair self-join) AND the survivor anti-join
-    # AND the token scan; a lazy persist would leave the first action's
-    # concurrent stages racing to populate the cache and re-executing the
-    # WARC decode + extraction chain.  This is local-mode's analogue of
-    # the production break point — a real pipeline writes the cleaned
-    # corpus to parquet here (same pattern as q_heavy_hitters).
-    exact = (
+    # ONE eager localCheckpoint carrying every derived column any later
+    # pass needs — md5, token count, minhash shingles — and NOT the text:
+    # the cleaned post-gate corpus feeds minhash banding+verify (both
+    # self-join sides), the survivor anti-join, and the token scan, and
+    # none of them needs the raw text once these three are materialized.
+    # The r11 shape paid three derived materializations (text checkpoint +
+    # minhash's shingle persist + a second (md5, count) checkpoint = two
+    # extra passes over the texts); this is one tokenize/hash pass total
+    # (optimization r12, guide §2.3 "don't compute things you throw
+    # away" / §2.4).  An eager checkpoint rather than a lazy persist: the
+    # first action's concurrent stages would race to populate a lazy
+    # cache and re-execute the WARC decode + extraction chain.  This is
+    # local-mode's analogue of the production break point — a real
+    # pipeline writes the cleaned corpus to parquet here (same pattern as
+    # q_heavy_hitters).
+    cleaned = (
         dedup_exact(
             quality.withColumn(
                 "fp", F.md5(F.regexp_replace(F.lower("text"), "[0-9]+", ""))
@@ -1213,34 +1225,34 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["fp"],
             "doc_id",
         )
-        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.md5("text").alias("doc_md5"),
+            token_count("text").alias("n_tokens"),
+            hashed_word_shingles("text", 3).alias("shingles"),
+        )
         .localCheckpoint()
     )
-    # 5. MinHash-LSH near-dup components, drop group losers
-    pairs = minhash_dedup_pairs(
-        exact, "doc_id", "text", shingle_words=3, k=8, bands=4, threshold=0.5,
+    # 5. MinHash-LSH near-dup components over the checkpointed shingles,
+    # drop group losers (pairs are distinct canonical a<b, so the edge
+    # dedup shuffle is skipped)
+    pairs = minhash_pairs_from_shingles(
+        cleaned, "doc_id", "shingles", k=8, bands=4, threshold=0.5,
         max_band_bucket=RECOMMENDED_MAX_BAND_BUCKET,
     )
     losers = (
-        dedup_components(pairs)
+        dedup_components(pairs, dedup_edges=False)
         .where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
-    survivors = exact.join(losers, on="doc_id", how="left_anti")
     # 6. token packing into 4096-token shards via the distributed scan.
-    # NARROW eager checkpoint first: the two-level scan reads its input
-    # three times (min/max stats, bucket totals, final window — see
-    # operators/scan.py), and without the break each pass would re-run
-    # the anti-join AND re-tokenize every surviving text.  The frame is
-    # (id, md5, count) — bytes-per-row metadata, never the texts — so the
-    # checkpoint is the cheap side of the trade at any scale (guide §2.3
-    # "shuffle keys and metadata instead of payloads"; opt r12: one
-    # tokenize pass instead of three).
-    toks = survivors.select(
-        "doc_id",
-        F.md5("text").alias("doc_md5"),
-        token_count("text").alias("n_tokens"),
-    ).localCheckpoint()
+    # The scan's stats/window subtrees re-read this anti-join (the scan
+    # plan embeds its input twice) — both reads are a checkpoint-block
+    # scan plus a broadcast anti-join of the tiny loser set, cheaper than
+    # the extra eager checkpoint job the r11 shape paid here.
+    toks = cleaned.join(losers, on="doc_id", how="left_anti").select(
+        "doc_id", "doc_md5", "n_tokens"
+    )
     scanned = global_running_sum(toks, ["doc_id"], "n_tokens", "cum_end")
     sharded = pack_layout(scanned, "n_tokens", "cum_end", cap=4096).select(
         "doc_id", "doc_md5", "n_tokens", F.col("pack_id").alias("shard_id")
