@@ -60,10 +60,23 @@ def release_edge_caches() -> int:
     return n
 
 
-def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+def canonical_edges(
+    df: DataFrame, src_col: str, dst_col: str, input_canonical: bool = False
+) -> DataFrame:
     """Undirected edge set as ``(a, b)`` with ``a < b``, self-loops
-    dropped, ONE ``distinct`` (multi-edges never double-count)."""
+    dropped, ONE ``distinct`` (multi-edges never double-count).
+
+    ``input_canonical=True`` skips the least/greatest rewrite AND the
+    ``distinct`` shuffle for inputs that already satisfy the contract
+    (``src < dst``, one row per undirected edge) — e.g.
+    ``frequent_item_pairs`` output, which is grouped by the ordered pair.
+    Passing a non-canonical input with the flag set double-counts
+    multi-edges; the flag is a caller promise, not a checked invariant
+    (optimization r12, guide §2.4: "a distinct on data that is already
+    unique")."""
     a, b = F.col(src_col), F.col(dst_col)
+    if input_canonical:
+        return df.select(a.alias("a"), b.alias("b"))
     return (
         df.select(
             F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
@@ -74,7 +87,8 @@ def canonical_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 
 
 def materialized_edges(
-    df: DataFrame, src_col: str, dst_col: str, checkpoint_policy
+    df: DataFrame, src_col: str, dst_col: str, checkpoint_policy,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """Canonical edge set, lineage-truncated per policy (default =
     AfterEveryBarrier, the :func:`dedup_components` convention).  Lazy
@@ -84,7 +98,7 @@ def materialized_edges(
     from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
     policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
-    canonical = canonical_edges(df, src_col, dst_col)
+    canonical = canonical_edges(df, src_col, dst_col, input_canonical)
     edges = policy.checkpoint(canonical, eager=False)
     if edges is not canonical:  # the policy fired -> checkpoint blocks exist
         _PERSISTED_EDGE_TABLES.append(edges)
@@ -144,6 +158,7 @@ def triangle_count(
     dst_col: str = "dst",
     orient: str = "degree",
     checkpoint_policy=None,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """One row ``(n_triangles long)``: the number of unordered vertex
     triples with all three edges present.  Exact; multi-edges, direction,
@@ -158,7 +173,9 @@ def triangle_count(
     table)."""
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = materialized_edges(df, src_col, dst_col, checkpoint_policy)
+    edges = materialized_edges(
+        df, src_col, dst_col, checkpoint_policy, input_canonical
+    )
     closed = _closed_wedges(edges, orient)
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
@@ -169,6 +186,7 @@ def node_clustering(
     dst_col: str = "dst",
     orient: str = "degree",
     checkpoint_policy=None,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient:
     ``(node, degree, n_triangles, coeff)`` for every vertex with at least
@@ -180,7 +198,9 @@ def node_clustering(
     a sixth subtree, the final degree join, reads them too)."""
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = materialized_edges(df, src_col, dst_col, checkpoint_policy)
+    edges = materialized_edges(
+        df, src_col, dst_col, checkpoint_policy, input_canonical
+    )
     closed = _closed_wedges(edges, orient)
     per_node = (
         closed.select(

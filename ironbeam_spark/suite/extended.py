@@ -1158,7 +1158,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = frequent_item_pairs(
         li, "l_orderkey", "l_partkey", min_support=2, prune=False
     )
-    return triangle_count(edges, "item1", "item2", orient="degree")
+    # frequent_item_pairs output is grouped by the ordered pair -> already
+    # canonical distinct; skip the redundant edge-dedup shuffle (opt r12)
+    return triangle_count(
+        edges, "item1", "item2", orient="degree", input_canonical=True
+    )
 
 
 @query(
@@ -1202,7 +1206,9 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = frequent_item_pairs(
         li, "l_orderkey", "l_partkey", min_support=2, prune=False
     )
-    return node_clustering(edges, "item1", "item2", orient="degree").orderBy(
+    return node_clustering(
+        edges, "item1", "item2", orient="degree", input_canonical=True
+    ).orderBy(
         "node"
     )
 
