@@ -123,16 +123,19 @@ def pagerank(
     # KNOWN TRADE (measured, r9 — see SCALE.md "PageRank iteration
     # sizing"): a checkpointed frame scans as ExistingRDD with
     # UnknownPartitioning, so the planner re-exchanges the edge side on
-    # src each iteration even though the data is already partitioned
-    # right.  The persist() alternative keeps hashpartitioning(src)
-    # visible and elides those exchanges, but re-analyzes the cached
-    # frame's full logical tree every iteration — measured 20% SLOWER
-    # end-to-end at bench scale, where AQE broadcast-joins these frames
-    # and the "saved" exchange is a nearly-free local shuffle read.
-    # Checkpoint wins locally; on a real cluster with billions of nodes
-    # (no broadcast), flip e/nodes to .persist() so co-partitioning
-    # reaches the planner — the iteration loop is agnostic to which.
-    e = e.repartition("src").localCheckpoint(eager=False)
+    # src each iteration regardless of how the checkpoint was laid out.
+    # That also means a repartition("src") ahead of the checkpoint is a
+    # full edge shuffle NO consumer can see (opt r12, measured: removing
+    # it cut q_pagerank ~0.9s at sf0.1, interleaved A/B) — so don't.
+    # The persist() alternative keeps hashpartitioning(src) visible and
+    # elides the per-round exchanges, but re-analyzes the cached frame's
+    # full logical tree every iteration — measured 20% SLOWER end-to-end
+    # at bench scale, where AQE broadcast-joins these frames and the
+    # "saved" exchange is a nearly-free local shuffle read.  Checkpoint
+    # wins locally; on a real cluster with billions of nodes (no
+    # broadcast), flip e/nodes to .repartition(key).persist() so
+    # co-partitioning reaches the planner — the loop is agnostic to which.
+    e = e.localCheckpoint(eager=False)
     _PERSISTED_RANK_TABLES.append(e)
 
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
@@ -152,7 +155,6 @@ def pagerank(
             .unionByName(e.select(F.col("dst").alias("node")))
             .distinct()
             .join(outdeg, on="node", how="left")
-            .repartition("node")
             .localCheckpoint(eager=False)
         )
     _PERSISTED_RANK_TABLES.append(nodes)
