@@ -354,7 +354,12 @@ def ivfpq_ann_topk(
         _dim_guard(qcells, "q_vec", m * len(codebooks[0][0])), "q_vec", codebooks
     ).drop("q_vec")
 
-    pairs = q.join(codes, on="cell").where(
+    # broadcast the QUERY side (probe rows + their ADC tables — small by
+    # contract): hash-exchanging the corpus codes on cell id partitions
+    # the big side by a |cells|-distinct-value key, a guaranteed-skew
+    # shuffle at scale (guide §2.5); the broadcast ships the tables to
+    # the codes instead — zero corpus exchanges (opt r12, guide §3.1)
+    pairs = F.broadcast(q).join(codes, on="cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     score: Column = F.element_at(F.col("adc_0"), F.col(code_cols[0]) + 1)

@@ -437,7 +437,13 @@ def ivf_ann_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
     )
     scored = (
-        qb.join(cb, on="cell")
+        # broadcast the QUERY side: the probe set is small by contract
+        # (it is what the caller is searching FOR), while hash-exchanging
+        # the corpus on cell id partitions the big side by a key with
+        # only |cells| distinct values — a guaranteed-skew shuffle at
+        # scale (guide §2.5) that the broadcast removes outright along
+        # with both exchanges (opt r12, guide §3.1).
+        F.broadcast(qb).join(cb, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -449,8 +455,12 @@ def ivf_ann_topk(
             # by _rank_topk so such vectors simply never rank
             cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
-        # a (query, neighbor) pair can appear via several probed cells
-        .distinct()
+        # no dedup needed (same argument as ivfpq_ann_topk): each corpus
+        # row lives in exactly ONE cell (n_probe=1 assignment) and a
+        # query's probed cells are distinct structs of the sorted centroid
+        # array, so the cell equi-join emits each (query, neighbor) pair
+        # at most once — a distinct() here re-shuffled the largest
+        # intermediate for nothing (opt r12, guide §2.4)
     )
     return _rank_topk(scored, k)
 
@@ -477,7 +487,9 @@ def lsh_ann_topk(
         "c_vec",
     )
     scored = (
-        qb.join(cb, on="bucket")
+        # query side broadcast: same probe-set-vs-corpus asymmetry (and
+        # bucket-key skew argument) as ivf_ann_topk's cell join
+        F.broadcast(qb).join(cb, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
