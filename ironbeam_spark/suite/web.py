@@ -1163,9 +1163,9 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         RECOMMENDED_MAX_BAND_BUCKET,
         dedup_components,
         dedup_exact,
-        hashed_word_shingles,
         minhash_pairs_from_shingles,
     )
+    from ironbeam_spark.operators.text_arrow import doc_dedup_features_arrow
     from ironbeam_spark.operators.robots import robots_filter
     from ironbeam_spark.operators.scan import global_running_sum, pack_layout
     from ironbeam_spark.operators.web import blocklist_filter, with_registered_domain
@@ -1217,19 +1217,24 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local-mode's analogue of the production break point — a real
     # pipeline writes the cleaned corpus to parquet here (same pattern as
     # q_heavy_hitters).
+    # The derive pass itself is the Arrow-vectorized operator, not the
+    # interpreted-HOF expression chain: this checkpoint is rebuilt on
+    # EVERY invocation (unlike minhash_dedup_pairs' session-persisted
+    # shingle table), and the fused md5+tokenize+shingle pass measured
+    # ~0.84 s expression vs ~0.28 s Arrow at sf0.1 — bit-exact contract
+    # and break-even analysis in operators/text_arrow.py (guide §4.2).
     cleaned = (
-        dedup_exact(
-            quality.withColumn(
-                "fp", F.md5(F.regexp_replace(F.lower("text"), "[0-9]+", ""))
+        doc_dedup_features_arrow(
+            dedup_exact(
+                quality.withColumn(
+                    "fp", F.md5(F.regexp_replace(F.lower("text"), "[0-9]+", ""))
+                ),
+                ["fp"],
+                "doc_id",
             ),
-            ["fp"],
             "doc_id",
-        )
-        .select(
-            "doc_id",
-            F.md5("text").alias("doc_md5"),
-            token_count("text").alias("n_tokens"),
-            hashed_word_shingles("text", 3).alias("shingles"),
+            "text",
+            shingle_words=3,
         )
         .localCheckpoint()
     )
