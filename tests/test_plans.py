@@ -319,8 +319,9 @@ def test_crawl_to_shards_plan_census(spark):
 
     - the WARC decode + canonicalize + robots + extract + quality + exact
       dedup front half materializes EXACTLY ONCE (the eager localCheckpoint
-      — its consumers scan an ExistingRDD; no Python stage and no WARC
-      MapInPandas may appear in the post-checkpoint plan);
+      — its consumers scan an ExistingRDD; NO Python stage of any flavor
+      may appear in the post-checkpoint plan: not the WARC decode nor the
+      derive pass, whatever nodes they compile to);
     - zero CartesianProduct; BNLJ only as the scan's 1-row stats carrier
       (global_running_sum bucketed path, the q_token_packing class);
     - the corpus-side hash-exchange census stays countable on fingers:
@@ -336,7 +337,10 @@ def test_crawl_to_shards_plan_census(spark):
     )[0]
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" not in plan  # decode ran once, behind the checkpoint
+    # decode + derive ran once, behind the checkpoint — no Python node left
+    assert "MapInPandas" not in plan
+    assert "MapInArrow" not in plan
+    assert "ArrowEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     n_exchanges = plan.count("Exchange hashpartitioning")

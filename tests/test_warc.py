@@ -217,3 +217,16 @@ def test_wet_style_conversion_records(spark):
     rows = read_warc(spark, tmp).collect()
     assert len(rows) == len(_ROWS)
     assert {r.warc_type for r in rows} == {"conversion"}
+
+
+def test_decode_is_arrow_native(spark):
+    """The record decode crosses the Python boundary as mapInArrow building
+    typed Arrow arrays (r12 optimization: the mapInPandas spelling paid an
+    O(rows) pandas object-block construction plus a pandas->Arrow conversion
+    per batch for nothing — measured 1.05-1.21x, growing with rows/task).
+    Pin the node so a refactor doesn't quietly reintroduce the pandas hop."""
+    tmp = tempfile.mkdtemp(prefix="warc_node_")
+    _write(spark, tmp)
+    plan = read_warc(spark, tmp)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    assert "MapInPandas" not in plan, plan
