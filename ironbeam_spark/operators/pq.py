@@ -54,6 +54,7 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_ann_topk",
+    "ivfpq_corpus_codes_arrow",
     "ivfpq_ann_topk",
 ]
 
@@ -311,6 +312,144 @@ def _adc_tables(q: DataFrame, vec_col: str, codebooks) -> DataFrame:
     return q.drop("_pq_cb")
 
 
+def _centroid_list(
+    centroids,
+    cell_id_col: str = "cell",
+    centroid_col: str = "centroid",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the coarse quantizer as an id-sorted driver list.
+
+    Bounded collect by the same contract as :func:`pq_codebooks_from_prefix`:
+    the IVF coarse quantizer is |cells| rows (k-means centroids — a few
+    dozen to a few thousand at 100 TB), never corpus-sized.  Sorting by
+    cell id makes numpy's first-occurrence arg-max reproduce the
+    ``(sim desc, cell asc)`` tie rule of ``ivf_assign_cells``."""
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select(
+            F.col(cell_id_col).cast("int").alias("c"),
+            F.col(centroid_col).alias("v"),
+        ).collect()
+        cents = [(int(r.c), [float(x) for x in r.v]) for r in rows]
+    else:
+        cents = [(int(c), [float(x) for x in v]) for c, v in centroids]
+    return sorted(cents, key=lambda t: t[0])
+
+
+def ivfpq_corpus_codes_arrow(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-side IVF-PQ build — nearest-cosine cell (``n_probe=1``) plus
+    the ``m`` PQ codes — as ONE vectorized ``mapInArrow`` pass:
+    ``(id, cell int, pq_code_0..m-1 int)``.
+
+    Bit-identical to ``ivf_assign_cells(corpus, …, n_probe=1)`` followed by
+    :func:`pq_encode` (the r12 differential test pins this).  The output is
+    INTEGERS ONLY, so equality needs matching arg-max/arg-min decisions,
+    not matching doubles — and every sum here replays the expression
+    path's sequential left-fold exactly (``np.add.accumulate``, elements
+    widened to double first), so any sim/dist that ties bit-exactly in one
+    path ties in the other:
+
+    - cell: per centroid ``sim = dot/(|x|·|c|)`` in double; an undefined
+      quotient (zero-norm, or NaN norms from null/NaN elements — numpy's
+      ``den > 0`` is False for NaN exactly where ``try_divide``/coalesce
+      lands on a non-positive or poisoned sim) scores ``-2.0``; numpy's
+      first-occurrence arg-max over the cell-id-sorted centroid axis IS
+      the ``(sim desc, cell asc)`` sort rule.
+    - codes: per subspace the sequential-fold L2 to each codeword; NaN
+      distances (NaN/null elements) map to ``+inf`` before the arg-min —
+      Spark's NaN-greatest ordering — and first-occurrence arg-min is the
+      ties-to-lower-code rule.
+    - malformed rows fail fast with the same ``pq: vector length`` error
+      as ``_dim_guard``; a NULL vector likewise kills the job.
+
+    Out of contract (as for the whole module's arithmetic discipline):
+    ±inf elements or magnitudes whose squares overflow double (>~1e154) —
+    embedding corpora are unit-scale floats.
+
+    Why this exists (opt r12, guide §4.2): the expression build does ~100
+    interpreted fold lambdas per row (8 cosines × 64 dims + 32 L2 × 16
+    dims) outside whole-stage codegen; the numpy pass does the same
+    arithmetic as a handful of matrix ops per BATCH (measured 2.8× on the
+    isolated corpus build at sf0.1, growing with rows/task per the §8
+    batch-size curve).  Heavy init (centroid/codeword matrices) happens
+    once per task, before the batch loop.  Only (id, vec) crosses the
+    boundary."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if any(len(w) != dsub for words in codebooks for w in words):
+        raise ValueError("codebooks must be rectangular")
+    d = m * dsub
+    cents = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in centroids),
+        key=lambda t: t[0],
+    )
+    code_cols = [f"pq_code_{j}" for j in range(m)]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def build_codes(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        C = np.array([v for _, v in cents], dtype=np.float64)  # (ncell, d)
+        cnorm = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
+        cid = np.array([c for c, _ in cents], dtype=np.int32)
+        CW = np.array(codebooks, dtype=np.float64)  # (m, ncode, dsub)
+        ncode = CW.shape[1]
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            col = rb.column(1)
+            if col.null_count:
+                raise ValueError(f"pq: vector length != {d}: got NULL vector")
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if (lens != d).any():
+                bad = int(lens[lens != d][0])
+                raise ValueError(f"pq: vector length != {d}: got {bad}")
+            # element nulls surface as NaN — poisoning folds exactly like
+            # the expression path's null products (see docstring)
+            X = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            xnorm = np.sqrt(np.add.accumulate(X * X, axis=1)[:, -1])
+            sims = np.empty((n, len(cid)))
+            for j in range(len(cid)):
+                dotj = np.add.accumulate(X * C[j], axis=1)[:, -1]
+                den = xnorm * cnorm[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = dotj / den
+                sims[:, j] = np.where(den > 0, s, -2.0)
+            cells = cid[np.argmax(sims, axis=1)]
+            codes = []
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                dists = np.empty((n, ncode))
+                for c in range(ncode):
+                    diff = sub - CW[j, c]
+                    dists[:, c] = np.add.accumulate(diff * diff, axis=1)[:, -1]
+                dists = np.where(np.isnan(dists), np.inf, dists)
+                codes.append(np.argmin(dists, axis=1).astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(cells, type=pa.int32())]
+                + [pa.array(cj, type=pa.int32()) for cj in codes],
+                names=[id_col, "cell"] + code_cols,
+            )
+
+    schema = ", ".join(
+        [f"{id_col} {id_type}", "cell int"] + [f"{c} int" for c in code_cols]
+    )
+    return corpus.select(id_col, vec_col).mapInArrow(build_codes, schema)
+
+
 def ivfpq_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -338,15 +477,20 @@ def ivfpq_ann_topk(
 
     m = len(codebooks)
     code_cols = [f"pq_code_{j}" for j in range(m)]
-    # cell assignment (8 interpreted 64-dim cosines/row) + PQ encode (m·ncode
-    # interpreted L2 folds/row) both run OUTSIDE whole-stage codegen — spread
-    # the corpus first or a single-split scan serializes the whole pass
-    assigned = ivf_assign_cells(
-        ensure_min_parallelism(corpus), centroids, id_col, vec_col, n_probe=1
-    )
-    codes = pq_encode(assigned, vec_col, codebooks).select(
-        F.col(id_col).alias("neighbor_id"), "cell", *code_cols
-    )
+    # corpus build = cell assignment (8 interpreted 64-dim cosines/row) +
+    # PQ encode (m·ncode interpreted L2 folds/row), all OUTSIDE whole-stage
+    # codegen — the one vectorized Arrow pass does the same arithmetic per
+    # BATCH, bit-identically (opt r12, guide §4.2; differential-test-pinned
+    # against the expression path).  Spread the corpus first or a
+    # single-split scan serializes the whole pass.  _centroid_list is a
+    # bounded collect (|cells| rows, the pq_codebooks_from_prefix contract).
+    codes = ivfpq_corpus_codes_arrow(
+        ensure_min_parallelism(corpus),
+        _centroid_list(centroids),
+        codebooks,
+        id_col,
+        vec_col,
+    ).withColumnRenamed(id_col, "neighbor_id")
     qcells = ivf_assign_cells(
         queries, centroids, id_col, vec_col, n_probe=n_probe
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell")

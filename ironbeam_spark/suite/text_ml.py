@@ -1411,8 +1411,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironbeam_spark.operators.pq import ivfpq_ann_topk, pq_codebooks_from_prefix
 
     emb = _t(spark, sf_dir, "embeddings").df
-    # centroids via the DataFrame path: they fold into ONE broadcast array
-    # row inside ivf_assign_cells — no driver collect, no literal unroll
+    # centroids as a DataFrame: the query side folds them into ONE broadcast
+    # array row inside ivf_assign_cells; the corpus side materializes the
+    # same 8 rows via the bounded _centroid_list collect feeding the
+    # vectorized Arrow build (opt r12 — same bounded-collect contract as
+    # pq_codebooks_from_prefix two lines down)
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )

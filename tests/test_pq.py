@@ -208,3 +208,95 @@ def test_pq_search_join_is_equi_join(spark):
     )
     assert re.search(r"(HashJoin|SortMergeJoin) \[cell#\d+", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_arrow_corpus_codes_match_expression_path(spark):
+    """r12 optimization pin: the vectorized corpus build
+    (ivfpq_corpus_codes_arrow) must be BIT-identical to the expression
+    path it replaced — ivf_assign_cells(n_probe=1) + pq_encode — on
+    random vectors AND the hard cases: zero-norm rows, duplicate
+    centroids/codewords (tie-breaks), NaN and NULL elements."""
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.operators.pq import (
+        _centroid_list,
+        ivfpq_corpus_codes_arrow,
+    )
+    from ironbeam_spark.operators.similarity import ivf_assign_cells
+
+    rng = random.Random(7)
+    d, m, ncode = 8, 4, 4
+    data = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(80)]
+    data += [
+        (100, [0.0] * d),  # zero norm -> every sim -2.0 -> lowest cell
+        (101, list(data[0][1])),  # exact duplicate -> centroid sim tie
+        (102, [1.0, None, 0.5, -0.5, 0.25, 0.0, 2.0, -1.0]),  # NULL elem
+        (103, [float("nan")] + [0.5] * (d - 1)),  # NaN elem
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    # centroid 9 duplicates centroid 0's vector: bit-exact sim tie
+    cents = [(i, v) for i, v in data[:5]] + [(9, list(data[0][1]))]
+    # codebook with a duplicate codeword pair: bit-exact dist tie
+    cb = pq_codebooks_from_prefix(df, "vec_id", "embedding", m=m, ncode=ncode)
+    cb = [[ws[0]] + ws[:-1] for ws in cb]  # codeword 0 == codeword 1
+    cols = ["vec_id", "cell"] + [f"pq_code_{j}" for j in range(m)]
+    expr = pq_encode(
+        ivf_assign_cells(df, cents, n_probe=1), "embedding", cb
+    ).select(*cols)
+    for c in cols[1:]:
+        expr = expr.withColumn(c, F.col(c).cast("int"))
+    arrow = ivfpq_corpus_codes_arrow(df, _centroid_list(cents), cb)
+    # names + dtypes (nullability differs: literal centroid cells are
+    # non-nullable in the expression plan — plan metadata, not data)
+    assert [(f.name, f.dataType) for f in expr.schema] == [
+        (f.name, f.dataType) for f in arrow.schema
+    ]
+    assert expr.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(expr).count() == 0
+
+
+def test_arrow_corpus_codes_match_on_real_embeddings(spark):
+    """Same pin on the real testdata embeddings via the DataFrame-centroid
+    path (exactly the q_ann_ivfpq corpus build)."""
+    from pyspark.sql import functions as F
+
+    from ironbeam_spark.operators.pq import (
+        _centroid_list,
+        ivfpq_corpus_codes_arrow,
+    )
+    from ironbeam_spark.operators.similarity import ivf_assign_cells
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cb = pq_codebooks_from_prefix(emb, "vec_id", "embedding", m=4, ncode=8)
+    cols = ["vec_id", "cell"] + [f"pq_code_{j}" for j in range(4)]
+    expr = pq_encode(
+        ivf_assign_cells(emb, centroids, n_probe=1), "embedding", cb
+    ).select(*cols)
+    for c in cols[1:]:
+        expr = expr.withColumn(c, F.col(c).cast("int"))
+    arrow = ivfpq_corpus_codes_arrow(emb, _centroid_list(centroids), cb)
+    assert expr.schema == arrow.schema
+    assert expr.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(expr).count() == 0
+
+
+def test_arrow_corpus_codes_dim_guard(spark):
+    """The Arrow build fails fast on malformed vectors with the same
+    `pq: vector length` contract as _dim_guard."""
+    from ironbeam_spark.operators.pq import ivfpq_corpus_codes_arrow
+
+    cb = [[[0.0, 0.0]], [[0.0, 0.0]]]  # expects dim 4
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        ivfpq_corpus_codes_arrow(short, cents, cb).collect()
+    nul = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        ivfpq_corpus_codes_arrow(nul, cents, cb).collect()
