@@ -54,6 +54,7 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_ann_topk",
+    "pq_codes_arrow",
     "ivfpq_corpus_codes_arrow",
     "ivfpq_ann_topk",
 ]
@@ -257,14 +258,16 @@ def pq_ann_topk(
     from ironbeam_spark.scale import ensure_min_parallelism
 
     m = len(codebooks)
-    ncode = len(codebooks[0])
     code_cols = [f"pq_code_{j}" for j in range(m)]
     # encode is interpreted higher-order-function work (zip_with/aggregate
-    # lambdas never enter whole-stage codegen) — spread it before the
-    # single-split scan serializes it, same discipline as brute_force_topk
-    codes = pq_encode(ensure_min_parallelism(corpus), vec_col, codebooks).select(
-        F.col(id_col).alias("neighbor_id"), *code_cols
-    )
+    # lambdas never enter whole-stage codegen) — the vectorized Arrow pass
+    # does the same arg-min decisions per batch, bit-identically (opt r12,
+    # guide §4.2; same differential pin as the ivfpq corpus build).
+    # Spread it before the single-split scan serializes it, same
+    # discipline as brute_force_topk.
+    codes = pq_codes_arrow(
+        ensure_min_parallelism(corpus), codebooks, id_col, vec_col
+    ).withColumnRenamed(id_col, "neighbor_id")
     q = _dim_guard(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -379,14 +382,43 @@ def ivfpq_corpus_codes_arrow(
     batch-size curve).  Heavy init (centroid/codeword matrices) happens
     once per task, before the batch loop.  Only (id, vec) crosses the
     boundary."""
+    return _codes_arrow(corpus, centroids, codebooks, id_col, vec_col)
+
+
+def pq_codes_arrow(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode alone as the same vectorized pass — ``(id, pq_code_0..m-1
+    int)`` — bit-identical to :func:`pq_encode` (the same arg-min decision
+    logic as :func:`ivfpq_corpus_codes_arrow`, minus the cell column; the
+    same r12 differential test pins it).  This is the corpus-dominant step
+    of :func:`pq_ann_topk` — the compression pass that touches every
+    vector once at 100 TB."""
+    return _codes_arrow(corpus, None, codebooks, id_col, vec_col)
+
+
+def _codes_arrow(
+    corpus: DataFrame,
+    centroids,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     if any(len(w) != dsub for words in codebooks for w in words):
         raise ValueError("codebooks must be rectangular")
     d = m * dsub
-    cents = sorted(
-        ((int(c), [float(x) for x in v]) for c, v in centroids),
-        key=lambda t: t[0],
+    cents = (
+        None
+        if centroids is None
+        else sorted(
+            ((int(c), [float(x) for x in v]) for c, v in centroids),
+            key=lambda t: t[0],
+        )
     )
     code_cols = [f"pq_code_{j}" for j in range(m)]
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -396,9 +428,10 @@ def ivfpq_corpus_codes_arrow(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        C = np.array([v for _, v in cents], dtype=np.float64)  # (ncell, d)
-        cnorm = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
-        cid = np.array([c for c, _ in cents], dtype=np.int32)
+        if cents is not None:
+            C = np.array([v for _, v in cents], dtype=np.float64)  # (ncell, d)
+            cnorm = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
+            cid = np.array([c for c, _ in cents], dtype=np.int32)
         CW = np.array(codebooks, dtype=np.float64)  # (m, ncode, dsub)
         ncode = CW.shape[1]
         for rb in batches:
@@ -420,16 +453,18 @@ def ivfpq_corpus_codes_arrow(
                 .astype(np.float64, copy=False)
                 .reshape(n, d)
             )
-            xnorm = np.sqrt(np.add.accumulate(X * X, axis=1)[:, -1])
-            sims = np.empty((n, len(cid)))
-            for j in range(len(cid)):
-                dotj = np.add.accumulate(X * C[j], axis=1)[:, -1]
-                den = xnorm * cnorm[j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    s = dotj / den
-                sims[:, j] = np.where(den > 0, s, -2.0)
-            cells = cid[np.argmax(sims, axis=1)]
-            codes = []
+            arrays = [rb.column(0)]
+            if cents is not None:
+                xnorm = np.sqrt(np.add.accumulate(X * X, axis=1)[:, -1])
+                sims = np.empty((n, len(cid)))
+                for j in range(len(cid)):
+                    dotj = np.add.accumulate(X * C[j], axis=1)[:, -1]
+                    den = xnorm * cnorm[j]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s = dotj / den
+                    sims[:, j] = np.where(den > 0, s, -2.0)
+                cells = cid[np.argmax(sims, axis=1)]
+                arrays.append(pa.array(cells, type=pa.int32()))
             for j in range(m):
                 sub = X[:, j * dsub : (j + 1) * dsub]
                 dists = np.empty((n, ncode))
@@ -437,17 +472,20 @@ def ivfpq_corpus_codes_arrow(
                     diff = sub - CW[j, c]
                     dists[:, c] = np.add.accumulate(diff * diff, axis=1)[:, -1]
                 dists = np.where(np.isnan(dists), np.inf, dists)
-                codes.append(np.argmin(dists, axis=1).astype(np.int32))
-            yield pa.RecordBatch.from_arrays(
-                [rb.column(0), pa.array(cells, type=pa.int32())]
-                + [pa.array(cj, type=pa.int32()) for cj in codes],
-                names=[id_col, "cell"] + code_cols,
-            )
+                arrays.append(
+                    pa.array(np.argmin(dists, axis=1).astype(np.int32),
+                             type=pa.int32())
+                )
+            names = [id_col] + (["cell"] if cents is not None else []) + code_cols
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    schema = ", ".join(
-        [f"{id_col} {id_type}", "cell int"] + [f"{c} int" for c in code_cols]
+    fields = [f"{id_col} {id_type}"]
+    if cents is not None:
+        fields.append("cell int")
+    fields += [f"{c} int" for c in code_cols]
+    return corpus.select(id_col, vec_col).mapInArrow(
+        build_codes, ", ".join(fields)
     )
-    return corpus.select(id_col, vec_col).mapInArrow(build_codes, schema)
 
 
 def ivfpq_ann_topk(

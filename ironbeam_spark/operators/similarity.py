@@ -452,7 +452,12 @@ def ivf_ann_topk(
             # empty vectors (coalesce(-2) cell assignment), so a degenerate
             # vector CAN reach this join — the unsafe quotient would raise
             # ANSI DIVIDE_BY_ZERO and kill the job; NULL scores are dropped
-            # by _rank_topk so such vectors simply never rank
+            # by _rank_topk so such vectors simply never rank.
+            # KEPT ON EXPRESSIONS (opt r12): an arrow_pair_cosine swap was
+            # implemented and rejected on measurement — the stage-isolated
+            # pair-count curve shows a flat ~0.35 s Python-boundary cost
+            # the vectorized fold does not repay at up to 42k pairs
+            # (expression fold 0.13-0.17 s over that whole range)
             cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
         # no dedup needed (same argument as ivfpq_ann_topk): each corpus
@@ -496,7 +501,10 @@ def lsh_ann_topk(
             "neighbor_id",
             # cosine_safe for the same reason as ivf_ann_topk: zero-norm
             # vectors hash to a bucket like any other, and the unsafe
-            # quotient raises under ANSI mode instead of being dropped
+            # quotient raises under ANSI mode instead of being dropped.
+            # Kept on expressions for the same measured reason (see
+            # ivf_ann_topk: the arrow swap's flat boundary cost loses at
+            # any local pair count)
             cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )

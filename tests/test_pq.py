@@ -254,6 +254,17 @@ def test_arrow_corpus_codes_match_expression_path(spark):
     assert expr.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(expr).count() == 0
 
+    # the codes-only variant (pq_ann_topk's corpus pass) on the same frame
+    from ironbeam_spark.operators.pq import pq_codes_arrow
+
+    code_cols = ["vec_id"] + [f"pq_code_{j}" for j in range(m)]
+    enc_expr = pq_encode(df, "embedding", cb).select(*code_cols)
+    for c in code_cols[1:]:
+        enc_expr = enc_expr.withColumn(c, F.col(c).cast("int"))
+    enc_arrow = pq_codes_arrow(df, cb)
+    assert enc_expr.exceptAll(enc_arrow).count() == 0
+    assert enc_arrow.exceptAll(enc_expr).count() == 0
+
 
 def test_arrow_corpus_codes_match_on_real_embeddings(spark):
     """Same pin on the real testdata embeddings via the DataFrame-centroid
