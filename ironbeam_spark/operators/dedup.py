@@ -535,6 +535,70 @@ def minhash_pairs_from_shingles(
     return verified
 
 
+_LOCAL_SOLVE_CONF = "ironbeam.components.local_solve_max_edges"
+# symmetrized edge rows; ~1 MB collected worst case.  Sized so the label
+# LITERAL stays cheap to analyze (≤ ~20k structs — measured ~0.2 s to
+# build + fold at 5k rows, superlinear past ~40k), not by driver memory.
+_LOCAL_SOLVE_DEFAULT = 10000
+
+
+def _local_component_labels(spark, rows, node_type: str) -> DataFrame:
+    """Driver-side connected components over a BOUNDED edge list → a
+    pure-JVM literal ``(node, component)`` frame (min-id labels, identical
+    to the distributed loop's fixed point).
+
+    Union-find with path compression; the representative is the minimum id
+    (Python ``<`` on ints and strs matches Spark's ordering — UTF-8 byte
+    order is code-point order).  The result is inlined as ONE ``F.expr``
+    array-of-structs literal (the ``_with_codebooks`` lesson: a
+    parallelized ``createDataFrame`` would put a Python task into every
+    consuming action, and per-element ``F.lit`` costs one py4j trip per
+    value); consumers see a ``LocalTableScan`` that AQE broadcast-joins."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    out = sorted((n, comp_min[find(n)]) for n in parent)
+
+    if node_type == "string":
+        def lit(v: str) -> str:
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    else:
+        def lit(v) -> str:
+            return f"{v}L"
+    arr = (
+        "array(" + ",".join(f"struct({lit(n)},{lit(c)})" for n, c in out) + ")"
+        if out
+        else "array()"
+    )
+    return spark.range(1).select(
+        F.inline(
+            F.expr(arr).cast(
+                f"array<struct<node:{node_type},component:{node_type}>>"
+            )
+        )
+    )
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -542,6 +606,7 @@ def dedup_components(
     max_iter: int = 25,
     checkpoint_policy=None,
     dedup_edges: bool = True,
+    local_solve_max_edges: int | None = None,
 ) -> DataFrame:
     """Duplicate *groups* from near-dup pairs: connected components by
     iterative min-label propagation.  Output: ``(node, component)`` where
@@ -571,7 +636,27 @@ def dedup_components(
     specialized round does NOT count against ``max_iter`` (it has no
     pointer-jumping step, so counting it would quietly weaken the bound:
     ``max_iter=k`` still guarantees k full jump-capable rounds, exactly
-    the pre-specialization contract)."""
+    the pre-specialization contract).
+
+    SCALE-ADAPTIVE SHORT-CIRCUIT (optimization r13, guide §5): duplicate
+    graphs are routinely metadata-scale after the verify join (hundreds
+    to thousands of edges on a corpus of millions — near-dup pairs are
+    the rare case), yet the iterative path pays 1 blocking Spark job per
+    round REGARDLESS of size.  The first action here is therefore a
+    bounded ``limit(B+1).collect()`` probe of the (lazily checkpointed)
+    edge table: when every edge fits under ``local_solve_max_edges``
+    (default 10,000 symmetrized rows ≈ 1 MB collected; conf
+    ``ironbeam.components.local_solve_max_edges``, 0 disables), the
+    components are solved on the driver with union-find — bit-identical
+    min-id labels, pinned by ``test_dedup_components_local_solve_*`` —
+    and returned as one pure-JVM literal frame, replacing R blocking
+    round-jobs with ONE bounded action.  Above the bound (or for id
+    types whose ordering Python cannot replicate, or NULL endpoints) the
+    standard loop runs unchanged; the probe's partial work is kept by
+    the edge checkpoint, so the fallback costs one small take() job.
+    This is the same decide-small/move-big discipline as guide §8 —
+    the edge list is the lightweight proxy, and a broadcastable proxy
+    never needs distributed iteration."""
     from ironbeam_spark.operators.checkpoint import CheckpointPolicy
 
     policy = checkpoint_policy or CheckpointPolicy.after_every_barrier()
@@ -605,11 +690,37 @@ def dedup_components(
     ).select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
     if dedup_edges:
         sym = sym.distinct()
-    # LAZY checkpoint: round 1's convergence count is the materializing
-    # action, so the edge derivation and the first neighbor-min aggregate
-    # run as ONE job instead of an eager-checkpoint job plus a count job
-    # (the blocks are identical either way; optimization r12)
+    # LAZY checkpoint: the first action (the local-solve probe below, or
+    # round 1's convergence count) is the materializing action, so the
+    # edge derivation and the first aggregate run as ONE job instead of
+    # an eager-checkpoint job plus a count job (optimization r12)
     edges = policy.checkpoint(sym, eager=False)
+
+    # -- local-solve short-circuit (see docstring) ----------------------
+    if local_solve_max_edges is None:
+        try:
+            local_solve_max_edges = int(
+                pairs.sparkSession.conf.get(
+                    _LOCAL_SOLVE_CONF, str(_LOCAL_SOLVE_DEFAULT)
+                )
+            )
+        except Exception:
+            local_solve_max_edges = _LOCAL_SOLVE_DEFAULT
+    node_type = edges.schema["src"].dataType.simpleString()
+    if local_solve_max_edges > 0 and node_type in (
+        "tinyint", "smallint", "int", "bigint", "string"
+    ):
+        probe = edges.limit(local_solve_max_edges + 1).collect()
+        if len(probe) <= local_solve_max_edges and all(
+            r[0] is not None and r[1] is not None for r in probe
+        ):
+            return _local_component_labels(
+                pairs.sparkSession, [(r[0], r[1]) for r in probe], node_type
+            )
+        # over the bound (or NULL endpoints): fall through to the loop —
+        # the probe already materialized the edge checkpoint blocks
+
+
     # round 1: labels[n] == n, so min-over-neighbors is a plain aggregate
     # over edges; _old = the node's own id (what a labels frame would hold)
     first = policy.checkpoint(
@@ -637,7 +748,12 @@ def dedup_components(
         neighbor = (
             edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
             .select(F.col("src").alias("node"), "component")
-            .withColumn("_self", F.lit(None).cast("long"))
+            # typed to the label column (NOT a hard "long"): for string ids
+            # the union's type coercion would otherwise cast every label
+            # to bigint and fail on non-numeric ids (r13)
+            .withColumn(
+                "_self", F.lit(None).cast(labels.schema["component"].dataType)
+            )
         )
         mine = labels.withColumn("_self", F.col("component"))
         propagated = (

@@ -58,13 +58,20 @@ def test_dedup_components_policy_equivalence(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a long, id_b long",
     )
+    # local_solve_max_edges=0 forces the iterative loop both times — the
+    # policy only governs the loop; the r13 local-solve short circuit
+    # (which this toy graph would otherwise take) has its own identity
+    # tests in test_r13_optimizations.py
     base = {
-        (r.node, r.component) for r in dedup_components(pairs).collect()
+        (r.node, r.component)
+        for r in dedup_components(pairs, local_solve_max_edges=0).collect()
     }
     sparse_policy = CheckpointPolicy.every_n(3)
     sparse = {
         (r.node, r.component)
-        for r in dedup_components(pairs, checkpoint_policy=sparse_policy).collect()
+        for r in dedup_components(
+            pairs, checkpoint_policy=sparse_policy, local_solve_max_edges=0
+        ).collect()
     }
     assert sparse == base
     assert base == {
