@@ -735,6 +735,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="PageRank over the symmetrized customer<->supplier trade graph (operators/pagerank.pagerank, Page et al. 1999), 5 rounds of exact int64 fixed-point (micro-unit ranks, damping 85/100 as integer div — order-free sums, bit-exact cross-engine where float PageRank cannot be): per round ONE skew-immune 1:N rank-to-edges join + ONE combinable integer-sum groupBy + node-list left join, CheckpointPolicy lineage truncation (same machinery as dedup_components), top-50 hubs; node ids parity-encode the bipartite sides",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ironbeam_spark.operators.checkpoint import CheckpointPolicy
     from ironbeam_spark.operators.pagerank import pagerank
 
     orders = _t(spark, sf_dir, "orders").df
@@ -746,8 +747,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
+    # CheckpointPolicy.never(): 5 FIXED rounds over already-checkpointed
+    # edge/node tables — unroll them into ONE terminal query instead of
+    # blocking the driver on mid-loop localCheckpoint materializations
+    # (guide §5; each fire costs .rdd stage-forcing + a caching pass that
+    # nothing re-reads, since every round consumes its predecessor exactly
+    # once).  Measured r13 at sf0.1 (palindrome A/B, 6 reps): 3.97 ->
+    # 3.53 s median, 34 -> 22 Spark jobs; sf1 mins at parity.  Recovery
+    # granularity is bounded: the heavy inputs (e, nodes) stay
+    # materialized, so a lost executor replays at most 5 rank-table-sized
+    # rounds; deep-iteration callers keep the periodic default.
     ranks = pagerank(
-        edges, "src", "dst", iterations=5, symmetrize=True
+        edges, "src", "dst", iterations=5, symmetrize=True,
+        checkpoint_policy=CheckpointPolicy.never(),
     )
     return ranks.select("node", "rank").orderBy(
         F.col("rank").desc(), "node"
