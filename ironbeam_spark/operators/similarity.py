@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ironbeam_spark.functions.vectors import cosine, cosine_safe, dot, norm
+from ironbeam_spark.functions.vectors import cosine_safe, dot, norm
 from ironbeam_spark.scale import ensure_min_parallelism
 
 __all__ = [
@@ -221,6 +221,50 @@ def arrow_pair_cosine(
     return df.mapInArrow(score, out_schema)
 
 
+_SCORER_CONF = "ironbeam.ann.pair_scorer"
+_SCORER_BYTES_CONF = "ironbeam.ann.pair_scorer_arrow_min_bytes_per_task"
+# Catalyst-ESTIMATED pair bytes per task above which the Arrow scorer wins.
+# Calibrated from the r12 stage-isolated crossover (~3k pairs/task: the
+# mapInArrow boundary costs a flat ~11 ms/task vs ~4 µs/pair interpreted)
+# times Catalyst's ~6.6 KB/pair size estimate for two 64-dim vector
+# columns — r12 measured the estimator on the live join at 20k pairs.
+_SCORER_DEFAULT_BYTES = 16 * 1024 * 1024
+
+
+def _auto_pair_impl(joined: DataFrame, impl: str) -> str:
+    """Resolve ``impl='auto'`` for a joined pair frame: pick the vectorized
+    Arrow scorer when the ESTIMATED pair bytes per task clear the measured
+    Python-boundary crossover, else the interpreted expression fold.
+
+    Both scorers are bit-identical after ranking (differential-test
+    pinned), so this is purely a throughput choice — the r12 crossover
+    measurement showed each side wins by >1.5x on its own side of ~3k
+    pairs/task, and a fixed default is wrong at one scale or the other
+    (guide §1.2: the bench layout sits at ~600 pairs/task, production
+    shards at 10^4-10^6).  Resolution order: explicit ``impl=`` argument >
+    ``ironbeam.ann.pair_scorer`` conf > size estimate from the optimized
+    plan's stats (driver-side, no job).  Estimator failure falls back to
+    Arrow — the scale-safe side."""
+    if impl in ("expr", "arrow"):
+        return impl
+    spark = joined.sparkSession
+    try:
+        knob = spark.conf.get(_SCORER_CONF, "auto")
+    except Exception:
+        knob = "auto"
+    if knob in ("expr", "arrow"):
+        return knob
+    try:
+        size = int(
+            joined._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        thr = int(spark.conf.get(_SCORER_BYTES_CONF, str(_SCORER_DEFAULT_BYTES)))
+        return "arrow" if size / par >= thr else "expr"
+    except Exception:
+        return "arrow"
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k ranking: drop undefined scores (null; or NaN, which
     Spark sorts ABOVE every double under ``desc()``) so degenerate vectors
@@ -244,19 +288,25 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    impl: str = "arrow",
+    impl: str = "auto",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector (self-match
     excluded).
 
-    ``impl='arrow'`` (default) scores the joined pairs in an Arrow-batched
+    ``impl='arrow'`` scores the joined pairs in an Arrow-batched
     ``mapInArrow`` using ``np.add.accumulate`` — a SEQUENTIAL fold, so the
     doubles are bit-identical to the Catalyst ``aggregate`` fold (and the
     SQL oracle's ``list_sum``) while running vectorized C instead of
     interpreted higher-order lambdas (~10× on the |Q|·|C| hot loop — the
     baseline's cost is genuinely linear in |C|, so the constant IS the
-    scale story).  ``impl='expr'`` keeps the pure-expression path.  Both
-    share the same plan shape: broadcast queries × corpus, window top-k.
+    scale story).  ``impl='expr'`` keeps the pure-expression path
+    (``cosine_safe``, so degenerate vectors score NULL exactly like the
+    arrow path instead of raising under ANSI).  ``impl='auto'`` (default)
+    picks per the measured pairs-per-task crossover — see
+    :func:`_auto_pair_impl` (optimization r13; the r12 crossover
+    measurement showed the flat Python-boundary cost loses below ~3k
+    pairs/task and wins increasingly above it).  All paths share the same
+    plan shape: broadcast queries × corpus, window top-k.
 
     Degenerate rows: null vectors, vectors containing null elements,
     mismatched lengths, empty vectors, and zero-norm vectors all score
@@ -279,11 +329,14 @@ def brute_force_topk(
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
-    if impl == "expr":
+    if _auto_pair_impl(joined, impl) == "expr":
         scored = joined.select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            # cosine_safe (not cosine): degenerate vectors score NULL and
+            # are dropped by _rank_topk — the identical contract as the
+            # arrow path; the unsafe quotient would raise under ANSI
+            cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     else:
         scored = arrow_pair_cosine(
@@ -425,18 +478,28 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
+    impl: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their single nearest cell; each
     query probes its ``n_probe`` nearest cells and exact-ranks only those
     cells' members.  At scale the cell join is an equi-join hash-partitioned
-    on cell id — |Q|·|C| becomes |Q|·(corpus/cells)·n_probe."""
+    on cell id — |Q|·|C| becomes |Q|·(corpus/cells)·n_probe.
+
+    ``impl``: pair-scoring engine — ``'expr'`` (interpreted fold),
+    ``'arrow'`` (vectorized, bit-identical after ranking), or ``'auto'``
+    (default: the measured pairs-per-task crossover, see
+    :func:`_auto_pair_impl`).  r12 proved the two sides bit-exact on this
+    exact query shape (incl. zero-norm fuzz) and measured the flat
+    ~0.35 s Python-boundary cost losing below ~3k pairs/task — the r13
+    auto switch keeps the expression fold at bench pair counts and flips
+    to Arrow at production shard sizes."""
     cb = ivf_assign_cells(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     )
     qb = ivf_assign_cells(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
     )
-    scored = (
+    joined = (
         # broadcast the QUERY side: the probe set is small by contract
         # (it is what the caller is searching FOR), while hash-exchanging
         # the corpus on cell id partitions the big side by a key with
@@ -445,21 +508,6 @@ def ivf_ann_topk(
         # with both exchanges (opt r12, guide §3.1).
         F.broadcast(qb).join(cb, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            # cosine_safe: ivf_assign_cells deliberately keeps zero-norm /
-            # empty vectors (coalesce(-2) cell assignment), so a degenerate
-            # vector CAN reach this join — the unsafe quotient would raise
-            # ANSI DIVIDE_BY_ZERO and kill the job; NULL scores are dropped
-            # by _rank_topk so such vectors simply never rank.
-            # KEPT ON EXPRESSIONS (opt r12): an arrow_pair_cosine swap was
-            # implemented and rejected on measurement — the stage-isolated
-            # pair-count curve shows a flat ~0.35 s Python-boundary cost
-            # the vectorized fold does not repay at up to 42k pairs
-            # (expression fold 0.13-0.17 s over that whole range)
-            cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
-        )
         # no dedup needed (same argument as ivfpq_ann_topk): each corpus
         # row lives in exactly ONE cell (n_probe=1 assignment) and a
         # query's probed cells are distinct structs of the sorted centroid
@@ -467,6 +515,24 @@ def ivf_ann_topk(
         # at most once — a distinct() here re-shuffled the largest
         # intermediate for nothing (opt r12, guide §2.4)
     )
+    if _auto_pair_impl(joined, impl) == "expr":
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            # cosine_safe: ivf_assign_cells deliberately keeps zero-norm /
+            # empty vectors (coalesce(-2) cell assignment), so a degenerate
+            # vector CAN reach this join — the unsafe quotient would raise
+            # ANSI DIVIDE_BY_ZERO and kill the job; NULL scores are dropped
+            # by _rank_topk so such vectors simply never rank.
+            cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    else:
+        scored = arrow_pair_cosine(
+            joined.select("query_id", "q_vec", "neighbor_id", "c_vec"),
+            "q_vec",
+            "c_vec",
+            ["query_id", "neighbor_id"],
+        )
     return _rank_topk(scored, k)
 
 
@@ -477,10 +543,13 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    impl: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored.  Recall loss is the LSH trade-off; at scale this turns |Q|·|C|
-    into a bucket-partitioned equi-join."""
+    into a bucket-partitioned equi-join.  ``impl`` as in
+    :func:`ivf_ann_topk` (same r12 bit-exactness proof and crossover
+    measurement; same r13 auto switch)."""
     qb = hyperplane_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         planes,
@@ -491,23 +560,28 @@ def lsh_ann_topk(
         planes,
         "c_vec",
     )
-    scored = (
+    joined = (
         # query side broadcast: same probe-set-vs-corpus asymmetry (and
         # bucket-key skew argument) as ivf_ann_topk's cell join
         F.broadcast(qb).join(cb, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+    )
+    if _auto_pair_impl(joined, impl) == "expr":
+        scored = joined.select(
             "query_id",
             "neighbor_id",
             # cosine_safe for the same reason as ivf_ann_topk: zero-norm
             # vectors hash to a bucket like any other, and the unsafe
-            # quotient raises under ANSI mode instead of being dropped.
-            # Kept on expressions for the same measured reason (see
-            # ivf_ann_topk: the arrow swap's flat boundary cost loses at
-            # any local pair count)
+            # quotient raises under ANSI mode instead of being dropped
             cosine_safe(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
-    )
+    else:
+        scored = arrow_pair_cosine(
+            joined.select("query_id", "q_vec", "neighbor_id", "c_vec"),
+            "q_vec",
+            "c_vec",
+            ["query_id", "neighbor_id"],
+        )
     return _rank_topk(scored, k)
 
 

@@ -141,3 +141,84 @@ def test_dedup_components_local_solve_empty_pairs(spark):
         "bigint",
         "bigint",
     ]
+
+
+# -- ANN pair scorer: impl='auto' and expr/arrow bit-identity ----------------
+
+
+def _topk_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _emb(spark):
+    from ironbeam_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    return read_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_brute_force_expr_arrow_identical_incl_degenerate(spark):
+    from ironbeam_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark)
+    # inject degenerate corpus rows: zero-norm and empty vectors must never
+    # rank on either path (NULL score; expression path uses cosine_safe)
+    bad = spark.createDataFrame(
+        [(900001, [0.0] * 64), (900002, [])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(bad)
+    q = emb.orderBy("vec_id").limit(5)
+    a = _topk_rows(brute_force_topk(corpus, q, k=4, impl="expr"))
+    b = _topk_rows(brute_force_topk(corpus, q, k=4, impl="arrow"))
+    assert a == b and len(a) > 0
+    assert not any(r[1] in (900001, 900002) for r in a)
+
+
+def test_ivf_lsh_expr_arrow_identical(spark):
+    from ironbeam_spark.operators.similarity import (
+        ivf_ann_topk,
+        lsh_ann_topk,
+        train_centroids_kmeans,
+    )
+
+    emb = _emb(spark)
+    q = emb.orderBy("vec_id").limit(10)
+    cents = train_centroids_kmeans(emb, k=8)
+    assert _topk_rows(ivf_ann_topk(emb, q, cents, k=5, n_probe=2, impl="expr")) == _topk_rows(
+        ivf_ann_topk(emb, q, cents, k=5, n_probe=2, impl="arrow")
+    )
+    planes = [v for _, v in cents[:8]]
+    assert _topk_rows(lsh_ann_topk(emb, q, planes, k=5, impl="expr")) == _topk_rows(
+        lsh_ann_topk(emb, q, planes, k=5, impl="arrow")
+    )
+
+
+def test_auto_pair_impl_resolution(spark):
+    from ironbeam_spark.operators.similarity import (
+        _SCORER_BYTES_CONF,
+        _SCORER_CONF,
+        _auto_pair_impl,
+    )
+
+    emb = _emb(spark)
+    pairs = emb.select(F.col("embedding").alias("a")).crossJoin(
+        emb.select(F.col("embedding").alias("b"))
+    )
+    # explicit argument wins over everything
+    assert _auto_pair_impl(pairs, "expr") == "expr"
+    assert _auto_pair_impl(pairs, "arrow") == "arrow"
+    # conf knob wins over the estimate
+    spark.conf.set(_SCORER_CONF, "arrow")
+    try:
+        assert _auto_pair_impl(pairs, "auto") == "arrow"
+    finally:
+        spark.conf.unset(_SCORER_CONF)
+    # estimate: a tiny threshold forces arrow, a huge one forces expr
+    spark.conf.set(_SCORER_BYTES_CONF, "1")
+    try:
+        assert _auto_pair_impl(pairs, "auto") == "arrow"
+        spark.conf.set(_SCORER_BYTES_CONF, str(1 << 60))
+        assert _auto_pair_impl(pairs, "auto") == "expr"
+    finally:
+        spark.conf.unset(_SCORER_BYTES_CONF)
